@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed twice; the second (warm) run is reported — the first
+run amortizes JVM/codegen warm-up so numbers reflect steady-state plan cost,
+which is what matters for the 100 TB extrapolation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from mare_spark.registry import all_queries
+    from mare_spark.session import get_spark
+
+    spark = get_spark("mare_spark_bench")
+    queries = {n: q for n, q in all_queries().items() if q.bench}
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(queries.items()):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            n = df.count()  # force full execution
+            dt = time.perf_counter() - t0
+            best = dt  # keep the warm (last) run
+        timings[name] = round(best, 4)
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+"""Query corpus — importing this package registers every declared query.
+
+Submodules group SURVEY.md §2B families:
+* ``relational``  — projection/filter/join/agg/window/sort/setop/scalar/SQL
+* ``llm``         — dedup, similarity search, text analysis, multimodal
+* ``pipe``        — containerized partition-pipeline ops (MaRe parity)
+* ``streaming``   — batch-expressible views of the streaming operators
+"""
+
+from mare_spark.queries import relational  # noqa: F401

@@ -1,0 +1,44 @@
+"""Fixture-table loader + temp-view registry.
+
+The driver's parquet tables (see TESTDATA.md / FIXTURES.md) are the engine's
+relational test corpus. ``load_tables`` reads each table lazily (parquet scan
+with full Catalyst pushdown) and registers a temp view so the SQL entry point
+(`mare_spark.sql`) sees the same catalog as the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: region and
+# nation are fixed-size (5 / 25 rows) regardless of SF, so joins against them
+# should always be broadcast-hash joins — never shuffles.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:
+    """Load every fixture table from ``sf_dir``; optionally register temp views."""
+    tables: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        tables[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return tables
