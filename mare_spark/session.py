@@ -60,6 +60,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # -- determinism for the oracle ----------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS) which the parquet reader
+        # rejects; read as long and convert in tables.read_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- local-mode ergonomics ---------------------------------------
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

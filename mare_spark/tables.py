@@ -33,11 +33,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with schema normalization.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects. The session sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` so the column arrives as
+    nanosecond longs; we convert to a microsecond TimestampType here with
+    exact integer division (``ts div 1000`` — `/` would round-trip through
+    double and lose precision on int64 nanos).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:
     """Load every fixture table from ``sf_dir``; optionally register temp views."""
     tables: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = read_table(spark, sf_dir, name)
         tables[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
