@@ -1,0 +1,140 @@
+"""Container/command executor for the pipe operators.
+
+Two backends with identical command semantics (``sh -c <command>`` with the
+input/output mounts visible at their mount paths — DockerHelper.scala:104):
+
+* ``subprocess`` (default, CI-safe): runs ``sh -c`` on the host. The bind
+  mount is emulated by substituting each container mount path with its host
+  temp path in the command string (the subprocess equivalent of a bind
+  mount). Matches the reference's ``sh -c`` entrypoint without needing a
+  Docker daemon — the same split the reference uses for its CI-excluded
+  Docker tests (pom.xml:162-169).
+* ``docker``: real ``docker run`` with ``-v host:mount`` binds, pull-once
+  image caching (DockerHelper.scala:80-89), ``sh -c`` entrypoint
+  (DockerHelper.scala:103-108), stdout/stderr forwarded to logs, and a
+  non-zero exit raising so Spark retries the task
+  (DockerHelper.scala:132-135). ``DOCKER_HOST``/TLS env vars are honored by
+  the docker CLI itself (DockerHelper.scala:23-33 reads the same vars).
+
+Backend selection: explicit argument > ``MARE_SPARK_BACKEND`` env > ``subprocess``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import subprocess
+import time
+
+log = logging.getLogger(__name__)
+
+# Pull-once cache, per python worker process (DockerHelper.scala:80-89 pulls
+# only when the image is absent locally).
+_pulled_images: set[str] = set()
+
+
+class ContainerRunError(RuntimeError):
+    """Non-zero exit from the piped command → Spark task failure → retry."""
+
+
+def normalize_image_name(image: str) -> str:
+    """Append ``:latest`` when no tag is given (DockerHelper.scala:51-64)."""
+    last = image.rsplit("/", 1)[-1]
+    return image if ":" in last else image + ":latest"
+
+
+def resolve_backend(backend: str | None = None) -> str:
+    backend = backend or os.environ.get("MARE_SPARK_BACKEND", "subprocess")
+    if backend == "auto":
+        backend = "docker" if docker_available() else "subprocess"
+    if backend not in ("subprocess", "docker"):
+        raise ValueError(f"unknown backend: {backend}")
+    return backend
+
+
+def docker_available() -> bool:
+    if shutil.which("docker") is None:
+        return False
+    try:
+        r = subprocess.run(
+            ["docker", "info"], capture_output=True, timeout=10, check=False
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def run_container(
+    image: str,
+    command: str,
+    binds: list[tuple[str, str]],
+    *,
+    force_pull: bool = False,
+    backend: str | None = None,
+) -> None:
+    """Run ``sh -c command`` with each ``(host_path, mount_path)`` bind.
+
+    Raises :class:`ContainerRunError` on non-zero exit (reference throws at
+    DockerHelper.scala:132-135 so Spark's normal task retry kicks in).
+    """
+    backend = resolve_backend(backend)
+    t0 = time.monotonic()
+    if backend == "subprocess":
+        _run_subprocess(command, binds)
+    else:
+        _run_docker(image, command, binds, force_pull)
+    log.info(
+        "pipe command took %d ms (backend=%s)",
+        int((time.monotonic() - t0) * 1000),
+        backend,
+    )  # per-run wall-time parity with DockerHelper.scala:128-129
+
+
+def _run_subprocess(command: str, binds: list[tuple[str, str]]) -> None:
+    # Substitute longest mount paths first so '/out2' is never clobbered by
+    # a '/out' replacement.
+    cmd = command
+    for host, mount in sorted(binds, key=lambda b: -len(b[1])):
+        cmd = cmd.replace(mount, host)
+    r = subprocess.run(["sh", "-c", cmd], capture_output=True, text=True, check=False)
+    if r.stdout:
+        log.info("pipe stdout: %s", r.stdout[-4000:])
+    if r.stderr:
+        log.info("pipe stderr: %s", r.stderr[-4000:])
+    if r.returncode != 0:
+        raise ContainerRunError(
+            f"command exited with code {r.returncode}: {command!r}\n{r.stderr[-4000:]}"
+        )
+
+
+def _image_present(image: str) -> bool:
+    r = subprocess.run(
+        ["docker", "image", "inspect", image], capture_output=True, check=False
+    )
+    return r.returncode == 0
+
+
+def _run_docker(
+    image: str, command: str, binds: list[tuple[str, str]], force_pull: bool
+) -> None:
+    image = normalize_image_name(image)
+    if force_pull or (image not in _pulled_images and not _image_present(image)):
+        r = subprocess.run(["docker", "pull", image], capture_output=True, text=True, check=False)
+        if r.returncode != 0:
+            raise ContainerRunError(f"docker pull {image} failed: {r.stderr[-2000:]}")
+    _pulled_images.add(image)
+
+    args = ["docker", "run", "--rm"]
+    for host, mount in binds:
+        args += ["-v", f"{os.path.abspath(host)}:{mount}"]
+    args += ["--entrypoint", "sh", image, "-c", command]
+    r = subprocess.run(args, capture_output=True, text=True, check=False)
+    if r.stdout:
+        log.info("container stdout: %s", r.stdout[-4000:])
+    if r.stderr:
+        log.info("container stderr: %s", r.stderr[-4000:])
+    if r.returncode != 0:
+        raise ContainerRunError(
+            f"container exited with code {r.returncode}: {command!r}\n{r.stderr[-4000:]}"
+        )

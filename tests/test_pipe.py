@@ -1,0 +1,200 @@
+"""Container-pipeline differential + structural tests, porting the
+reference's test strategy (MaReTest.scala) to the DataFrame engine:
+
+* differential GC-count vs native Spark at reduce depths 2..4
+  (MaReTest.scala:35-66, sweep at :40)
+* codec round-trip / type-switch chain BinaryFiles → WholeTextFiles →
+  TextFile (MaReTest.scala:150-188)
+* custom record delimiter (VirtualScreeningTest.scala:30,36-37)
+* repartition_by structural parity check (MaReTest.scala:305-324)
+* collect_reduce local sink (MaReTest.scala:190-221)
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mare_spark.codecs import BinaryFiles, TextFile, WholeTextFiles
+from mare_spark.dataset import MaRe
+
+
+def _dna_lines(n=200, seed=7):
+    rng = random.Random(seed)
+    lines = []
+    for i in range(n):
+        if i % 5 == 0:
+            lines.append(f">random sequence {i} consisting of bases")
+        else:
+            lines.append("".join(rng.choice("atgc") for _ in range(60)))
+    return lines
+
+
+@pytest.fixture(scope="module")
+def dna_df(spark):
+    return spark.createDataFrame(
+        [(l,) for l in _dna_lines()], "value string"
+    ).repartition(5)
+
+
+def _native_gc_count(df):
+    # native-Spark oracle, mirrors MaReTest.scala:19-26
+    return (
+        df.select(
+            (
+                F.length("value") - F.length(F.regexp_replace("value", "[gc]", ""))
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+
+
+@pytest.mark.parametrize("depth", [2, 3, 4])
+def test_gc_count_differential(spark, dna_df, depth):
+    expected = _native_gc_count(dna_df)
+    result = (
+        MaRe(dna_df)
+        .map(
+            input_mount=TextFile("/dna"),
+            output_mount=TextFile("/count"),
+            image="busybox:1",
+            command="grep -o '[gc]' /dna | wc -l > /count",
+        )
+        .reduce(
+            input_mount=TextFile("/counts"),
+            output_mount=TextFile("/sum"),
+            image="busybox:1",
+            command="awk '{ s += $1 } END { print s }' /counts > /sum",
+            depth=depth,
+        )
+    )
+    rows = result.df.collect()
+    assert len(rows) == 1
+    assert int(rows[0].value) == expected
+
+
+def test_type_switch_chain(spark):
+    """BinaryFiles → WholeTextFiles → TextFile chain with gzip payloads
+    (MaReTest.scala:150-188)."""
+    files = [(f"dna_{i}.txt.gz", gzip.compress(f"acgt\nggcc_{i}\n".encode())) for i in range(3)]
+    df = spark.createDataFrame(files, "path string, content binary").repartition(3)
+
+    out = (
+        MaRe(df)
+        .map(
+            input_mount=BinaryFiles("/zipped"),
+            output_mount=WholeTextFiles("/unzipped"),
+            image="busybox:1",
+            command=(
+                "for f in /zipped/*.gz; do [ -e \"$f\" ] || continue; "
+                "gunzip -c $f > /unzipped/$(basename $f .gz); done"
+            ),
+        )
+        .map(
+            input_mount=WholeTextFiles("/plain"),
+            output_mount=TextFile("/lines"),
+            image="busybox:1",
+            command="find /plain -type f -exec cat {} + > /lines",
+        )
+    )
+    lines = sorted(r.value for r in out.df.collect())
+    # Empty partitions yield one "" record each (reference parity: an empty
+    # TextFile output reads as [""], MountPoint.scala:88-90 + Java split).
+    non_empty = [l for l in lines if l]
+    assert len(non_empty) == 6
+    assert "acgt" in non_empty
+    assert any(l.startswith("ggcc_") for l in non_empty)
+
+
+def test_custom_record_delimiter_roundtrip(tmp_path):
+    """SDF-style multi-line records with '\\n$$$$\\n' delimiter
+    (VirtualScreeningTest.scala:36-37): write appends the delimiter after
+    every record; read splits and drops trailing empties."""
+    mp = TextFile("/sdf", record_delimiter="\n$$$$\n")
+    records = ["mol1\nline2\nscore:9", "mol2\nline2\nscore:3"]
+    p = str(tmp_path / "f.sdf")
+    mp.write(records, p)
+    raw = open(p).read()
+    assert raw == "mol1\nline2\nscore:9\n$$$$\nmol2\nline2\nscore:3\n$$$$\n"
+    assert mp.read(p) == records
+
+
+def test_textfile_empty_file_yields_one_empty_record(tmp_path):
+    """Java ''.split(x) == [''] parity (MountPoint.scala:88-90)."""
+    mp = TextFile("/t")
+    p = str(tmp_path / "empty")
+    mp.create_empty(p)
+    assert mp.read(p) == [""]
+
+
+def test_wholetextfiles_basename_keys(tmp_path):
+    """Keys become basenames after one hop (MountPoint.scala:119,139)."""
+    mp = WholeTextFiles("/w")
+    d = str(tmp_path / "d")
+    mp.write([("/deep/nested/a.txt", "A"), ("b.txt", "B")], d)
+    assert mp.read(d) == [("a.txt", "A"), ("b.txt", "B")]
+
+
+def test_repartition_by_colocates_keys(spark):
+    """Expression path: equal keys always co-locate (hash partitioning)."""
+    df = spark.range(1, 101).select(F.col("id").alias("n"))
+    m = MaRe(df).repartition_by(F.col("n") % 2, 2)
+    parts = m.df.rdd.glom().map(lambda rows: {r.n % 2 for r in rows}).collect()
+    assert len(parts) == 2
+    # each parity class appears in exactly one partition
+    for parity in (0, 1):
+        assert sum(1 for keys in parts if parity in keys) == 1
+
+
+def test_repartition_by_callable_parity(spark):
+    """Callable path mirrors the reference HashPartitioner exactly: evens in
+    one partition, odds in the other (MaReTest.scala:305-324)."""
+    df = spark.range(1, 101).select(F.col("id").alias("n"))
+    m = MaRe(df).repartition_by(lambda row: row["n"] % 2, 2)
+    parts = m.df.rdd.glom().map(lambda rows: sorted(r.n for r in rows)).collect()
+    assert len(parts) == 2
+    assert all(n % 2 == 0 for n in parts[0])
+    assert all(n % 2 == 1 for n in parts[1])
+
+
+def test_reduce_rejects_depth_below_2(spark, dna_df):
+    with pytest.raises(ValueError):
+        MaRe(dna_df).reduce(
+            TextFile("/i"), TextFile("/o"), "busybox:1", "cat /i > /o", depth=1
+        )
+
+
+def test_collect_reduce_local_sink(spark, tmp_path):
+    """collectReduce: partitions pulled one at a time, single local command,
+    output left at local_out_path (MaRe.scala:194-241)."""
+    df = spark.createDataFrame([(str(i),) for i in range(1, 11)], "value string").repartition(3)
+    out = str(tmp_path / "total.txt")
+    MaRe(df).collect_reduce(
+        input_mount=TextFile("/nums"),
+        output_mount=TextFile("/total"),
+        image="busybox:1",
+        command="awk '{ s += $1 } END { print s }' /nums > /total",
+        local_out_path=out,
+    )
+    assert os.path.exists(out)
+    assert open(out).read().strip() == "55"
+
+
+def test_pipe_failure_raises(spark, dna_df):
+    """Non-zero exit propagates → Spark task failure (DockerHelper.scala:132-135)."""
+    from py4j.protocol import Py4JJavaError
+
+    m = MaRe(dna_df).map(
+        input_mount=TextFile("/i"),
+        output_mount=TextFile("/o"),
+        image="busybox:1",
+        command="exit 7",
+    )
+    with pytest.raises(Exception) as ei:
+        m.df.collect()
+    assert "code 7" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
