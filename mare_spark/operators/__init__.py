@@ -1,0 +1,29 @@
+"""LLM-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal) — the scale-path extensions beyond the reference's surface."""
+
+from mare_spark.operators.dedup import (
+    exact_dedup,
+    embedding_cosine_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from mare_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from mare_spark.operators.text import (
+    language_id,
+    quality_stats,
+    text_fingerprint,
+)
+
+__all__ = [
+    "exact_dedup",
+    "embedding_cosine_pairs",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "ann_lsh_topk",
+    "brute_force_topk",
+    "language_id",
+    "quality_stats",
+    "text_fingerprint",
+]

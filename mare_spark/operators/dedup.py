@@ -1,0 +1,366 @@
+"""Deduplication operators for large text corpora.
+
+Four tiers, all shuffle-disciplined for the 100 TB case:
+
+* :func:`exact_dedup` — hash-groupBy on a normalized digest. One shuffle on
+  the digest; no row ever meets a non-identical row.
+* :func:`ngram_jaccard_pairs` — exact Jaccard over word n-gram shingles via
+  an inverted-index self-join (explode → join on shingle → count). Cost is
+  bounded by shingle-bucket sizes, not |corpus|²; a frequency cap drops
+  stop-shingles that would create quadratic buckets.
+* :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH. The scale
+  path: candidate generation touches only same-band-bucket pairs; signature
+  math is pure JVM expression code (xxhash64 + universal hashing), no UDF.
+* :func:`simhash_pairs` — 64-bit SimHash with chunk-banding for candidate
+  generation + popcount verify (Hamming ≤ k).
+* :func:`embedding_cosine_pairs` — near-dup by embedding cosine; brute
+  self-join above a threshold (exact, for modest N) — the LSH-bucketed scale
+  variant lives in :mod:`mare_spark.operators.similarity`.
+
+ANSI-mode note (Spark 4 default): all hash arithmetic is constructed to fit
+in 63 bits (31-bit hashes × 31-bit multipliers + mod 2^61-1), so no overflow
+errors and no need to disable ANSI.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61 - 1: (a < 2^31) * (h < 2^31) + b stays < 2^63.
+_MERSENNE = (1 << 61) - 1
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form shared by every dedup tier (and the SQL oracles):
+    lowercase, trim, collapse whitespace runs."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative of every exact (normalized) duplicate
+    group. Returns (id, digest, group size).
+
+    Scale: one shuffle on the 128-bit digest (uniform keys — no skew);
+    partial aggregation map-side. At 100 TB this is the cheapest possible
+    exact dedup: no text comparison ever happens, only digest equality.
+    """
+    digest = F.md5(normalize_text(F.col(text_col))).alias("digest")
+    return (
+        df.select(F.col(id_col), digest)
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .select(id_col, "digest", "n_copies")
+    )
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (JVM-side:
+    split → sequence → transform → array_distinct; no UDF)."""
+    words = F.split(normalize_text(text_col), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted-index self-join.
+
+    Plan: explode shingles → (optionally drop shingles shared by more than
+    ``max_shingle_freq`` docs — they generate quadratic candidate blowup and
+    carry no discriminative signal) → self-join on shingle → count common
+    shingles per pair → Jaccard = common / (|a| + |b| - common).
+
+    Scale: the join key is the shingle, so work is Σ bucket², bounded by the
+    frequency cap — never |corpus|². This is also precisely the candidate
+    set: pairs sharing zero shingles are never materialized.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+
+    inv = base.select("doc", "n_shingles", F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("shingle").agg(F.count("*").alias("df_freq"))
+        inv = inv.join(
+            freq.filter(F.col("df_freq") <= max_shingle_freq).select("shingle"),
+            "shingle",
+        )
+
+    a = inv.select(
+        F.col("shingle"),
+        F.col("doc").alias("doc_a"),
+        F.col("n_shingles").alias("size_a"),
+    )
+    b = inv.select(
+        F.col("shingle"),
+        F.col("doc").alias("doc_b"),
+        F.col("n_shingles").alias("size_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return pairs
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31, 2), rng.randrange(0, 1 << 31))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(
+    text_col: Column, num_perm: int = 32, shingle_n: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature as an ``array<bigint>`` of length ``num_perm``.
+
+    Base shingle hash: 31 high bits of xxhash64 (shiftrightunsigned 33) so
+    ``a*h + b < 2^62`` — ANSI-overflow-safe; per-permutation universal hash
+    ``(a*h + b) mod (2^61-1)``; min over shingles. Pure expression code —
+    whole-stage-codegen, no Python."""
+    shingles = word_shingles(text_col, shingle_n)
+    h31 = F.transform(shingles, lambda s: F.shiftrightunsigned(F.xxhash64(s), 33))
+    sig = [
+        F.array_min(
+            F.transform(h31, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE))
+        )
+        for a, b in _perm_coeffs(num_perm, seed)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified with exact
+    Jaccard over the shingle sets.
+
+    Plan (the standard scale recipe):
+      1. signature: ``num_perm`` minhashes per doc (map-only).
+      2. banding: split into ``bands`` rows-per-band groups, hash each band,
+         posexplode → (band_idx, band_hash) — docs agreeing on ANY band
+         become candidates.
+      3. bucket self-join on (band_idx, band_hash) with id< id — only
+         same-bucket pairs are ever compared (never a cross join).
+      4. verify candidates with exact Jaccard and filter by ``threshold``.
+
+    At 100 TB: stage 1 is embarrassingly parallel; stage 3's shuffle is on
+    band hashes (uniform); stage 4 touches only the candidate set. Skewed
+    buckets (boilerplate text) are the known hazard — AQE skew-join handles
+    moderate skew; extreme skew calls for dropping over-full buckets.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+
+    base = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.col(text_col).alias("_text"),
+        )
+        .withColumn("sig", minhash_signature(F.col("_text"), num_perm, shingle_n, seed))
+        .withColumn("shingles", word_shingles(F.col("_text"), shingle_n))
+        .drop("_text")
+    )
+
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]))
+            for i in range(bands)
+        ]
+    )
+    buckets = base.select(
+        "doc", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = base.select("doc", "shingles")
+    verified = (
+        cand.join(sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash64(text_col: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash of the normalized text, as a bigint — pure expression
+    code: per-shingle xxhash64, per-bit weighted votes, sign → bit.
+
+    Implementation: for each bit position we sum ``±1`` votes across
+    shingles (aggregate over the shingle array) and set the bit when the sum
+    is positive. 64 aggregate expressions — verbose but codegen'd; no UDF.
+    """
+    shingles = word_shingles(text_col, shingle_n)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    bits = []
+    for i in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        # bit 63 is the sign bit: 1<<63 overflows signed long, use Long.MIN
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        bits.append(F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation (pigeonhole-complete): split the 64-bit hash into
+    ``max_hamming + 1`` chunks — any pair within the Hamming bound must
+    agree on at least one chunk, so an equi-join per chunk finds ALL
+    qualifying pairs without a cross join. Verify with popcount on XOR.
+    Smaller bounds ⇒ fewer/wider chunks ⇒ fewer candidates — the standard
+    recall/cost dial.
+    """
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64")
+    # chunk bit-boundaries: spread 64 bits as evenly as possible
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        simhash64(F.col(text_col), shingle_n).alias("sh"),
+    )
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("sh"), bounds[i]).bitwiseAND(
+            F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+        )
+        for i in range(n_chunks)
+    ]
+    chunks = base.select(
+        "doc",
+        "sh",
+        F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.sh").alias("sh_a"),
+            F.col("y.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float array columns, computed in double
+    precision (matches the SQL oracle's explicit-double formula)."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, exact (self-join).
+
+    This is the *exact* tier; it normalizes each vector once, then joins.
+    For corpus-scale N use :func:`mare_spark.operators.similarity.ann_lsh_topk`'s
+    hyperplane bucketing to restrict the pair space first.
+    """
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    a = base.withColumnsRenamed({"vid": "id_a", "v": "v_a"})
+    b = base.withColumnsRenamed({"vid": "id_b", "v": "v_b"})
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Everything here is JVM expression code (split / regexp / array functions) —
+no Python in the row path, so these run at scan speed and compose with
+predicate pushdown (e.g. ``quality_stats(df).filter("quality >= 0.5")``
+prunes before any downstream shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mare_spark.operators.dedup import normalize_text
+
+# Marker stopwords per language for the n-gram/stopword-overlap heuristic.
+# Deliberately tiny: language ID at corpus scale is a scan-side heuristic,
+# not a model. Deterministic and cheap beats accurate and slow for routing;
+# route ambiguous docs to a real classifier downstream.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize_text(text_col), " ")
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality signals + a composite score.
+
+    Signals (all scan-side):
+      * n_tokens / n_chars — length gates
+      * avg_token_len — gibberish / boilerplate indicator
+      * punct_ratio — non-alphanumeric density
+      * stopword_ratio — natural-language-ness
+      * quality — weighted composite in [0, 1]
+    """
+    t = tokens(F.col(text_col))
+    n_tokens = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(t, sw))  # distinct-marker hits
+    stop_hits = F.size(F.filter(t, lambda w: F.array_contains(sw, w)))
+
+    # raw ratios feed the composite; rounding happens only at output
+    punct_ratio_raw = n_punct / F.greatest(n_chars, F.lit(1))
+    stopword_ratio_raw = stop_hits / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = F.round(punct_ratio_raw, 6)
+    stopword_ratio = F.round(stopword_ratio_raw, 6)
+    avg_token_len = F.round(
+        (F.length(F.regexp_replace(normalize_text(F.col(text_col)), " ", "")))
+        / F.greatest(n_tokens, F.lit(1)),
+        6,
+    )
+    # composite: reward length (saturating) + stopword presence, punish punct
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    quality = F.round(
+        F.greatest(
+            F.least(
+                0.5 * length_score + 0.5 * F.least(stopword_ratio_raw * 5, F.lit(1.0))
+                - punct_ratio_raw,
+                F.lit(1.0),
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        n_stop.alias("n_marker_words"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: distinct-marker-word overlap per language;
+    highest count wins (ties broken by language code order); 'und'
+    (undetermined) when nothing matches."""
+    t = tokens(F.col(text_col))
+    scores = [
+        F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in ws]))).alias(
+            f"score_{lang}"
+        )
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    # reversed so that earlier language codes win ties
+    for l in reversed(langs):
+        pred = F.when((F.col(f"score_{l}") == best) & (best > 0), l).otherwise(pred)
+    return scored.select(
+        id_col,
+        pred.alias("lang_pred"),
+        *[F.col(f"score_{l}") for l in langs],
+    )
+
+
+def text_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprints:
+
+    * ``fp_md5`` — order-sensitive content fingerprint (md5 of normalized
+      text) for exact identity.
+    * ``fp_sorted`` — bag-of-words fingerprint (md5 of the sorted distinct
+      token list): invariant to word order — catches shuffled boilerplate.
+    """
+    t = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("fp_md5"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias("fp_sorted"),
+    )

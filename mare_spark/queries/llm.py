@@ -1,0 +1,273 @@
+"""LLM-data-pipeline queries (SURVEY §2B LLM family): dedup tiers,
+similarity search, text analysis, multimodal plumbing — over the
+``documents`` / ``embeddings`` fixtures, oracle-checked where the operator
+is SQL-expressible (MinHash/SimHash/ANN are checked differentially in
+pytest instead: their oracle is the exact-tier operator)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mare_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from mare_spark.operators.multimodal import attach_binary_payload, decode_features
+from mare_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from mare_spark.operators.text import language_id, quality_stats, text_fingerprint
+from mare_spark.registry import register
+from mare_spark.tables import read_table
+
+# Shared normalized-text SQL fragment (must mirror operators.dedup.normalize_text)
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WORDS = f"string_split({_NORM}, ' ')"
+# 3-gram shingles over words, 1-based inclusive slices (duckdb list semantics)
+_SHINGLES3 = (
+    f"list_distinct(list_transform(range(1, greatest(len({_WORDS}) - 2, 0) + 1), "
+    f"i -> array_to_string(({_WORDS})[i:i+2], ' ')))"
+)
+
+
+@register(
+    "dedup_exact",
+    category="llm",
+    bench=True,
+    oracle=f"""
+    SELECT min(doc_id) AS doc_id, md5({_NORM}) AS digest, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5({_NORM})
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text digest; min-id representative."""
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    category="llm",
+    bench=True,
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES3} AS sh FROM documents
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, round(common / (na + nb - common), 6) AS jaccard
+    FROM pairs
+    WHERE common / (na + nb - common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index self-join,
+    never a cross join)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+
+
+@register("dedup_minhash_lsh", category="llm", bench=True, oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (banded candidate generation + exact
+    Jaccard verify). Differential oracle in tests: must recover the
+    exact-tier pairs at the same threshold (LSH recall check)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=32, bands=8, shingle_n=3, threshold=0.8
+    )
+
+
+@register("dedup_simhash", category="llm", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (chunk banding + Hamming verify)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=6, shingle_n=2)
+
+
+@register(
+    "dedup_embedding_cosine",
+    category="llm",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine ≥ 0.4 (exact tier)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The vec_id=0 embedding as the similarity-search probe (one-row
+    driver fetch — the query vector is a scalar input, not data)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+
+_TOPK_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+         / (sqrt(list_sum(list_transform(v, x -> x*x)))
+            * sqrt(list_sum(list_transform(qv, x -> x*x)))), 6) AS cosine
+FROM e, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("sim_topk_cosine", category="llm", bench=True, oracle=_TOPK_ORACLE)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine against the vec_id=0 probe — brute-force scan +
+    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+@register("sim_ann_lsh", category="llm", oracle=None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via hyperplane LSH (candidates = signatures within
+    Hamming radius of the probe's signature). Recall vs the exact tier is
+    asserted in tests."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(
+        emb, _query_vector(spark, sf_dir), k=10, num_planes=12, hamming_radius=4
+    )
+
+
+@register(
+    "text_quality_stats",
+    category="llm",
+    bench=True,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_WORDS} AS words,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, words, n_chars, n_punct,
+             len(words) AS n_tokens,
+             len(list_filter(words, w -> list_contains(
+               ['a','and','das','de','der','des','die','ein','el','es','est',
+                'et','is','ist','la','le','les','of','que','the','to','und','y'],
+               w))) AS stop_hits,
+             len(list_intersect(words,
+               ['a','and','das','de','der','des','die','ein','el','es','est',
+                'et','is','ist','la','le','les','of','que','the','to','und','y'])) AS n_marker,
+             length(replace(array_to_string(words, ' '), ' ', '')) AS alpha_chars
+      FROM t
+    )
+    SELECT doc_id,
+           n_tokens,
+           n_chars,
+           round(alpha_chars / greatest(n_tokens, 1), 6)  AS avg_token_len,
+           round(n_punct / greatest(n_chars, 1), 6)       AS punct_ratio,
+           round(stop_hits / greatest(n_tokens, 1), 6)    AS stopword_ratio,
+           n_marker                                       AS n_marker_words,
+           round(greatest(least(
+             0.5 * least(n_tokens / 100.0, 1.0)
+             + 0.5 * least((stop_hits / greatest(n_tokens, 1)) * 5, 1.0)
+             - n_punct / greatest(n_chars, 1), 1.0), 0.0), 6) AS quality
+    FROM s
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (token/char counts, punct + stopword
+    ratios, composite score) — all scan-side expression code."""
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_stats(docs, "text", "doc_id")
+
+
+@register(
+    "text_lang_id",
+    category="llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        len(list_intersect(words, ['the','a','of','and','to','is']))    AS score_en,
+        len(list_intersect(words, ['el','la','de','que','y','es']))     AS score_es,
+        len(list_intersect(words, ['der','die','und','das','ist','ein'])) AS score_de,
+        len(list_intersect(words, ['le','la','les','et','des','est']))  AS score_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE
+             WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+             WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+             WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+             WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+             ELSE 'fr'
+           END AS lang_pred,
+           score_de, score_en, score_es, score_fr
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (deterministic scan-side heuristic)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return language_id(docs, "text", "doc_id")
+
+
+@register(
+    "text_fingerprint",
+    category="llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS fp_md5,
+           md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' '))
+             AS fp_sorted
+    FROM t
+    """,
+)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + bag-of-words fingerprints (md5)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return text_fingerprint(docs, "text", "doc_id")
+
+
+@register("multimodal_decode", category="llm", oracle=None)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct + Arrow-batched feature decode
+    (deterministic fake decoder; real codecs are stubbed — see
+    operators.multimodal). Structural/determinism checks in tests."""
+    docs = read_table(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs, "text", "doc_id")
+    return decode_features(mm, "payload", "doc_id", decoder="fake")

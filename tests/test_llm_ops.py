@@ -1,0 +1,113 @@
+"""Differential + structural tests for the LLM-pipeline operators whose
+oracle is another tier of the same operator (not SQL):
+
+* MinHash-LSH pairs vs exact n-gram Jaccard pairs (recall/precision)
+* SimHash pairs: symmetric, bounded Hamming, and catches the seeded near-dups
+* ANN LSH top-k recall vs brute-force top-k
+* multimodal decode: schema, determinism, stub behavior
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mare_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from mare_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_binary_payload,
+    decode_features,
+)
+from mare_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from mare_spark.tables import read_table
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF_ORACLE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_ORACLE, "embeddings").cache()
+
+
+def _pair_set(df):
+    return {(r[0], r[1]) for r in df.collect()}
+
+
+def test_minhash_lsh_recovers_exact_pairs(docs):
+    exact = _pair_set(ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8))
+    lsh = _pair_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", num_perm=32, bands=8, threshold=0.8)
+    )
+    assert exact, "fixture should contain seeded near-dups"
+    # LSH verifies candidates with exact Jaccard → no false positives;
+    # banding with 8 bands of 4 rows at j>=0.8 → P(miss) ≈ (1-0.8^4)^8 < 3%,
+    # and the seeded pairs are all j>=0.95 → P(miss) < 1e-4.
+    assert lsh <= exact
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.95, f"LSH recall too low: {recall}"
+
+
+def test_simhash_finds_seeded_near_dups(docs):
+    exact = _pair_set(ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.9))
+    sim = simhash_pairs(docs, "text", "doc_id", max_hamming=6, shingle_n=2)
+    sim_set = _pair_set(sim.select("doc_a", "doc_b"))
+    assert exact
+    overlap = len(sim_set & exact) / len(exact)
+    assert overlap >= 0.8, f"simhash missed too many seeded near-dups: {overlap}"
+    # hamming column is within the bound and pairs are canonical (a < b)
+    rows = sim.collect()
+    assert all(r.hamming <= 6 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_ann_lsh_recall_vs_brute_force(emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact_ids = [r.vec_id for r in brute_force_topk(emb, q, k=10).collect()]
+    ann_ids = [
+        r.vec_id
+        for r in ann_lsh_topk(emb, q, k=10, num_planes=12, hamming_radius=4).collect()
+    ]
+    recall = len(set(exact_ids) & set(ann_ids)) / 10
+    assert recall >= 0.5, f"ANN recall too low: {recall} (exact={exact_ids}, ann={ann_ids})"
+    # the probe itself must be the top hit in both
+    assert exact_ids[0] == 0 and ann_ids[0] == 0
+
+
+def test_ann_radius_full_equals_exact(emb):
+    """radius = num_planes ⇒ no candidate pruning ⇒ identical to exact."""
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [(r.vec_id, r.cosine) for r in brute_force_topk(emb, q, k=5).collect()]
+    full = [
+        (r.vec_id, r.cosine)
+        for r in ann_lsh_topk(emb, q, k=5, num_planes=8, hamming_radius=8).collect()
+    ]
+    assert exact == full
+
+
+def test_multimodal_decode_schema_and_determinism(docs):
+    mm = attach_binary_payload(docs, "text", "doc_id")
+    assert dict(mm.dtypes)["payload"] == "binary"
+    assert dict(mm.dtypes)["meta"].startswith("struct<n_bytes")
+
+    out1 = decode_features(mm, "payload", "doc_id").orderBy("doc_id").limit(5).collect()
+    out2 = decode_features(mm, "payload", "doc_id").orderBy("doc_id").limit(5).collect()
+    assert out1 == out2  # deterministic across runs
+    assert all(len(r.features) == FEATURE_DIM for r in out1)
+    assert all(0.0 <= x < 1.0 for r in out1 for x in r.features)
+    # n_bytes agrees with the source text length (utf-8, ascii fixture)
+    src = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    assert all(r.n_bytes == src[r.doc_id] for r in out1)
+
+
+def test_multimodal_real_decoders_are_stubbed(docs):
+    mm = attach_binary_payload(docs, "text", "doc_id")
+    with pytest.raises(NotImplementedError):
+        decode_features(mm, "payload", "doc_id", decoder="image")
