@@ -7,4 +7,4 @@ Submodules group SURVEY.md §2B families:
 * ``streaming``   — batch-expressible views of the streaming operators
 """
 
-from mare_spark.queries import llm, pipe, relational  # noqa: F401
+from mare_spark.queries import llm, pipe, relational, streaming_batch  # noqa: F401

@@ -1,0 +1,117 @@
+"""Batch-expressible views of the streaming operators (SURVEY §2B streaming
+row) — the SAME windowing expressions the streaming module uses, run in
+batch mode so the DuckDB oracle can check them. Streaming execution of these
+operators (watermarks, late-data drop, incremental state) is verified by the
+batch-equivalence tests in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mare_spark.registry import register
+from mare_spark.tables import read_table
+
+
+@register(
+    "events_tumbling_window",
+    category="streaming",
+    bench=True,
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute counts/sums per event_type (batch view of
+    streaming.tumbling_counts)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+@register(
+    "events_sliding_window",
+    category="streaming",
+    oracle="""
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b0,
+             event_type, value
+      FROM events
+    ),
+    assigned AS (
+      SELECT b0 AS window_start, event_type, value FROM shifted
+      UNION ALL
+      SELECT b0 - INTERVAL '5 minutes' AS window_start, event_type, value FROM shifted
+    )
+    SELECT window_start, event_type,
+           round(avg(value), 4) AS avg_value, count(*) AS n
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute/5-minute average value per event_type. Each event
+    belongs to exactly two windows (window/slide = 2) — the oracle assigns
+    them explicitly via the two covering bucket starts."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value", "n")
+    )
+
+
+@register(
+    "events_session_window",
+    category="streaming",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '1 hour'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT min(ts)                         AS session_start,
+           max(ts) + INTERVAL '1 hour'     AS session_end,
+           user_id,
+           count(*)                        AS n_events,
+           round(sum(value), 2)            AS total
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (1-hour gap; end = last event + gap) —
+    batch view of streaming.session_aggregate. The oracle derives sessions
+    with the classic lag/gap-cumsum construction."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )

@@ -1,0 +1,164 @@
+"""Structured-Streaming operators over the events stream.
+
+The reference has no streaming counterpart (its whole surface is batch
+container pipelines) — this family is part of the engine's declared
+capability extension (SURVEY §2B streaming row). Semantics come from Spark's
+Structured Streaming model; correctness is established by batch-equivalence
+(the same windowed aggregation expressed in batch mode is oracle-checked
+against DuckDB) plus late-data/watermark behavioral tests.
+
+Scale posture: every operator here is incremental state — windows + a
+watermark bound state size; ``session_window`` state is per active session;
+stateful dedup keeps keys only within the watermark horizon
+(``dropDuplicatesWithinWatermark``). At 100 TB/day the watermark IS the
+memory bound: state never outlives ``watermark + window``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA_RAW = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over an events landing directory (parquet files).
+
+    The fixture's ``ts`` is parquet TIMESTAMP(NANOS) → read as long
+    (``nanosAsLong``, see mare_spark.tables) and converted to a microsecond
+    timestamp with exact integer division.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window average value per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value", "n")
+    )
+
+
+def session_aggregate(
+    events: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge; session
+    end = last event + gap (Spark session_window semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
+
+
+def stateful_dedup(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Drop duplicate event_ids arriving within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — bounded state, the production-correct dedup for
+    at-least-once sources (plain ``dropDuplicates`` on a stream grows state
+    forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+_RUNNING_SCHEMA = "user_id long, n_events long, total double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _running_totals_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total": [round(total, 2)]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value total,
+    emitted once per micro-batch (applyInPandasWithState, update mode)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query to completion synchronously against the
+    in-memory sink (test/bench harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

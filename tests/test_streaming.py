@@ -1,0 +1,178 @@
+"""Streaming tests: batch-equivalence (streaming result == batch result on
+the same data), watermark late-data drop, stateful dedup, and the custom
+applyInPandasWithState operator."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mare_spark import streaming as S
+from mare_spark.tables import read_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """A streaming landing dir seeded with the sf0.001 events file."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "events_0.parquet")
+    return str(d)
+
+
+def _collect_stream(spark, stream_df, mode="append"):
+    name = "t_" + uuid.uuid4().hex[:8]
+    q = S.run_to_memory_sink(stream_df, name, mode)
+    try:
+        return spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        q.stop()
+
+
+def test_tumbling_batch_equivalence(spark, events_dir):
+    stream = S.tumbling_counts(S.read_events_stream(spark, events_dir))
+    # complete mode emits every window, including ones the watermark hasn't
+    # closed yet — required for exact batch-equivalence comparison
+    got = _collect_stream(spark, stream, mode="complete")
+
+    batch = read_table(spark, SF_SMOKE, "events")
+    want = (
+        batch.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_like=True)
+
+
+def test_session_batch_equivalence(spark, events_dir):
+    stream = S.session_aggregate(S.read_events_stream(spark, events_dir), gap="1 hour")
+    got = _collect_stream(spark, stream, mode="complete")
+    want = (
+        read_table(spark, SF_SMOKE, "events")
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+        .toPandas()
+    )
+    key = ["session_start", "user_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_like=True,
+    )
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event older than watermark + window, arriving in a later
+    micro-batch after the watermark advanced, must be dropped."""
+    d = tmp_path / "landing"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        # ts as ns-longs to match the fixture's raw schema
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("int64")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name)
+        )
+        src = [
+            f for f in (tmp_path / "stage" / name).iterdir() if f.suffix == ".parquet"
+        ][0]
+        shutil.copy(src, d / f"{name}.parquet")
+
+    name = "late_" + uuid.uuid4().hex[:6]
+    write_batch(
+        "b1",
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2024-01-01 11:00:00", 1, "view", 1.0, "{}"),  # advances watermark
+        ],
+    )
+    stream = S.tumbling_counts(
+        S.read_events_stream(spark, str(d)), window="5 minutes", watermark="10 minutes"
+    )
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    # a second file arrives with an event far behind the watermark (11:00 - 10min)
+    write_batch("b2", [(3, "2024-01-01 10:00:01", 1, "view", 99.0, "{}")])
+    q.processAllAvailable()
+    # and a third on-time file to flush closable windows
+    write_batch("b3", [(4, "2024-01-01 12:00:00", 1, "view", 1.0, "{}")])
+    q.processAllAvailable()
+    out = spark.sql(f"SELECT * FROM {name}").toPandas()
+    q.stop()
+
+    w1000 = out[out.window_start == pd.Timestamp("2024-01-01 10:00:00")]
+    # the late event (value 99) must NOT be in the 10:00 window
+    assert not w1000.empty
+    assert float(w1000.iloc[0].total) == 1.0
+    assert int(w1000.iloc[0].n) == 1
+
+
+def test_stateful_dedup_within_watermark(spark, tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00:00",
+                    "2024-01-01 10:00:30",  # dup of 1 within watermark
+                    "2024-01-01 10:01:00",
+                    "2024-01-01 10:01:10",  # dup of 2
+                    "2024-01-01 10:02:00",
+                ]
+            ).astype("int64"),
+            "user_id": [1, 1, 2, 2, 3],
+            "event_type": ["view"] * 5,
+            "value": [1.0, 1.0, 2.0, 2.0, 3.0],
+            "props": ["{}"] * 5,
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage")
+    )
+    src = [f for f in (tmp_path / "stage").iterdir() if f.suffix == ".parquet"][0]
+    shutil.copy(src, d / "b1.parquet")
+
+    deduped = S.stateful_dedup(S.read_events_stream(spark, str(d)), watermark="30 minutes")
+    got = _collect_stream(spark, deduped)
+    assert sorted(got.event_id.tolist()) == [1, 2, 3]
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    """applyInPandasWithState custom operator: final per-user totals match
+    the batch aggregate."""
+    stream = S.running_user_totals(S.read_events_stream(spark, events_dir))
+    got = _collect_stream(spark, stream, mode="update")
+    # last emission per user wins (update mode)
+    final = got.groupby("user_id").last().reset_index()
+
+    want = (
+        read_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .toPandas()
+    )
+    key = "user_id"
+    f = final.sort_values(key).reset_index(drop=True)[["user_id", "n_events", "total"]]
+    w = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, w, check_like=True, check_dtype=False)
