@@ -28,9 +28,21 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # Mersenne prime 2^61 - 1: (a < 2^31) * (h < 2^31) + b stays < 2^63.
 _MERSENNE = (1 << 61) - 1
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread expression-heavy per-row work across all cores when the scan
+    produced fewer partitions than the cluster has slots (small files →
+    1 task → single-threaded shingling). No-op when the input is already
+    wide — never adds a shuffle to an at-scale corpus scan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def normalize_text(col: Column) -> Column:
@@ -90,46 +102,56 @@ def ngram_jaccard_pairs(
     frequency cap — never |corpus|². This is also precisely the candidate
     set: pairs sharing zero shingles are never materialized.
     """
-    base = df.select(
+    from pyspark.sql import Window as W
+
+    base = _fan_out(df).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("n_shingles", F.size("shingles"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    inv = base.select("doc", "n_shingles", F.explode("shingles").alias("shingle"))
+    inv = base.select("doc", F.size("shingles").alias("n_sh"),
+                      F.explode("shingles").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(F.count("*").alias("df_freq"))
     if max_shingle_freq is not None:
-        freq = inv.groupBy("shingle").agg(F.count("*").alias("df_freq"))
-        inv = inv.join(
-            freq.filter(F.col("df_freq") <= max_shingle_freq).select("shingle"),
-            "shingle",
-        )
+        freq = freq.filter(F.col("df_freq") <= max_shingle_freq)
+    inv = inv.join(freq, "shingle")
 
-    a = inv.select(
-        F.col("shingle"),
-        F.col("doc").alias("doc_a"),
-        F.col("n_shingles").alias("size_a"),
+    # PPJoin-style prefix filter (exact): under a global shingle order
+    # (rarest first), two sets with Jaccard ≥ t MUST share a shingle within
+    # each one's first |s| - ceil(t*|s|) + 1 entries. Indexing only those
+    # prefixes shrinks the self-join by ~(1-t)² while remaining exact —
+    # the difference between Σ bucket² over all shingles and over rare ones.
+    w = W.partitionBy("doc").orderBy(F.asc("df_freq"), F.asc("shingle"))
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        inv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("shingle", "doc")
     )
-    b = inv.select(
-        F.col("shingle"),
-        F.col("doc").alias("doc_b"),
-        F.col("n_shingles").alias("size_b"),
+
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
     )
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count("*").alias("common"))
+
+    sh = base.select("doc", "shingles")
+    return (
+        cand.join(sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("common")
-                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return pairs
 
 
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -191,24 +213,42 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
 
+    # Materialize (doc, shingles, base-hash array) ONCE. Without this,
+    # CollapseProject inlines the full shingle→hash pipeline into every
+    # permutation's expression (num_perm × recompute) and the plan goes
+    # quadratic in expression size — measured 100×+ slowdown. Each affine
+    # permutation then only traverses the materialized h31 array, and each
+    # permutation appears in exactly one band hash, so the whole signature
+    # is computed exactly once per document. At corpus scale this persist
+    # is the standard "signature table" materialization point (disk-backed
+    # so it spills instead of OOMing).
     base = (
-        df.select(
+        _fan_out(df).select(
             F.col(id_col).alias("doc"),
-            F.col(text_col).alias("_text"),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
         )
-        .withColumn("sig", minhash_signature(F.col("_text"), num_perm, shingle_n, seed))
-        .withColumn("shingles", word_shingles(F.col("_text"), shingle_n))
-        .drop("_text")
+        .withColumn(
+            "h31",
+            F.transform(
+                "shingles", lambda s: F.shiftrightunsigned(F.xxhash64(s), 33)
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    band_hashes = F.array(
-        *[
-            F.xxhash64(F.concat_ws(",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]))
-            for i in range(bands)
+    def _affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)
+
+    coeffs = _perm_coeffs(num_perm, seed)
+    band_cols = []
+    for i in range(bands):
+        mins = [
+            F.array_min(F.transform(F.col("h31"), _affine(a, b)))
+            for a, b in coeffs[i * r : (i + 1) * r]
         ]
-    )
+        band_cols.append(F.xxhash64(F.array(*mins)))
     buckets = base.select(
-        "doc", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+        "doc", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
     )
 
     cand = (
@@ -289,10 +329,33 @@ def simhash_pairs(
         raise ValueError("max_hamming must be < 64")
     # chunk bit-boundaries: spread 64 bits as evenly as possible
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
-    base = df.select(
+    # Stage the shingle hashes once (same CollapseProject blowup as MinHash:
+    # unstaged, the 64 bit-vote aggregates each inline the whole shingle
+    # pipeline). The votes then read a materialized array column.
+    staged = _fan_out(df).select(
         F.col(id_col).alias("doc"),
-        simhash64(F.col(text_col), shingle_n).alias("sh"),
-    )
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("hashes"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    def _vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for i in range(64):
+        vote = F.aggregate(F.col("hashes"), F.lit(0), _vote(i))
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        bits.append(
+            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sh_col = bits[0]
+    for b in bits[1:]:
+        sh_col = sh_col.bitwiseOR(b)
+    base = staged.select("doc", sh_col.alias("sh"))
     chunk_cols = [
         F.shiftrightunsigned(F.col("sh"), bounds[i]).bitwiseAND(
             F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)

@@ -1,0 +1,68 @@
+"""Physical-plan audit helpers — the tooling behind the engine's
+"is this the plan you'd want at 100 TB?" discipline.
+
+Used by tests/test_plans.py to ASSERT (not eyeball) that:
+* filters reach the parquet scan (``PushedFilters``),
+* only referenced columns are read (``ReadSchema``),
+* fixed-size dims join as broadcast-hash, not shuffle,
+* hot expression paths stay inside WholeStageCodegen,
+* top-N queries use TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True when the parquet scan's PushedFilters mentions ``fragment``."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and fragment in line:
+            return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column sets actually read by each scan (column-pruning audit)."""
+    out = []
+    for line in formatted_plan(df).splitlines():
+        if "ReadSchema" in line:
+            cols = line.split("struct<", 1)[-1]
+            out.append([c.split(":")[0] for c in cols.rstrip(">").split(",") if c])
+    return out
+
+
+def count_broadcast_joins(df: DataFrame) -> int:
+    return formatted_plan(df).count("BroadcastHashJoin")
+
+
+def count_shuffle_exchanges(df: DataFrame) -> int:
+    return formatted_plan(df).count("Exchange hashpartitioning") + formatted_plan(
+        df
+    ).count("Exchange rangepartitioning")
+
+
+def uses_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    """Check the EXECUTED plan: under AQE the codegen stages only appear in
+    the final plan, so force materialization of THIS plan first (``count``
+    would execute a different, wrapped plan and leave this one unfinalized).
+    Test-sized inputs only."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n) ' prefixes mark WholeStageCodegen stages in the simple plan string
+    return "WholeStageCodegen" in plan or "*(" in plan

@@ -137,7 +137,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AND c.c_nationkey = s.s_nationkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
     JOIN region r   ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'REGION_0'
+    WHERE r.r_name = 'EUROPE'
       AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n.n_name
@@ -154,7 +154,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)

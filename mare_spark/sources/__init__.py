@@ -1,0 +1,121 @@
+"""Sources & sinks (SURVEY §2B scans/sinks rows).
+
+Thin, typed wrappers over ``spark.read``/``df.write`` — the value is the
+contract each wrapper pins down (schema-required JSON/CSV in production,
+lineSep-aware text, binaryFile for multimodal payloads) plus the
+single-file sink the reference's ``collectReduce`` workflow expects.
+
+The reference's own IO surface is ``sc.textFile`` / ``wholeTextFiles`` /
+``binaryFiles`` + custom Hadoop input formats (MaReTest.scala:38,71,104;
+VirtualScreeningTest.scala:30) — rows 1:1 here as text/binary readers; the
+columnar formats are the engine's relational extension.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan: predicate pushdown + column pruning + partition
+    pruning all apply — the default at-scale source."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan. Pass an explicit schema in production — ``inferSchema``
+    costs a full extra pass over the data."""
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """JSON-lines scan; explicit schema skips inference (and at 100 TB,
+    inference is a full scan you don't want)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    line_sep: str | None = None,
+    whole_text: bool = False,
+) -> DataFrame:
+    """Text scan → ``value: string``, one record per ``line_sep``
+    (reference parity: ``TextFile(recordDelimiter=...)``,
+    MountPoint.scala:60-63 / Hadoop ``textinputformat.record.delimiter``,
+    VirtualScreeningTest.scala:30)."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    if whole_text:
+        reader = reader.option("wholetext", True)
+    return reader.text(path)
+
+
+def read_binary(
+    spark: SparkSession, path: str, path_glob_filter: str | None = None
+) -> DataFrame:
+    """Binary-file scan → (path, modificationTime, length, content) —
+    the multimodal payload source (reference parity: ``sc.binaryFiles``,
+    MaReTest.scala:104-105)."""
+    reader = spark.read.format("binaryFile")
+    if path_glob_filter:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    return reader.load(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink; ``partition_by`` enables partition pruning for readers."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(header=True, **options).csv(path)
+
+
+def write_single_file(df: DataFrame, path: str, fmt: str = "csv", **options) -> str:
+    """Single-file sink: write via one task, then move the part file to
+    ``path``. For driver-sized results only (the distributed sinks above are
+    the at-scale path; this mirrors the reference's collectReduce
+    local-output contract, MaRe.scala:194-241)."""
+    staging = path + ".staging"
+    writer = df.coalesce(1).write.mode("overwrite").options(**options)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    getattr(writer, fmt)(staging)
+    part = glob.glob(os.path.join(staging, f"part-*"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(staging, ignore_errors=True)
+    return path

@@ -1,0 +1,74 @@
+"""Sources & sinks round-trip tests (SURVEY §2B scans/sinks rows)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mare_spark import sources as src
+from mare_spark.tables import read_table
+from tests.conftest import SF_SMOKE
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = read_table(spark, SF_SMOKE, "region")
+    p = str(tmp_path / "region_csv")
+    src.write_csv(df, p)
+    back = src.read_csv(spark, p, schema="r_regionkey int, r_name string")
+    assert sorted(r.r_name for r in back.collect()) == sorted(
+        r.r_name for r in df.collect()
+    )
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = read_table(spark, SF_SMOKE, "nation")
+    p = str(tmp_path / "nation_json")
+    df.write.mode("overwrite").json(p)
+    back = src.read_json(
+        spark, p, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert back.count() == 25
+    assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_text_with_custom_linesep(spark, tmp_path):
+    p = str(tmp_path / "mol.sdf")
+    records = ["mol1\nline2", "mol2\nline2"]
+    with open(p, "w") as f:
+        f.write("\n$$$$\n".join(records) + "\n$$$$\n")
+    df = src.read_text(spark, p, line_sep="\n$$$$\n")
+    vals = [r.value for r in df.collect() if r.value]
+    assert vals == records
+
+
+def test_binary_source(spark, tmp_path):
+    d = tmp_path / "bin"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x00\x01\x02")
+    (d / "b.bin").write_bytes(b"payload")
+    df = src.read_binary(spark, str(d))
+    rows = {os.path.basename(r.path): bytes(r.content) for r in df.collect()}
+    assert rows == {"a.bin": b"\x00\x01\x02", "b.bin": b"payload"}
+    assert dict(df.dtypes)["content"] == "binary"
+
+
+def test_single_file_sink(spark, tmp_path):
+    df = read_table(spark, SF_SMOKE, "region").orderBy("r_regionkey")
+    out = str(tmp_path / "regions.csv")
+    src.write_single_file(df.select("r_regionkey", "r_name"), out, fmt="csv")
+    lines = open(out).read().strip().splitlines()
+    assert lines[0] == "r_regionkey,r_name"
+    assert len(lines) == 6  # header + 5 regions
+
+
+def test_partitioned_parquet_sink_prunes(spark, tmp_path):
+    df = read_table(spark, SF_SMOKE, "orders")
+    p = str(tmp_path / "orders_part")
+    src.write_parquet(
+        df.withColumn("status", F.col("o_orderstatus")), p, partition_by=["status"]
+    )
+    back = src.read_parquet(spark, p).filter(F.col("status") == "F")
+    # partition pruning: only the status=F directory is listed in the scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == df.filter(F.col("o_orderstatus") == "F").count()
