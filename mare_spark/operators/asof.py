@@ -1,0 +1,124 @@
+"""As-of (time-travel) join — an operator Spark lacks natively.
+
+Two implementations, per the engine's preference order (compose built-ins
+first, Pandas only when built-ins can't express it):
+
+* :func:`asof_join` — pure DataFrame composition: union both sides tagged,
+  per-key window ``last(right_value, ignorenulls=True)`` over event time
+  carries the most recent right row forward onto each left row. One shuffle
+  on the key, one local sort — the same cost profile as a sort-merge join,
+  no UDF, arbitrary input sizes.
+* :func:`asof_join_pandas` — ``pd.merge_asof`` per key group via
+  ``applyInPandas`` (cogroup). Simpler to extend with tolerances/nearest
+  semantics, but moves rows through Arrow; the composition version is the
+  default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` group (backward as-of).
+
+    Plan: tag and union the two inputs, hash-partition by ``by``, order by
+    (event time, right-before-left at ties), then for each right column
+    carry the latest non-null value forward with
+    ``last(col, ignorenulls=True)`` over rows UNBOUNDED PRECEDING..CURRENT.
+    Left rows then project their carried values. Ties (equal timestamps)
+    match, mirroring ``pd.merge_asof``/DuckDB ``ASOF JOIN`` (>=) semantics.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, by)]
+
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    # align schemas for the union
+    for c in left.columns:
+        if c not in (by, on):
+            rt = rt.withColumn(c, F.lit(None))
+    for c in right_cols:
+        lt = lt.withColumn(f"{c}{suffix}", F.lit(None))
+
+    unioned = lt.select(rt.columns).unionByName(rt.select(rt.columns))
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_carry_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"_carry_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """``pd.merge_asof`` per key via cogrouped applyInPandas (backward,
+    inclusive) — the slow-path variant kept for tolerance/nearest options."""
+    import pandas as pd
+
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, by)]
+
+    out_fields = (
+        [f"{c}" for c in left.columns] + [f"{c}{suffix}" for c in right_cols]
+    )
+    left_schema = dict(zip(left.columns, [f.dataType.simpleString() for f in left.schema]))
+    right_schema = {
+        f"{c}{suffix}": dict(
+            zip(right.columns, [f.dataType.simpleString() for f in right.schema])
+        )[c]
+        for c in right_cols
+    }
+    schema = ", ".join(
+        [f"{c} {left_schema[c]}" for c in left.columns]
+        + [f"{c} {t}" for c, t in right_schema.items()]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        rpdf = rpdf.sort_values(on, kind="mergesort")[[on] + right_cols].rename(
+            columns={c: f"{c}{suffix}" for c in right_cols}
+        )
+        if rpdf.empty:
+            for c in right_cols:
+                lpdf[f"{c}{suffix}"] = None
+            return lpdf[out_fields]
+        m = pd.merge_asof(lpdf, rpdf, on=on, direction="backward")
+        return m[out_fields]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(lambda l, r: merge(l, r), schema=schema)
+    )

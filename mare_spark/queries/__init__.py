@@ -7,4 +7,10 @@ Submodules group SURVEY.md §2B families:
 * ``streaming``   — batch-expressible views of the streaming operators
 """
 
-from mare_spark.queries import llm, pipe, relational, streaming_batch  # noqa: F401
+from mare_spark.queries import (  # noqa: F401
+    llm,
+    pipe,
+    relational,
+    relational2,
+    streaming_batch,
+)

@@ -1,0 +1,351 @@
+"""Extended relational corpus: more TPC-H-style shapes, the UDF surface,
+as-of join, exact/approx percentiles, unpivot (SURVEY §2B rows not covered
+by queries/relational.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mare_spark.operators.asof import asof_join
+from mare_spark.registry import register
+from mare_spark.tables import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style shapes
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_revenue_change",
+    bench=True,
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-side filter + single aggregate — every predicate
+    pushes to the parquet scan, zero shuffle beyond the final combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q4_priority_with_late_items",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > CAST(o.o_orderdate AS DATE) + 90
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS with a correlated non-equi condition →
+    left-semi join, then aggregate by priority."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate.cast("date"), 90).cast("timestamp")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-08-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: conditional aggregate over a fact-dim join (part is
+    dim-sized → Catalyst broadcasts it)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-08-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "q_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register("q_percentiles_approx", oracle=None)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch) — the 100 TB path: bounded-memory
+    mergeable sketches instead of a full sort per group. Accuracy vs the
+    exact tier asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey % 200 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val
+    FROM lineitem WHERE l_orderkey % 200 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax' AS metric, l_tax AS val
+    FROM lineitem WHERE l_orderkey % 200 = 0
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via the native ``unpivot``/``stack``."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id,
+       p.user_id,
+       p.ts,
+       round(p.value, 2)  AS purchase_value,
+       v.ts               AS view_ts,
+       round(v.value, 2)  AS view_value
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@register("q_asof_join", oracle=_ASOF_ORACLE)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the most recent
+    prior (or simultaneous) view by the same user — pure DataFrame
+    composition (union + per-key window carry-forward), no UDF. Oracle:
+    DuckDB's native ASOF LEFT JOIN."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(purchases, views, on="ts", by="user_id", right_cols=["ts", "value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("purchase_value"),
+        F.col("ts_asof").alias("view_ts"),
+        F.round("value_asof", 2).alias("view_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (SURVEY §2B UDF row) — each kind exercised once, with the
+# same logic expressed in the SQL oracle (deterministic UDFs only).
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.DoubleType())
+def _charge_pudf(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    return price * (1.0 - disc) * (1.0 + tax)
+
+
+@register(
+    "q_udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-vectorized) computing the charge column."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            _charge_pudf(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")),
+            2,
+        ).alias("charge"),
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _weighted_avg_pudf(price: pd.Series, qty: pd.Series) -> float:
+    return float((price * qty).sum() / qty.sum())
+
+
+@register(
+    "q_udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (quantity-weighted mean price)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            _weighted_avg_pudf(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("weighted_avg_price")
+    )
+
+
+@register(
+    "q_apply_in_pandas",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice - min(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+             AS price_vs_cust_min
+    FROM orders
+    """,
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer baseline delta (≡ a window
+    aggregate — the oracle states it relationally). Baseline is the group
+    MIN, not MEAN: min is summation-order-free, so pandas and SQL agree
+    bit-for-bit (a mean differs in the last ulp and can flip rounding)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["price_vs_cust_min"] = (
+            pdf["o_totalprice"] - pdf["o_totalprice"].min()
+        ).round(2)
+        return pdf[["o_custkey", "o_orderkey", "price_vs_cust_min"]]
+
+    return o.groupBy("o_custkey").applyInPandas(
+        center, schema="o_custkey long, o_orderkey long, price_vs_cust_min double"
+    )
+
+
+@register(
+    "q_map_in_pandas",
+    oracle="""
+    SELECT p_partkey, p_name, round(p_retailprice * 1.1, 2) AS price_with_markup
+    FROM part
+    """,
+)
+def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas (table-in/table-out, batch iterator) — the UDTF-shaped
+    entry point the container pipe is built on."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+
+    def add_markup(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "p_partkey": pdf["p_partkey"],
+                    "p_name": pdf["p_name"],
+                    "price_with_markup": (pdf["p_retailprice"] * 1.1).round(2),
+                }
+            )
+
+    return p.mapInPandas(
+        add_markup, schema="p_partkey long, p_name string, price_with_markup double"
+    )
+
+
+@register(
+    "q_udf_python_rowwise",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_acctbal < 0 THEN 'debt'
+                WHEN s_acctbal < 5000 THEN 'ok'
+                ELSE 'rich' END AS bal_class
+    FROM supplier
+    """,
+)
+def q_udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — registered for surface completeness and
+    deliberately used on a dim-sized table only (per-row serde makes this
+    the slow path; the pandas variants above are the production shape)."""
+    s = _t(spark, sf_dir, "supplier")
+
+    @F.udf(T.StringType())
+    def classify(bal: float) -> str:
+        return "debt" if bal < 0 else ("ok" if bal < 5000 else "rich")
+
+    return s.select("s_suppkey", "s_name", classify("s_acctbal").alias("bal_class"))

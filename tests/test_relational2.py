@@ -1,0 +1,54 @@
+"""Differential tests for the extended corpus: approx percentiles vs exact,
+and the two as-of join implementations against each other."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mare_spark.operators.asof import asof_join, asof_join_pandas
+from mare_spark.queries.relational2 import (
+    q_percentiles_approx,
+    q_percentiles_exact,
+)
+from mare_spark.tables import read_table
+from tests.conftest import SF_ORACLE
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    exact = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in q_percentiles_exact(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in q_percentiles_approx(spark, SF_ORACLE).collect()
+    }
+    for flag, (e50, e95) in exact.items():
+        a50, a95 = approx[flag]
+        assert abs(a50 - e50) / e50 < 0.01, (flag, a50, e50)
+        assert abs(a95 - e95) / e95 < 0.01, (flag, a95, e95)
+
+
+def test_asof_composition_equals_pandas_variant(spark):
+    e = read_table(spark, SF_ORACLE, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+
+    a = asof_join(purchases, views, on="ts", by="user_id", right_cols=["value"])
+    b = asof_join_pandas(purchases, views, on="ts", by="user_id", right_cols=["value"])
+
+    ka = sorted((r.event_id, r.value_asof) for r in a.collect())
+    kb = sorted((r.event_id, r.value_asof) for r in b.collect())
+    assert ka == kb
+    # left rows all preserved
+    assert len(ka) == purchases.count()
+
+
+def test_asof_no_prior_right_row_gives_null(spark):
+    left = spark.createDataFrame([(1, 5, "x")], "k int, t int, payload string")
+    right = spark.createDataFrame([(1, 10, 99.0)], "k int, t int, v double")
+    out = asof_join(left, right, on="t", by="k", right_cols=["v"]).collect()
+    assert len(out) == 1
+    assert out[0].v_asof is None
