@@ -56,10 +56,13 @@ def _pipe_partition(
     command: str,
     force_pull: bool,
     backend: str | None,
+    tmp_dir: str | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Executor-side body of ``map``: partition → temp mount → command →
-    output mount → partition (mirrors MaRe.scala:69-96)."""
-    tmp_dir = os.environ.get("TMPDIR", tempfile.gettempdir())
+    output mount → partition (mirrors MaRe.scala:69-96). ``tmp_dir``
+    defaults to the EXECUTOR's $TMPDIR (tmpfs recommended, reference
+    README.md:25) — an explicit value overrides it (tests, shared scratch)."""
+    tmp_dir = tmp_dir or os.environ.get("TMPDIR", tempfile.gettempdir())
     tmp_in = os.path.join(tmp_dir, f"mare_{uuid.uuid4()}")
     tmp_out = os.path.join(tmp_dir, f"mare_{uuid.uuid4()}")
     try:
@@ -91,9 +94,12 @@ def _pipe_partition(
 class MaRe:
     """Distributed container-pipeline over a DataFrame."""
 
-    def __init__(self, df: DataFrame, backend: str | None = None):
+    def __init__(
+        self, df: DataFrame, backend: str | None = None, tmp_dir: str | None = None
+    ):
         self.df = df
         self.backend = backend
+        self.tmp_dir = tmp_dir
 
     # -- RDD-plumbing parity (MaRe.scala:32-51) ------------------------------
     @property
@@ -101,10 +107,10 @@ class MaRe:
         return self.df.rdd.getNumPartitions()
 
     def cache(self) -> "MaRe":
-        return MaRe(self.df.cache(), self.backend)
+        return MaRe(self.df.cache(), self.backend, self.tmp_dir)
 
     def repartition(self, num_partitions: int) -> "MaRe":
-        return MaRe(self.df.repartition(num_partitions), self.backend)
+        return MaRe(self.df.repartition(num_partitions), self.backend, self.tmp_dir)
 
     def repartition_by(self, key: str | Column | Callable, num_partitions: int) -> "MaRe":
         """Co-locate records by key (MaRe.scala:161-178).
@@ -121,9 +127,9 @@ class MaRe:
                 .partitionBy(num_partitions)
                 .map(lambda kv: kv[1])
             )
-            return MaRe(self.df.sparkSession.createDataFrame(rdd, schema), self.backend)
+            return MaRe(self.df.sparkSession.createDataFrame(rdd, schema), self.backend, self.tmp_dir)
         col = F.col(key) if isinstance(key, str) else key
-        return MaRe(self.df.repartition(num_partitions, col), self.backend)
+        return MaRe(self.df.repartition(num_partitions, col), self.backend, self.tmp_dir)
 
     # -- container ops -------------------------------------------------------
     def map(
@@ -139,15 +145,17 @@ class MaRe:
         Type-changing: the result schema is ``output_mount.spark_schema``.
         Runs on every partition, including empty ones (reference parity).
         """
-        backend = self.backend
+        backend, tmp_dir = self.backend, self.tmp_dir
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield from _pipe_partition(
-                batches, input_mount, output_mount, image, command, force_pull, backend
+                batches, input_mount, output_mount, image, command, force_pull,
+                backend, tmp_dir,
             )
 
         return MaRe(
-            self.df.mapInPandas(fn, schema=output_mount.spark_schema), backend
+            self.df.mapInPandas(fn, schema=output_mount.spark_schema),
+            backend, tmp_dir,
         )
 
     def reduce(

@@ -76,6 +76,24 @@ def read_text(
     return reader.text(path)
 
 
+def read_whole_text(
+    spark: SparkSession, path: str, charset: str = "UTF-8"
+) -> DataFrame:
+    """Whole-file text scan → (path, content) — reference parity with
+    ``sc.wholeTextFiles`` (MaReTest.scala:71), built on the binaryFile
+    source so it composes with pathGlobFilter/partition discovery."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.col("path"),
+            F.decode(F.col("content"), charset).alias("content"),
+        )
+    )
+
+
 def read_binary(
     spark: SparkSession, path: str, path_glob_filter: str | None = None
 ) -> DataFrame:
