@@ -8,7 +8,13 @@ from mare_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from mare_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from mare_spark.operators.asof import asof_join, asof_join_pandas
+from mare_spark.operators.scale import bucketed_table, join_bucketed, salted_join
+from mare_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    embedding_lsh_pairs,
+)
 from mare_spark.operators.text import (
     language_id,
     quality_stats,
@@ -18,11 +24,17 @@ from mare_spark.operators.text import (
 __all__ = [
     "exact_dedup",
     "embedding_cosine_pairs",
+    "embedding_lsh_pairs",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "ann_lsh_topk",
     "brute_force_topk",
+    "asof_join",
+    "asof_join_pandas",
+    "salted_join",
+    "bucketed_table",
+    "join_bucketed",
     "language_id",
     "quality_stats",
     "text_fingerprint",

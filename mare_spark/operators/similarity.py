@@ -59,6 +59,66 @@ def hyperplane_signature(
     return sig
 
 
+def embedding_lsh_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    bands: int = 16,
+    bits_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup embedding pairs at scale: banded hyperplane LSH candidates +
+    exact-cosine verify (the scale tier of
+    :func:`mare_spark.operators.dedup.embedding_cosine_pairs`).
+
+    Each band is an independent ``bits_per_band``-bit sign signature; pairs
+    agreeing on ANY band become candidates (never a cross join). For cosine
+    s, P(candidate) = 1-(1-(1-θ(s)/π)^bits)^bands — with 16×4 bits, ≈0.94
+    at s=0.4 and ≈1-1e-9 at s=0.9. Verified pairs are exact (no false
+    positives); recall is tunable via ``bands``.
+
+    Scale: signature computation is map-only expression code; the self-join
+    shuffles on (band, bucket) — uniform 4-bit buckets within bands. The
+    dominant cost is Σ bucket² per band; raise ``bits_per_band`` to shrink
+    buckets for larger corpora.
+    """
+    import numpy as np
+
+    dim = len(df.select(vec_col).head()[0])
+    rng = np.random.default_rng(seed)
+
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).persist()
+    band_cols = []
+    for b in range(bands):
+        planes = rng.standard_normal((bits_per_band, dim))
+        band_cols.append(hyperplane_signature(F.col("v"), planes))
+    buckets = base.select(
+        "vid", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        .distinct()
+    )
+    v = base
+    return (
+        cand.join(v.withColumnsRenamed({"vid": "id_a", "v": "v_a"}), "id_a")
+        .join(v.withColumnsRenamed({"vid": "id_b", "v": "v_b"}), "id_b")
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -118,6 +118,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
 
 
+@register("dedup_embedding_lsh", category="llm", oracle=None)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tier of embedding near-dup: banded hyperplane LSH candidates +
+    exact-cosine verify (differential oracle in tests: subset of the exact
+    tier with ≥0.7 recall)."""
+    from mare_spark.operators.similarity import embedding_lsh_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, bands=16, bits_per_band=4
+    )
+
+
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     """The vec_id=0 embedding as the similarity-search probe (one-row
     driver fetch — the query vector is a scalar input, not data)."""

@@ -1,0 +1,91 @@
+"""Scale-hardening tests: salted join correctness under skew, bucketed
+exchange-free joins (plan-asserted), embedding LSH pair recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mare_spark.operators.dedup import embedding_cosine_pairs
+from mare_spark.operators.scale import bucketed_table, join_bucketed, salted_join
+from mare_spark.operators.similarity import embedding_lsh_pairs
+from mare_spark.tables import read_table
+from tests.conftest import SF_ORACLE
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skewed fact (90% one key) joined to a unique-key dim: salted result
+    must equal the plain join exactly."""
+    fact = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    plain = fact.join(dim, "k").groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("dim_val").alias("s")
+    )
+    salted = salted_join(fact, dim, "k", salt=8).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("dim_val").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, "a"), (99, "b")], "k int, v string")
+    dim = spark.createDataFrame([(1, 10.0)], "k int, d double")
+    out = salted_join(fact, dim, "k", salt=4, how="left").collect()
+    by_key = {r.k: r.d for r in out}
+    assert by_key == {1: 10.0, 99: None}
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", how="full")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = read_table(spark, SF_ORACLE, "orders")
+    customer = read_table(spark, SF_ORACLE, "customer")
+    bucketed_table(
+        orders.select(F.col("o_custkey").alias("custkey"), "o_totalprice"),
+        "t_orders_b",
+        "custkey",
+    )
+    bucketed_table(
+        customer.select(F.col("c_custkey").alias("custkey"), "c_name"),
+        "t_customer_b",
+        "custkey",
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: at real scale neither side broadcasts,
+        # which is exactly when bucketing saves the exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = join_bucketed(spark, "t_orders_b", "t_customer_b", "custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_embedding_lsh_pairs_recall(spark):
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(emb, "embedding", "vec_id", 0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_lsh_pairs(
+            emb, "embedding", "vec_id", 0.4, bands=16, bits_per_band=4
+        ).collect()
+    }
+    assert exact
+    assert lsh <= exact  # exact verify → no false positives
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
