@@ -1,0 +1,54 @@
+"""Engine facade — the one-object entry point tying the surfaces together:
+
+    eng = Engine(get_spark(), "/root/testdata/sf0.01")
+    eng.sql("SELECT count(*) FROM lineitem")       # SQL over the catalog
+    eng.table("orders")                             # DataFrame handle
+    eng.pipe(df)                                    # container pipeline
+    eng.run_query("q1_pricing_summary")             # registered corpus
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mare_spark.dataset import MaRe
+from mare_spark.registry import all_queries
+from mare_spark.tables import load_tables
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None, backend: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.backend = backend
+        self._tables: dict[str, DataFrame] = {}
+        if sf_dir is not None:
+            self._tables = load_tables(spark, sf_dir)
+
+    # -- catalog ------------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        if name in self._tables:
+            return self._tables[name]
+        return self.spark.table(name)
+
+    def register(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+        self._tables[name] = df
+
+    # -- SQL entry point ----------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- container pipeline -------------------------------------------------
+    def pipe(self, df: DataFrame) -> MaRe:
+        return MaRe(df, backend=self.backend)
+
+    # -- registered corpus --------------------------------------------------
+    def run_query(self, name: str) -> DataFrame:
+        if self.sf_dir is None:
+            raise ValueError("Engine was built without an sf_dir")
+        q = all_queries()[name]
+        return q.fn(self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        return sorted(all_queries())
