@@ -12,5 +12,6 @@ from mare_spark.queries import (  # noqa: F401
     pipe,
     relational,
     relational2,
+    relational3,
     streaming_batch,
 )

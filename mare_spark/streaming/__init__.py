@@ -151,6 +151,63 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_with_recent_view(
+    events: DataFrame,
+    join_horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to view events by
+    the same user within the preceding ``join_horizon``.
+
+    Both sides carry watermarks and the join predicate bounds event-time
+    distance, so state on both sides is droppable once the watermark passes
+    — the only state-bounded form of a stream-stream join. At 100 TB/day
+    the horizon IS the state bound (state ∝ rate × horizon, not history).
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            f"""
+            p_user = v_user AND
+            v_ts <= p_ts AND
+            v_ts >= p_ts - INTERVAL {join_horizon}
+            """
+        ),
+        "inner",
+    ).select("purchase_id", "p_user", "p_ts", "purchase_value", "v_ts")
+
+
+def write_foreach_batch(stream_df: DataFrame, batch_fn, checkpoint_dir: str):
+    """foreachBatch sink: exactly-once-per-epoch delivery of each
+    micro-batch DataFrame to ``batch_fn(df, epoch_id)`` — the idiomatic
+    bridge to sinks without native streaming support (JDBC upserts,
+    multi-table writes). Checkpointing makes epochs replay-safe: the sink
+    must be idempotent per epoch_id."""
+    return (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion synchronously against the
     in-memory sink (test/bench harness)."""

@@ -176,3 +176,53 @@ def test_running_user_totals_stateful(spark, events_dir):
     f = final.sort_values(key).reset_index(drop=True)[["user_id", "n_events", "total"]]
     w = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(f, w, check_like=True, check_dtype=False)
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    """Purchases joined to same-user views within 30 minutes: streaming
+    result must equal the equivalent batch interval join."""
+    stream = S.purchases_with_recent_view(S.read_events_stream(spark, events_dir))
+    got = _collect_stream(spark, stream)
+
+    e = read_table(spark, SF_SMOKE, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    want = (
+        p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes")),
+        )
+        .select("purchase_id", "p_user", "p_ts", "purchase_value", "v_ts")
+        .toPandas()
+    )
+    key = ["purchase_id", "v_ts"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_like=True,
+    )
+
+
+def test_foreach_batch_sink(spark, events_dir, tmp_path):
+    """foreachBatch delivers each micro-batch with an epoch id; results
+    across epochs reassemble the full input."""
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.append((epoch_id, df.count()))
+
+    stream = S.read_events_stream(spark, events_dir).select("event_id", "value")
+    q = S.write_foreach_batch(stream, sink, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert sum(n for _, n in collected) == 1000  # sf0.001 events
+    assert all(isinstance(e, int) for e, _ in collected)
