@@ -274,13 +274,16 @@ def q_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_left_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
     """,
 )
 def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join ≡ NOT EXISTS: customers with no orders."""
+    """Left-anti join ≡ NOT EXISTS: customers with no very large order
+    (every fixture customer has SOME order, so plain never-ordered would be
+    a hollow 0-row check)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

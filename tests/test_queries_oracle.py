@@ -21,6 +21,15 @@ def test_oracle_match(spark, name):
     compare(df, q.oracle, SF_ORACLE)
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_not_hollow(spark, name):
+    """A 0-row result hash-matches a 0-row oracle, so an over-restrictive
+    predicate passes the gate while checking nothing. Every declared query
+    must select actual rows at the oracle SF."""
+    df = QUERIES[name].fn(spark, SF_ORACLE)
+    assert df.count() > 0, f"{name} returns 0 rows at sf0.01 — hollow check"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only(spark, name):
     q = QUERIES[name]
