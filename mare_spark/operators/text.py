@@ -115,6 +115,84 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization pattern: letter runs, digit runs, single
+# punctuation — the coarse split a byte-pair tokenizer applies before
+# merges. Kept to RE2-compatible constructs so the SQL oracle (DuckDB/RE2)
+# and Spark (Java regex) agree character-for-character.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """Sub-word-style token count via the BPE-ish pre-tokenizer regex —
+    the cheap scan-side estimator for 'how many tokens will this cost',
+    within a constant factor of a real BPE tokenizer."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    )
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Both token-count tiers per document: whitespace words and BPE-ish
+    sub-word pieces, plus their ratio (pieces-per-word ≈ tokenizer
+    fertility — a language/quality signal)."""
+    words = token_count(F.col(text_col))
+    pieces = bpe_ish_token_count(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        pieces.alias("n_bpe_ish_tokens"),
+        F.round(pieces / F.greatest(words, F.lit(1)), 6).alias("fertility"),
+    )
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, text_col: str, id_col: str, window: int = 8, keep: int = 4
+) -> DataFrame:
+    """Winnowing-style document fingerprint: polynomial rolling hash over a
+    sliding character window, keep the ``keep`` smallest hashes (a stable,
+    order-insensitive content sketch robust to small edits).
+
+    Arrow-batched pandas UDF (numpy): the per-character rolling recurrence
+    is inherently sequential per document, which JVM expression code can't
+    express — this is the sanctioned slow-path shape (vectorized across the
+    window dimension, one pass per doc).
+    """
+    import numpy as np
+    import pandas as pd
+
+    # NB: this module uses `from __future__ import annotations`, which turns
+    # type hints into strings that pandas_udf's signature inspector rejects —
+    # set real annotations after the def instead of inline hints.
+    def fingerprints(texts):
+        B, M = 257, (1 << 61) - 1
+        out = []
+        for t in texts:
+            s = (t or "").lower()
+            b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+            if len(b) < window:
+                out.append([int(b.sum()) if len(b) else 0])
+                continue
+            # rolling polynomial hash via prefix powers (vectorized)
+            powers = np.ones(window, dtype=object)
+            for i in range(1, window):
+                powers[i] = (powers[i - 1] * B) % M
+            hashes = []
+            h = 0
+            for i, c in enumerate(b):
+                h = (h * B + int(c)) % M
+                if i >= window:
+                    h = (h - int(b[i - window]) * int(powers[window - 1] * B % M)) % M
+                if i >= window - 1:
+                    hashes.append(h)
+            hashes = sorted(set(hashes))[:keep]
+            out.append([int(x) for x in hashes])
+        return pd.Series(out)
+
+    fingerprints.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    fp_udf = F.pandas_udf(fingerprints, "array<bigint>")
+    return df.select(F.col(id_col), fp_udf(F.col(text_col)).alias("fingerprint"))
+
+
 def text_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprints:
 

@@ -276,6 +276,42 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fingerprint(docs, "text", "doc_id")
 
 
+@register(
+    "text_token_stats",
+    category="llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+               AS n_words,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+               AS n_bpe_ish_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_bpe_ish_tokens,
+           round(n_bpe_ish_tokens / greatest(n_words, 1), 6) AS fertility
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document (tokenizer-cost
+    estimator; fertility = pieces per word)."""
+    from mare_spark.operators.text import token_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return token_stats(docs, "text", "doc_id")
+
+
+@register("text_rolling_fingerprint", category="llm", oracle=None)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (sequential recurrence →
+    pandas UDF; determinism asserted in tests)."""
+    from mare_spark.operators.text import rolling_hash_fingerprint
+
+    docs = read_table(spark, sf_dir, "documents")
+    return rolling_hash_fingerprint(docs, "text", "doc_id")
+
+
 @register("multimodal_decode", category="llm", oracle=None)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct + Arrow-batched feature decode

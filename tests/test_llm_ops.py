@@ -111,3 +111,32 @@ def test_multimodal_real_decoders_are_stubbed(docs):
     mm = attach_binary_payload(docs, "text", "doc_id")
     with pytest.raises(NotImplementedError):
         decode_features(mm, "payload", "doc_id", decoder="image")
+
+
+def test_rolling_fingerprint_deterministic_and_edit_robust(spark, docs):
+    from mare_spark.operators.text import rolling_hash_fingerprint
+    from pyspark.sql import functions as F
+
+    fp1 = {r.doc_id: tuple(r.fingerprint) for r in
+           rolling_hash_fingerprint(docs, "text", "doc_id").collect()}
+    fp2 = {r.doc_id: tuple(r.fingerprint) for r in
+           rolling_hash_fingerprint(docs, "text", "doc_id").collect()}
+    assert fp1 == fp2  # deterministic across runs
+
+    # near-dup docs (seeded pairs) share fingerprint hashes far more often
+    # than random pairs: check one seeded pair overlaps
+    from mare_spark.operators.dedup import ngram_jaccard_pairs
+
+    pair = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.9).head()
+    a, b = fp1[pair.doc_a], fp1[pair.doc_b]
+    assert set(a) & set(b), "seeded near-dups should share rolling-hash picks"
+
+
+def test_rolling_fingerprint_short_text(spark):
+    from mare_spark.operators.text import rolling_hash_fingerprint
+
+    df = spark.createDataFrame([(1, "ab"), (2, "")], "doc_id long, text string")
+    rows = {r.doc_id: r.fingerprint for r in
+            rolling_hash_fingerprint(df, "text", "doc_id").collect()}
+    assert rows[1] == [sum(b"ab")]
+    assert rows[2] == [0]
