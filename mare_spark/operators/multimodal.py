@@ -50,6 +50,55 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float64) / 65536.0
 
 
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling plumbing: emit one row per sampled "frame" of the
+    payload (here: fixed-stride byte slices — a real video decoder would
+    substitute keyframe extraction; the Spark shape — explode to
+    (id, frame_idx, frame_bytes) with bounded fan-out — is identical).
+    """
+    from pyspark.sql import functions as F
+
+    n = F.least(
+        F.floor(F.length(payload_col) / every_n_bytes) + 1, F.lit(max_frames)
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n - 1)
+    return (
+        df.select(id_col, payload_col, F.explode(idx).alias("frame_idx"))
+        .select(
+            id_col,
+            "frame_idx",
+            F.substring(
+                F.col(payload_col), F.col("frame_idx") * every_n_bytes + 1, every_n_bytes
+            ).alias("frame_bytes"),
+        )
+    )
+
+
+def resize_payload(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target_bytes: int = 128,
+) -> DataFrame:
+    """Resize/downsample plumbing: truncate-or-pad each payload to a fixed
+    size (stands in for image resize; same contract — fixed-shape binary
+    out, map-only, no shuffle)."""
+    from pyspark.sql import functions as F
+
+    padded = F.rpad(F.col(payload_col), target_bytes, bytes([0]))
+    return df.select(
+        F.col(id_col),
+        F.substring(padded, 1, target_bytes).alias("payload_resized"),
+        F.length(payload_col).alias("original_bytes"),
+    )
+
+
 def decode_features(
     df: DataFrame,
     payload_col: str = "payload",

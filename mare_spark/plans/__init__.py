@@ -48,9 +48,13 @@ def count_broadcast_joins(df: DataFrame) -> int:
 
 
 def count_shuffle_exchanges(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange hashpartitioning") + formatted_plan(
-        df
-    ).count("Exchange rangepartitioning")
+    """Number of shuffle Exchange nodes (broadcast exchanges excluded).
+    The formatted plan lists each node as '(n) Exchange' with its
+    partitioning on a separate Arguments line."""
+    import re
+
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 def uses_take_ordered(df: DataFrame) -> bool:

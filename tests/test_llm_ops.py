@@ -140,3 +140,41 @@ def test_rolling_fingerprint_short_text(spark):
             rolling_hash_fingerprint(df, "text", "doc_id").collect()}
     assert rows[1] == [sum(b"ab")]
     assert rows[2] == [0]
+
+
+def test_multimodal_frame_sampling(spark, docs):
+    from mare_spark.operators.multimodal import attach_binary_payload, sample_frames
+
+    mm = attach_binary_payload(docs, "text", "doc_id")
+    frames = sample_frames(mm, every_n_bytes=64, max_frames=8)
+    rows = frames.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
+    src = bytes(mm.filter(F.col("doc_id") == 0).head().payload)
+    assert 1 <= len(rows) <= 8
+    assert bytes(rows[0].frame_bytes) == src[:64]
+    assert all(r.frame_idx == i for i, r in enumerate(rows))
+
+
+def test_multimodal_resize(spark, docs):
+    from mare_spark.operators.multimodal import attach_binary_payload, resize_payload
+
+    mm = attach_binary_payload(docs, "text", "doc_id")
+    out = resize_payload(mm, target_bytes=128).limit(20).collect()
+    assert all(len(bytes(r.payload_resized)) == 128 for r in out)
+    # truncation preserves the prefix
+    src = {r.doc_id: bytes(r.payload) for r in mm.limit(20).collect()}
+    for r in out:
+        if r.doc_id in src:
+            assert bytes(r.payload_resized)[: min(128, r.original_bytes)] == src[
+                r.doc_id
+            ][:128]
+
+
+def test_approx_count_distinct_accuracy(spark):
+    from mare_spark.tables import read_table
+
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    exact = li.agg(F.countDistinct("l_partkey").alias("n")).head().n
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n")
+    ).head().n
+    assert abs(approx - exact) / exact < 0.03, (approx, exact)

@@ -58,3 +58,46 @@ def test_projection_prunes_scan(spark):
     li = read_table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
     (cols,) = P.read_schema_columns(li)
     assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_q6_pushes_all_predicates(spark):
+    """Q6 is pure scan+filter+agg: every predicate must reach PushedFilters
+    and the plan must have exactly one exchange (the final combine)."""
+    from mare_spark.queries.relational2 import q6_revenue_change
+
+    df = q6_revenue_change(spark, SF_ORACLE)
+    assert P.has_pushed_filter(df, "l_shipdate")
+    assert P.has_pushed_filter(df, "l_discount")
+    assert P.has_pushed_filter(df, "l_quantity")
+    assert P.count_shuffle_exchanges(df) <= 1, P.formatted_plan(df)
+
+
+def test_dedup_exact_single_shuffle(spark):
+    """Exact dedup = one exchange on the digest, nothing else."""
+    from mare_spark.operators.dedup import exact_dedup
+    from mare_spark.tables import read_table
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    df = exact_dedup(docs, "text", "doc_id")
+    assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
+
+
+def test_tumbling_window_single_shuffle(spark):
+    from mare_spark.queries.streaming_batch import events_tumbling_window
+
+    df = events_tumbling_window(spark, SF_ORACLE)
+    assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    """The as-of composition is union + one window: exactly one hash
+    exchange on the by-key (plus none hidden elsewhere)."""
+    from mare_spark.operators.asof import asof_join
+    from mare_spark.tables import read_table
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, SF_ORACLE, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts", "value")
+    v = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    df = asof_join(p, v, on="ts", by="user_id", right_cols=["value"])
+    assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
