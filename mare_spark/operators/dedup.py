@@ -308,6 +308,48 @@ def simhash64(text_col: Column, shingle_n: int = 2) -> Column:
     return out
 
 
+def _simhash_pudf(shingle_n: int):
+    """Arrow-batched SimHash: blake2b-hashed word shingles, 64-wide bit
+    votes vectorized in numpy, sign bits packed into one int64."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    def simhash_batch(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for row, t in enumerate(texts):
+            words = _re.sub(r"\s+", " ", (t or "").strip().lower()).split(" ")
+            grams = {
+                " ".join(words[i : i + shingle_n])
+                for i in range(max(len(words) - shingle_n + 1, 0))
+            }
+            if not grams:
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
+                    )
+                    for g in grams
+                ),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+            bits = (hs[:, None] >> shifts) & np.uint64(1)
+            votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(hs)
+            sig = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out[row] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    simhash_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(simhash_batch, "long")
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
@@ -329,33 +371,19 @@ def simhash_pairs(
         raise ValueError("max_hamming must be < 64")
     # chunk bit-boundaries: spread 64 bits as evenly as possible
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
-    # Stage the shingle hashes once (same CollapseProject blowup as MinHash:
-    # unstaged, the 64 bit-vote aggregates each inline the whole shingle
-    # pipeline). The votes then read a materialized array column.
-    staged = _fan_out(df).select(
-        F.col(id_col).alias("doc"),
-        F.transform(
-            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
-        ).alias("hashes"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    def _vote(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = []
-    for i in range(64):
-        vote = F.aggregate(F.col("hashes"), F.lit(0), _vote(i))
-        bit_val = (1 << i) if i < 63 else -(1 << 63)
-        bits.append(
-            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+    # Signature via a vectorized numpy pandas UDF. The expression-code
+    # alternative (64 bit-vote aggregates — see simhash64) exceeds janino's
+    # 64 KB codegen limit, falls back to interpreted eval and runs ~10×
+    # slower; the 64×n bit-vote matrix is exactly the shape numpy is good
+    # at. This is the sanctioned UDF case: built-ins can't express it fast.
+    base = (
+        _fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            _simhash_pudf(shingle_n)(F.col(text_col)).alias("sh"),
         )
-    sh_col = bits[0]
-    for b in bits[1:]:
-        sh_col = sh_col.bitwiseOR(b)
-    base = staged.select("doc", sh_col.alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     chunk_cols = [
         F.shiftrightunsigned(F.col("sh"), bounds[i]).bitwiseAND(
             F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)

@@ -90,7 +90,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (chunk banding + Hamming verify)."""
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=6, shingle_n=2)
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=7, shingle_n=2)
 
 
 @register(

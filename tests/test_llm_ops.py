@@ -57,14 +57,14 @@ def test_minhash_lsh_recovers_exact_pairs(docs):
 
 def test_simhash_finds_seeded_near_dups(docs):
     exact = _pair_set(ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.9))
-    sim = simhash_pairs(docs, "text", "doc_id", max_hamming=6, shingle_n=2)
+    sim = simhash_pairs(docs, "text", "doc_id", max_hamming=7, shingle_n=2)
     sim_set = _pair_set(sim.select("doc_a", "doc_b"))
     assert exact
     overlap = len(sim_set & exact) / len(exact)
     assert overlap >= 0.8, f"simhash missed too many seeded near-dups: {overlap}"
     # hamming column is within the bound and pairs are canonical (a < b)
     rows = sim.collect()
-    assert all(r.hamming <= 6 for r in rows)
+    assert all(r.hamming <= 7 for r in rows)
     assert all(r.doc_a < r.doc_b for r in rows)
 
 
