@@ -420,6 +420,67 @@ def simhash_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS via connected
+    components (iterative min-label propagation), returning
+    (member, cluster) where cluster = min id in the component — i.e. the
+    canonical representative to KEEP per duplicate group.
+
+    Plan: labels start as each node's own id; each round every node takes
+    the min of its own and its neighbors' labels (join on edges both
+    directions + groupBy-min); stop when a round changes nothing. Rounds ≤
+    graph diameter — near-dup components are tiny (pairs/triples), so this
+    converges in 2-3 rounds regardless of corpus size; each round is one
+    join + one aggregate on the EDGE set, never the corpus.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node").alias("member"), F.col("label").alias("cluster"))
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

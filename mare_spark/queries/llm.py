@@ -118,6 +118,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
 
 
+@register(
+    "dedup_clusters_resolve",
+    category="llm",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES3} AS sh FROM documents
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING common / (na + nb - common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    -- the fixture's near-dup components are pairs/triples: two rounds of
+    -- min-label propagation reach the fixpoint (same bound the operator
+    -- converges under)
+    r1 AS (
+      SELECT e.src AS node, least(e.src, min(e.dst)) AS label
+      FROM edges e GROUP BY e.src
+    ),
+    r2 AS (
+      SELECT e.src AS node, least(max(r.label), min(l.label)) AS label
+      FROM edges e
+      JOIN r1 r ON r.node = e.src
+      JOIN r1 l ON l.node = e.dst
+      GROUP BY e.src
+    )
+    SELECT node AS member, label AS cluster FROM r2
+    """,
+)
+def dedup_clusters_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters (connected components by
+    min-label propagation); cluster id = canonical representative to keep."""
+    from mare_spark.operators.dedup import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    return dedup_clusters(pairs)
+
+
 @register("dedup_embedding_lsh", category="llm", oracle=None)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale tier of embedding near-dup: banded hyperplane LSH candidates +

@@ -178,3 +178,46 @@ def test_approx_count_distinct_accuracy(spark):
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("n")
     ).head().n
     assert abs(approx - exact) / exact < 0.03, (approx, exact)
+
+
+def test_dedup_clusters_match_union_find(spark, docs):
+    """Connected components over the seeded near-dup pairs must equal a
+    driver-side union-find on the collected edge list."""
+    from mare_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    assert edges
+
+    # oracle: classic union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    got = {r.member: r.cluster for r in dedup_clusters(pairs).collect()}
+    assert got == want
+    # representatives are component minima
+    assert all(c == min(m for m, cc in got.items() if cc == c) for c in set(got.values()))
+
+
+def test_dedup_clusters_chain(spark):
+    """A 4-node chain (a-b, b-c, c-d) must collapse to one cluster —
+    requires multi-round propagation, not just direct neighbors."""
+    from mare_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.member: r.cluster for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
