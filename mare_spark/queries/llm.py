@@ -358,6 +358,69 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_hash_fingerprint(docs, "text", "doc_id")
 
 
+@register(
+    "pipeline_clean_corpus",
+    category="llm",
+    bench=True,
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_SHINGLES3} AS sh FROM documents
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING common / (na + nb - common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    r1 AS (SELECT src AS node, least(src, min(dst)) AS label FROM edges GROUP BY src),
+    r2 AS (
+      SELECT e.src AS node, least(max(r.label), min(l.label)) AS label
+      FROM edges e JOIN r1 r ON r.node = e.src JOIN r1 l ON l.node = e.dst
+      GROUP BY e.src
+    ),
+    q AS (
+      SELECT doc_id,
+             len({_WORDS}) AS n_tokens
+      FROM documents
+    )
+    SELECT d.doc_id, q.n_tokens
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN r2 ON r2.node = d.doc_id
+    WHERE q.n_tokens >= 30
+      AND (r2.node IS NULL OR r2.label = d.doc_id)
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the canonical training-data cleaning pass:
+    (1) length gate (≥30 tokens), (2) near-dup detection (exact 3-gram
+    Jaccard ≥0.8), (3) cluster resolution keeping the min-id representative.
+    Output: the KEPT documents. Every stage is a registered operator; the
+    whole pipeline stays declarative (no collect between stages), so
+    Catalyst plans it end-to-end."""
+    from mare_spark.operators.dedup import dedup_clusters
+    from mare_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("member") != F.col("cluster")).select(
+        F.col("member").alias("doc_id")
+    )
+    return (
+        docs.withColumn("n_tokens", F.size(tokens(F.col("text"))))
+        .filter(F.col("n_tokens") >= 30)
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens")
+    )
+
+
 @register("multimodal_decode", category="llm", oracle=None)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct + Arrow-batched feature decode
