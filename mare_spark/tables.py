@@ -46,6 +46,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # Defensive session configuration: every registered query funnels
+    # through here, and the harness that invokes queries() may have built
+    # its own SparkSession without mare_spark.session's settings. Both
+    # confs are runtime-settable and correctness-critical:
+    # * nanosAsLong — events.parquet is TIMESTAMP(NANOS); without it the
+    #   scan throws PARQUET_TYPE_ILLEGAL.
+    # * UTC session TZ — non-UTC sessions shift every timestamp column
+    #   relative to the (naive-UTC) DuckDB oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
