@@ -45,6 +45,23 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def _candidate_shingles(base: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shingle sets restricted to docs that appear in a candidate pair.
+
+    The verify stage only needs shingles for candidate docs — a small
+    fraction of the corpus at any sane threshold. Semi-joining the shingle
+    table down first means the two subsequent pair-joins shuffle only the
+    candidate subset; AQE broadcasts the tiny candidate-doc list into the
+    semi-join, so the full corpus is never shuffled for verification at all.
+    """
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .union(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    return base.select("doc", "shingles").join(cand_docs, "doc", "left_semi")
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text form shared by every dedup tier (and the SQL oracles):
     lowercase, trim, collapse whitespace runs."""
@@ -137,7 +154,7 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    sh = base.select("doc", "shingles")
+    sh = _candidate_shingles(base, cand)
     return (
         cand.join(sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
@@ -263,7 +280,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = base.select("doc", "shingles")
+    sh = _candidate_shingles(base, cand)
     verified = (
         cand.join(sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
@@ -478,6 +495,10 @@ def dedup_clusters(
         if changed == 0:
             break
 
+    # The convergence check scanned every partition of the final `labels`
+    # (a zero-row conclusion can't short-circuit), so it is fully cached and
+    # the edge cache can be released before handing the result back.
+    edges.unpersist()
     return labels.select(F.col("node").alias("member"), F.col("label").alias("cluster"))
 
 
