@@ -62,6 +62,13 @@ def _candidate_shingles(base: DataFrame, cand: DataFrame) -> DataFrame:
     return base.select("doc", "shingles").join(cand_docs, "doc", "left_semi")
 
 
+def _persisted_candidates(cand: DataFrame) -> DataFrame:
+    """Persist the candidate-pair set: it feeds both the verify joins and the
+    :func:`_candidate_shingles` semi-join, and without a persist the expensive
+    candidate-generation self-join would run once per consumer."""
+    return cand.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text form shared by every dedup tier (and the SQL oracles):
     lowercase, trim, collapse whitespace runs."""
@@ -154,6 +161,7 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
+    cand = _persisted_candidates(cand)
     sh = _candidate_shingles(base, cand)
     return (
         cand.join(sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a")
@@ -280,6 +288,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    cand = _persisted_candidates(cand)
     sh = _candidate_shingles(base, cand)
     verified = (
         cand.join(sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a")
@@ -455,16 +464,24 @@ def dedup_clusters(
     converges in 2-3 rounds regardless of corpus size; each round is one
     join + one aggregate on the EDGE set, never the corpus.
     """
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # Iterative plans nest: round k's logical plan would embed round k-1's
+    # (twice — the join and the convergence check), which itself embeds the
+    # upstream pair-generation plan. Without lineage truncation Catalyst
+    # re-analyzes an exponentially growing tree every round and compile time
+    # dwarfs execution. localCheckpoint (eager) materializes the rows AND
+    # cuts the lineage, keeping every round's plan constant-size — on a real
+    # cluster swap in reliable checkpoint() for executor-loss tolerance.
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):
@@ -481,7 +498,7 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -490,15 +507,10 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
 
-    # The convergence check scanned every partition of the final `labels`
-    # (a zero-row conclusion can't short-circuit), so it is fully cached and
-    # the edge cache can be released before handing the result back.
-    edges.unpersist()
     return labels.select(F.col("node").alias("member"), F.col("label").alias("cluster"))
 
 

@@ -17,7 +17,7 @@ from mare_spark.operators.dedup import (
     simhash_pairs,
 )
 from mare_spark.operators.multimodal import attach_binary_payload, decode_features
-from mare_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from mare_spark.operators.similarity import ann_lsh_topk, brute_force_topk, ivf_topk
 from mare_spark.operators.text import language_id, quality_stats, text_fingerprint
 from mare_spark.registry import register
 from mare_spark.tables import read_table
@@ -217,6 +217,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(
         emb, _query_vector(spark, sf_dir), k=10, num_planes=12, hamming_radius=4
+    )
+
+
+@register("sim_ann_ivf", category="llm", oracle=None)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an inverted-file index (sample-trained
+    spherical k-means cells, nprobe-cell probe). Recall vs the exact tier
+    and the nprobe=nlist ⇒ brute-force identity are asserted in tests."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, _query_vector(spark, sf_dir), k=10, nlist=16, nprobe=6
     )
 
 

@@ -22,7 +22,13 @@ from mare_spark.operators.multimodal import (
     attach_binary_payload,
     decode_features,
 )
-from mare_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from mare_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    train_ivf_centroids,
+)
 from mare_spark.tables import read_table
 from tests.conftest import SF_ORACLE
 
@@ -90,6 +96,45 @@ def test_ann_radius_full_equals_exact(emb):
         for r in ann_lsh_topk(emb, q, k=5, num_planes=8, hamming_radius=8).collect()
     ]
     assert exact == full
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact_ids = [r.vec_id for r in brute_force_topk(emb, q, k=10).collect()]
+    ivf_ids = [
+        r.vec_id for r in ivf_topk(emb, q, k=10, nlist=16, nprobe=6).collect()
+    ]
+    recall = len(set(exact_ids) & set(ivf_ids)) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall} (exact={exact_ids}, ivf={ivf_ids})"
+    # the probe itself must be the top hit in both
+    assert exact_ids[0] == 0 and ivf_ids[0] == 0
+
+
+def test_ivf_nprobe_full_equals_exact(emb):
+    """nprobe = nlist ⇒ every cell probed ⇒ identical to brute force."""
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [(r.vec_id, r.cosine) for r in brute_force_topk(emb, q, k=5).collect()]
+    full = [
+        (r.vec_id, r.cosine)
+        for r in ivf_topk(emb, q, k=5, nlist=8, nprobe=8).collect()
+    ]
+    assert exact == full
+
+
+def test_ivf_assignment_partitions_corpus(emb):
+    """Every row lands in exactly one valid cell; cells are deterministic
+    and non-degenerate (the corpus spreads over >1 cell)."""
+    cents = train_ivf_centroids(emb, nlist=8)
+    assigned = ivf_assign(emb, cents).select("vec_id", "ivf_cell")
+    total = emb.count()
+    assert assigned.count() == total
+    per_cell = assigned.groupBy("ivf_cell").count().collect()
+    assert all(0 <= r.ivf_cell < 8 for r in per_cell)
+    assert len(per_cell) > 1
+    assert sum(r["count"] for r in per_cell) == total
+    # determinism: same seed → identical assignment
+    again = ivf_assign(emb, train_ivf_centroids(emb, nlist=8))
+    assert assigned.exceptAll(again.select("vec_id", "ivf_cell")).count() == 0
 
 
 def test_multimodal_decode_schema_and_determinism(docs):
