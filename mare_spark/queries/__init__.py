@@ -13,5 +13,6 @@ from mare_spark.queries import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     streaming_batch,
 )
