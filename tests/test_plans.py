@@ -101,3 +101,35 @@ def test_asof_join_single_shuffle_per_side(spark):
     v = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
     df = asof_join(p, v, on="ts", by="user_id", right_cols=["value"])
     assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
+
+
+def test_q10_take_ordered_and_pushed_filters(spark):
+    """Q10's LIMIT 20 must be a per-partition heap (TakeOrderedAndProject),
+    never a global sort, and both scan-side filters must reach parquet."""
+    from mare_spark.queries.relational4 import q10_returned_item_reporting
+
+    df = q10_returned_item_reporting(spark, SF_ORACLE)
+    assert P.uses_take_ordered(df), P.formatted_plan(df)
+    assert P.has_pushed_filter(df, "l_returnflag"), P.formatted_plan(df)
+    assert P.has_pushed_filter(df, "o_orderdate"), P.formatted_plan(df)
+
+
+def test_q9_broadcasts_nation_and_prunes_part(spark):
+    from mare_spark.queries.relational4 import q9_product_type_profit
+
+    df = q9_product_type_profit(spark, SF_ORACLE)
+    assert P.count_broadcast_joins(df) >= 1, P.formatted_plan(df)
+    # part scan must read only the columns the query touches
+    for cols in P.read_schema_columns(df):
+        if "p_name" in cols:
+            assert set(cols) <= {"p_partkey", "p_name", "p_retailprice"}, cols
+
+
+def test_q20_semi_join_after_aggregate(spark):
+    """The IN-subquery is planned as a semi join onto the aggregated
+    qualifying set — no full join materializing lineitem against supplier."""
+    from mare_spark.queries.relational4 import q20_promo_volume_suppliers
+
+    df = q20_promo_volume_suppliers(spark, SF_ORACLE)
+    plan = P.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
