@@ -209,6 +209,50 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _query_vector(spark, sf_dir), k=10)
 
 
+@register(
+    "sim_filtered_topk",
+    category="llm",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id FROM documents
+      WHERE lang = 'en'
+        AND len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) >= 30
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings JOIN kept ON kept.doc_id = embeddings.vec_id
+    ),
+    q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           round(
+             list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+             / (sqrt(list_sum(list_transform(v, x -> x*x)))
+                * sqrt(list_sum(list_transform(qv, x -> x*x)))), 6) AS cosine
+    FROM e, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family composition: metadata-gate the corpus (lang = 'en',
+    ≥30 tokens) BEFORE similarity search — the canonical retrieval pattern
+    of a cleaning pipeline. The gate is a scan-side filter on the cheap
+    table, delivered to the vector table via a semi-join on the shared id,
+    so the expensive cosine runs only on surviving rows."""
+    from mare_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    kept = docs.filter(
+        (F.col("lang") == "en") & (F.size(tokens(F.col("text"))) >= 30)
+    ).select(F.col("doc_id").alias("vec_id"))
+    gated = emb.join(kept, "vec_id", "left_semi")
+    return brute_force_topk(gated, _query_vector(spark, sf_dir), k=10)
+
+
 @register("sim_ann_lsh", category="llm", oracle=None)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via hyperplane LSH (candidates = signatures within
