@@ -218,6 +218,63 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q21_sole_returning_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the correlated EXISTS + NOT-EXISTS pair (supplier
+    who is the ONLY one with returned items on a multi-supplier finalized
+    order; late-delivery dates → returnflag substitution). Instead of two
+    correlated per-row probes, the order-level facts are aggregated once —
+    distinct suppliers and distinct returning suppliers per order — and
+    joined back: one extra shuffle on orderkey replaces two subquery scans,
+    the rewrite Catalyst cannot do automatically for correlated NOT EXISTS."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    order_facts = l.groupBy(F.col("l_orderkey").alias("of_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    l1 = l.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(
+            order_facts,
+            (F.col("l_orderkey") == F.col("of_orderkey"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_supp_r") == 1),
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@register(
     "q20_promo_volume_suppliers",
     oracle="""
     SELECT s.s_name, n.n_name AS nation
