@@ -23,6 +23,70 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @register(
+    "q8_national_market_share",
+    oracle="""
+    WITH all_volumes AS (
+      SELECT year(o.o_orderdate) AS yr,
+             sn.n_name AS supp_nation,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    )
+    SELECT yr,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+             AS nation_volume,
+           round(sum(volume), 2) AS total_volume,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM all_volumes
+    GROUP BY yr
+    """,
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's order volume for a
+    part type, by year — the 8-way star join (nation twice, under customer
+    and supplier roles). Share numerator/denominator are summed in one
+    aggregate pass (conditional sum), not two scans."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0)
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(F.sum(nation_vol), 2).alias("nation_volume"),
+            F.round(F.sum(volume), 2).alias("total_volume"),
+            F.round(F.sum(nation_vol) / F.sum(volume), 6).alias("mkt_share"),
+        )
+    )
+
+
+@register(
     "q9_product_type_profit",
     oracle="""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
