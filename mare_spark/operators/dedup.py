@@ -62,6 +62,27 @@ def _candidate_shingles(base: DataFrame, cand: DataFrame) -> DataFrame:
     return base.select("doc", "shingles").join(cand_docs, "doc", "left_semi")
 
 
+def attach_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Record the intermediate persists backing ``result`` so a composing
+    pipeline can release them once downstream state is materialized (see
+    :func:`release_caches`). Long-lived sessions otherwise accumulate one
+    base+candidate cache per operator invocation."""
+    existing = getattr(result, "_mare_caches", ())
+    result._mare_caches = tuple(existing) + tuple(cached)
+    return result
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist the intermediates recorded by :func:`attach_caches`.
+
+    ONLY safe once nothing downstream still needs ``df``'s lineage — i.e.
+    after the consumer has materialized its own state (collected, written,
+    or eagerly checkpointed, as :func:`dedup_clusters` does)."""
+    for cached in getattr(df, "_mare_caches", ()):
+        cached.unpersist()
+    df._mare_caches = ()
+
+
 def _persisted_candidates(cand: DataFrame) -> DataFrame:
     """Persist the candidate-pair set: it feeds both the verify joins and the
     :func:`_candidate_shingles` semi-join, and without a persist the expensive
@@ -163,7 +184,7 @@ def ngram_jaccard_pairs(
 
     cand = _persisted_candidates(cand)
     sh = _candidate_shingles(base, cand)
-    return (
+    result = (
         cand.join(sh.withColumnsRenamed({"doc": "doc_a", "shingles": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
         .withColumn(
@@ -177,6 +198,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return attach_caches(result, base, cand)
 
 
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -304,7 +326,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return verified
+    return attach_caches(verified, base, cand)
 
 
 def simhash64(text_col: Column, shingle_n: int = 2) -> Column:

@@ -459,12 +459,16 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: the KEPT documents. Every stage is a registered operator; the
     whole pipeline stays declarative (no collect between stages), so
     Catalyst plans it end-to-end."""
-    from mare_spark.operators.dedup import dedup_clusters
+    from mare_spark.operators.dedup import dedup_clusters, release_caches
     from mare_spark.operators.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
     clusters = dedup_clusters(pairs)
+    # dedup_clusters eagerly checkpoints its labels, so the pair-generation
+    # intermediates (shingle base + candidate caches) are droppable here —
+    # without this a long session leaks one cache set per pipeline run.
+    release_caches(pairs)
     drop = clusters.filter(F.col("member") != F.col("cluster")).select(
         F.col("member").alias("doc_id")
     )

@@ -137,6 +137,23 @@ def test_ivf_assignment_partitions_corpus(emb):
     assert assigned.exceptAll(again.select("vec_id", "ivf_cell")).count() == 0
 
 
+def test_release_caches_unpersists_intermediates(docs):
+    """Operators attach their internal persists to the result; release_caches
+    drops them once a consumer has materialized downstream state."""
+    from mare_spark.operators.dedup import release_caches
+
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    pairs.count()  # materialize → base + candidate caches are live
+    cached = pairs._mare_caches
+    assert cached and all(c.storageLevel.useMemory or c.storageLevel.useDisk
+                          for c in cached)
+    release_caches(pairs)
+    assert pairs._mare_caches == ()
+    assert all(
+        not (c.storageLevel.useMemory or c.storageLevel.useDisk) for c in cached
+    )
+
+
 def test_multimodal_decode_schema_and_determinism(docs):
     mm = attach_binary_payload(docs, "text", "doc_id")
     assert dict(mm.dtypes)["payload"] == "binary"
