@@ -106,6 +106,25 @@ def read_binary(
     return reader.load(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same vectorized/pushdown treatment as parquet (Spark's
+    other first-class columnar format; no extra packages)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink; ``partition_by`` enables partition pruning for readers."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

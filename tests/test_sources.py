@@ -72,3 +72,17 @@ def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     # partition pruning: only the status=F directory is listed in the scan
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert back.count() == df.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
+    df = read_table(spark, SF_SMOKE, "nation")
+    p = str(tmp_path / "nation_orc")
+    src.write_orc(df, p, partition_by=["n_regionkey"])
+    back = src.read_orc(spark, p)
+    assert back.count() == df.count()
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in df.collect()
+    )
+    # partition filter prunes to one directory's files
+    one = back.filter(F.col("n_regionkey") == 0)
+    assert one.count() < df.count()
