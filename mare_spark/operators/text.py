@@ -207,3 +207,37 @@ def text_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(normalize_text(F.col(text_col))).alias("fp_md5"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias("fp_sorted"),
     )
+
+
+def deterministic_uniform(key: Column, salt: str = "") -> Column:
+    """Reproducible pseudo-uniform in [0, 1) from a key column: first 8 hex
+    chars of md5 → 32-bit int → scale. Engine-portable (md5 is identical in
+    DuckDB/Spark, unlike xxhash64), so sampled sets are oracle-checkable and
+    stable across runs/cluster sizes — the property that matters when a
+    sampling decision must be re-derivable months later at 100 TB."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sampling — the training-data mixing primitive
+    (per-language / per-source rates). Unlike ``df.sampleBy`` (partition-
+    order-dependent RNG), membership is a pure function of the key, so the
+    sample is reproducible, join-stable, and a scan-side filter: no shuffle,
+    prunes before any downstream work. Strata absent from ``fractions`` are
+    dropped (rate 0)."""
+    u = deterministic_uniform(F.col(key_col), salt)
+    rate = F.lit(0.0)
+    for stratum, frac in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(frac))).otherwise(
+            rate
+        )
+    return df.filter(u < rate)

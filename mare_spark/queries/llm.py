@@ -480,6 +480,34 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_stratified_by_lang",
+    category="llm",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, lang FROM u
+    WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                        WHEN 'zh' THEN 0.1 ELSE 0.0 END
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (training-data mixing):
+    per-language keep rates decided by a pure md5-based function of doc_id —
+    reproducible across runs and engines (hence oracle-checkable), scan-side
+    (no shuffle, no RNG state)."""
+    from mare_spark.operators.text import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "zh": 0.1}, "doc_id"
+    ).select("doc_id", "lang")
+
+
 @register("multimodal_decode", category="llm", oracle=None)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct + Arrow-batched feature decode

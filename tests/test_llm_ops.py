@@ -283,3 +283,25 @@ def test_dedup_clusters_chain(spark):
     )
     got = {r.member: r.cluster for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_stratified_sample_deterministic_and_shuffle_free(docs):
+    from mare_spark import plans as P
+    from mare_spark.operators.text import stratified_sample
+
+    frac = {"en": 0.5, "de": 0.25}
+    s1 = stratified_sample(docs, "lang", frac, "doc_id").select("doc_id")
+    s2 = stratified_sample(docs, "lang", frac, "doc_id").select("doc_id")
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert ids1 == sorted(r.doc_id for r in s2.collect())  # pure function of key
+    # different salt → different (but still deterministic) sample
+    s3 = stratified_sample(docs, "lang", frac, "doc_id", salt="v2").select("doc_id")
+    assert ids1 != sorted(r.doc_id for r in s3.collect())
+    # unlisted strata are dropped entirely
+    langs = {r.lang for r in stratified_sample(docs, "lang", frac, "doc_id")
+             .select("lang").distinct().collect()}
+    assert langs <= set(frac)
+    # scan-side filter: no exchange in the plan
+    assert P.count_shuffle_exchanges(
+        stratified_sample(docs, "lang", frac, "doc_id")
+    ) == 0
