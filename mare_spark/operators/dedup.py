@@ -499,10 +499,14 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
 
+    # Seed labels with the first propagation round fused into initialization:
+    # label₀(n) = min({n} ∪ neighbors(n)). Every node appears as a src (edges
+    # are bidirectional), so this is one aggregate over the edge set — and
+    # pair/triple components (the near-dup norm) then converge in a single
+    # verify iteration instead of two.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .localCheckpoint(eager=True)
     )
 
