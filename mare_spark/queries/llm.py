@@ -405,12 +405,19 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("text_rolling_fingerprint", category="llm", oracle=None)
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprints (sequential recurrence →
-    pandas UDF; determinism asserted in tests)."""
+    """Winnowing-style rolling-hash fingerprints (numpy-windowed pandas UDF;
+    determinism asserted in tests). The operator returns the fingerprint as
+    ``array<bigint>`` for composition; the registered query serializes it to
+    one comma-joined string so the result holds only scalar columns (the
+    correctness harness canonicalizes row sets with pandas, where array
+    cells are unhashable)."""
     from mare_spark.operators.text import rolling_hash_fingerprint
 
     docs = read_table(spark, sf_dir, "documents")
-    return rolling_hash_fingerprint(docs, "text", "doc_id")
+    fp = rolling_hash_fingerprint(docs, "text", "doc_id")
+    return fp.select(
+        "doc_id", F.concat_ws(",", F.col("fingerprint")).alias("fingerprint")
+    )
 
 
 @register(
@@ -508,11 +515,45 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
-@register("multimodal_decode", category="llm", oracle=None)
+# The fake decoder is md5(payload) → 8 little-endian uint16s / 65536, so it
+# IS SQL-expressible: parse the md5 hex pairwise. Projecting each feature
+# back to its integer numerator (f * 65536 is exact in double) makes the
+# comparison integer-exact — no float-rounding hazard — and keeps the result
+# scalar-only for the harness canonicalizer.
+_MM_FEATS = ", ".join(
+    "CAST(('0x' || substring(h, {lo}, 2)) AS BIGINT)"
+    " + 256 * CAST(('0x' || substring(h, {hi}, 2)) AS BIGINT) AS f{i}".format(
+        lo=4 * i + 1, hi=4 * i + 3, i=i
+    )
+    for i in range(8)
+)
+
+
+@register(
+    "multimodal_decode",
+    category="llm",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS h
+      FROM documents
+    )
+    SELECT doc_id, n_bytes, {_MM_FEATS} FROM t
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct + Arrow-batched feature decode
     (deterministic fake decoder; real codecs are stubbed — see
-    operators.multimodal). Structural/determinism checks in tests."""
+    operators.multimodal). The registered query projects the feature vector
+    to 8 integer columns (``f_i * 65536``, exact) so the output is
+    scalar-only and the md5-based decode is oracle-checkable in SQL."""
     docs = read_table(spark, sf_dir, "documents")
     mm = attach_binary_payload(docs, "text", "doc_id")
-    return decode_features(mm, "payload", "doc_id", decoder="fake")
+    feats = decode_features(mm, "payload", "doc_id", decoder="fake")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[
+            F.round(F.element_at("features", i + 1) * 65536).cast("long").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )

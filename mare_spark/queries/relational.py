@@ -944,20 +944,26 @@ def q_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            len(name_words)                             AS n_words,
            list_contains(name_words, 'widget')         AS has_widget,
-           list_transform(name_words, w -> upper(w))   AS words_upper,
+           array_to_string(list_transform(name_words, w -> upper(w)), ' ')
+                                                       AS words_upper,
            name_words[1]                               AS first_word
     FROM words
     """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array functions: size / contains / transform / element_at."""
+    """Array functions: size / contains / transform / element_at.
+
+    The transformed array is re-joined to a string on both sides so the
+    registered result stays scalar-only (harness canonicalizer contract)."""
     p = _t(spark, sf_dir, "part")
     words = F.split("p_name", " ", -1)
     return p.select(
         "p_partkey",
         F.size(words).alias("n_words"),
         F.array_contains(words, "widget").alias("has_widget"),
-        F.transform(words, lambda w: F.upper(w)).alias("words_upper"),
+        F.concat_ws(" ", F.transform(words, lambda w: F.upper(w))).alias(
+            "words_upper"
+        ),
         F.element_at(words, 1).alias("first_word"),
     )
 

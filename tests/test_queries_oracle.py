@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from mare_spark.registry import all_queries
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle import compare
 
 QUERIES = all_queries()
@@ -36,3 +36,22 @@ def test_rows_only(spark, name):
     df = q.fn(spark, SF_ORACLE)
     assert df.count() >= 0  # runs end-to-end with a stable schema
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_schema_scalar_only(spark, name):
+    """The driver's correctness harness canonicalizes result sets with
+    pandas (sort_values + factorize), where array/map/struct cells are
+    unhashable — an array-typed output column turns a correct query into a
+    hard ERR (the only two red rows of round 1). Registered queries must
+    therefore emit scalar columns only; operators may still return nested
+    types for composition."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name].fn(spark, SF_SMOKE)
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}.{f.name} is {f.dataType.simpleString()} — registered "
+            "queries must emit scalar columns (serialize arrays at the query "
+            "layer; see VERDICT r1 §wrong-1/2)"
+        )
