@@ -55,3 +55,15 @@ def test_query_schema_scalar_only(spark, name):
             "queries must emit scalar columns (serialize arrays at the query "
             "layer; see VERDICT r1 §wrong-1/2)"
         )
+
+
+def test_driver_priority_consistent():
+    """DRIVER_PRIORITY must reference only real queries, without duplicates,
+    and all_queries() must enumerate it first — the driver's correctness
+    gate checks a prefix of this enumeration."""
+    from mare_spark.registry import DRIVER_PRIORITY
+
+    assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY)
+    unknown = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    assert not unknown, f"DRIVER_PRIORITY names not in registry: {unknown}"
+    assert list(QUERIES)[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
