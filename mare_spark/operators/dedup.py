@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -493,11 +493,15 @@ def dedup_clusters(
     # dwarfs execution. localCheckpoint (eager) materializes the rows AND
     # cuts the lineage, keeping every round's plan constant-size — on a real
     # cluster swap in reliable checkpoint() for executor-loss tolerance.
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    # Materialize the (typically expensive) pair set ONCE, then mirror the
+    # checkpointed rows for bidirectional edges. Unioning the two directions
+    # BEFORE materializing would run the upstream pair-generation plan twice
+    # inside one job (exchange reuse across differently-projected branches
+    # is not guaranteed under AQE).
+    directed = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    edges = directed.union(directed.select(F.col("dst"), F.col("src")))
 
     # Seed labels with the first propagation round fused into initialization:
     # label₀(n) = min({n} ∪ neighbors(n)). Every node appears as a src (edges
@@ -510,12 +514,19 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Convergence check fused into the materializing action: an
+        # Observation on a _changed flag is collected DURING the eager
+        # localCheckpoint job, so each round costs exactly one job — the r1
+        # shape (checkpoint + separate join/limit/count job per round) paid
+        # one extra full pass over the label set every iteration.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -523,19 +534,27 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("_changed"),
             )
+            .observe(obs, F.sum("_changed").alias("n_changed"))
+            .select("node", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if (obs.get["n_changed"] or 0) == 0:
+            converged = True
             break
+
+    if not converged:
+        # Components whose diameter exceeds the cap would keep partially
+        # propagated labels — merged clusters would silently be wrong.
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} "
+            "iterations — a duplicate chain is longer than the cap; raise "
+            "max_iterations"
+        )
 
     return labels.select(F.col("node").alias("member"), F.col("label").alias("cluster"))
 
