@@ -152,10 +152,11 @@ def rolling_hash_fingerprint(
     sliding character window, keep the ``keep`` smallest hashes (a stable,
     order-insensitive content sketch robust to small edits).
 
-    Arrow-batched pandas UDF (numpy): the per-character rolling recurrence
-    is inherently sequential per document, which JVM expression code can't
-    express — this is the sanctioned slow-path shape (vectorized across the
-    window dimension, one pass per doc).
+    Arrow-batched pandas UDF (numpy): polynomial window hashes computed as
+    ``window`` vectorized multiply-add passes over a byte sliding-window
+    matrix — O(window) numpy ops per document, no per-character Python.
+    Modulus 2^31-1 keeps every intermediate (< 2^39) inside uint64, so the
+    whole recurrence stays in native integer arithmetic.
     """
     import numpy as np
     import pandas as pd
@@ -164,7 +165,8 @@ def rolling_hash_fingerprint(
     # type hints into strings that pandas_udf's signature inspector rejects —
     # set real annotations after the def instead of inline hints.
     def fingerprints(texts):
-        B, M = 257, (1 << 61) - 1
+        B = np.uint64(257)
+        M = np.uint64((1 << 31) - 1)
         out = []
         for t in texts:
             s = (t or "").lower()
@@ -172,20 +174,12 @@ def rolling_hash_fingerprint(
             if len(b) < window:
                 out.append([int(b.sum()) if len(b) else 0])
                 continue
-            # rolling polynomial hash via prefix powers (vectorized)
-            powers = np.ones(window, dtype=object)
-            for i in range(1, window):
-                powers[i] = (powers[i - 1] * B) % M
-            hashes = []
-            h = 0
-            for i, c in enumerate(b):
-                h = (h * B + int(c)) % M
-                if i >= window:
-                    h = (h - int(b[i - window]) * int(powers[window - 1] * B % M)) % M
-                if i >= window - 1:
-                    hashes.append(h)
-            hashes = sorted(set(hashes))[:keep]
-            out.append([int(x) for x in hashes])
+            wins = np.lib.stride_tricks.sliding_window_view(b, window)
+            acc = np.zeros(wins.shape[0], dtype=np.uint64)
+            for j in range(window):  # Horner over the window dim: w ops total
+                acc = (acc * B + wins[:, j]) % M
+            picks = np.unique(acc)[:keep]  # sorted distinct, smallest first
+            out.append([int(x) for x in picks])
         return pd.Series(out)
 
     fingerprints.__annotations__ = {"texts": pd.Series, "return": pd.Series}
