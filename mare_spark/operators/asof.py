@@ -32,45 +32,45 @@ def asof_join(
     ``right.on <= left.on`` within the same ``by`` group (backward as-of).
 
     Plan: tag and union the two inputs, hash-partition by ``by``, order by
-    (event time, right-before-left at ties), then for each right column
-    carry the latest non-null value forward with
-    ``last(col, ignorenulls=True)`` over rows UNBOUNDED PRECEDING..CURRENT.
-    Left rows then project their carried values. Ties (equal timestamps)
-    match, mirroring ``pd.merge_asof``/DuckDB ``ASOF JOIN`` (>=) semantics.
+    (event time, right-before-left at ties), then carry the latest right ROW
+    forward atomically as a single struct with
+    ``last(struct, ignorenulls=True)`` over rows UNBOUNDED PRECEDING..CURRENT
+    (the struct is NULL on left rows, non-NULL on every right row — so the
+    whole matched row is taken verbatim and legitimate NULLs in its fields
+    survive, matching ``pd.merge_asof``/DuckDB ``ASOF JOIN``, which never
+    substitute field values from older rows). Left rows then project the
+    carried struct's fields. Ties (equal timestamps) match (>= semantics).
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
 
-    lt = left.withColumn("_side", F.lit(1))
     rt = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_r"),
+    )
+    r_struct_type = rt.schema["_r"].dataType
+    lt = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(r_struct_type)
     )
     # align schemas for the union
     for c in left.columns:
         if c not in (by, on):
             rt = rt.withColumn(c, F.lit(None))
-    for c in right_cols:
-        lt = lt.withColumn(f"{c}{suffix}", F.lit(None))
 
-    unioned = lt.select(rt.columns).unionByName(rt.select(rt.columns))
+    unioned = lt.select(lt.columns).unionByName(rt.select(lt.columns))
     w = (
         W.partitionBy(by)
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_carry_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_carry")
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[c for c in left.columns],
-        *[F.col(f"_carry_{c}").alias(f"{c}{suffix}") for c in right_cols],
+        *[F.col("_carry")[c].alias(f"{c}{suffix}") for c in right_cols],
     )
     return out
 

@@ -46,6 +46,29 @@ def test_asof_composition_equals_pandas_variant(spark):
     assert len(ka) == purchases.count()
 
 
+def test_asof_matched_row_taken_atomically(spark):
+    """The matched right row is attached verbatim: a NULL field in the most
+    recent matching row must NOT be backfilled from an older right row, and
+    all carried columns must come from the SAME right row (merge_asof /
+    DuckDB ASOF JOIN semantics)."""
+    left = spark.createDataFrame([(1, 10, "x")], "k int, t int, payload string")
+    right = spark.createDataFrame(
+        [(1, 1, 100.0, "old"), (1, 5, None, "new")],
+        "k int, t int, v double, tag string",
+    )
+    out = asof_join(left, right, on="t", by="k", right_cols=["v", "tag"]).collect()
+    assert len(out) == 1
+    # matched row is (t=5, v=NULL, tag='new') — v stays NULL, tag from same row
+    assert out[0].v_asof is None
+    assert out[0].tag_asof == "new"
+    # pandas variant agrees
+    outp = asof_join_pandas(
+        left, right, on="t", by="k", right_cols=["v", "tag"]
+    ).collect()
+    assert len(outp) == 1
+    assert outp[0].v_asof is None and outp[0].tag_asof == "new"
+
+
 def test_asof_no_prior_right_row_gives_null(spark):
     left = spark.createDataFrame([(1, 5, "x")], "k int, t int, payload string")
     right = spark.createDataFrame([(1, 10, 99.0)], "k int, t int, v double")
