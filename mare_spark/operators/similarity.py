@@ -49,20 +49,36 @@ def hyperplane_signature(
     vec_col, planes: np.ndarray
 ):
     """Sign-bit signature (as one bigint) of a vector against fixed random
-    hyperplanes — JVM expression code: one dot product per plane."""
-    bits = []
-    for i, plane in enumerate(planes):
-        dot = None
-        for j, w in enumerate(plane):
-            term = F.element_at(vec_col, j + 1).cast("double") * float(w)
-            dot = term if dot is None else dot + term
-        bits.append(
-            F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
-    return sig
+    hyperplanes — JVM expression code, dim-scalable.
+
+    The planes ship as ONE ``array<array<double>>`` literal (constant data,
+    not an expression tree), and the per-plane dot products run through
+    ``transform``/``zip_with``/``aggregate`` higher-order functions — so the
+    expression size is O(1) in both embedding dim and plane count. The
+    earlier unrolled form (one multiply-add node per element per plane) blew
+    past janino's 64 KB codegen limit at realistic dims (1536 × 64 planes ≈
+    98k nodes → interpreted eval)."""
+    n_planes = len(planes)
+    if n_planes > 63:
+        raise ValueError("at most 63 planes per signature (signed long bits)")
+    planes_lit = F.lit([[float(w) for w in p] for p in planes])
+    bit_lits = F.lit([1 << i for i in range(n_planes)])
+    dots = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(p, vec_col, lambda w, x: w * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    signed = F.zip_with(
+        dots,
+        bit_lits,
+        lambda d, bv: F.when(d > 0, bv).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        signed, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)
+    )
 
 
 def embedding_lsh_pairs(

@@ -73,6 +73,45 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
 
 
+def test_hyperplane_signature_realistic_dim(spark):
+    """1536-dim embeddings × 48 planes: the signature must stay a compact
+    higher-order-function expression (planes as one array literal), agree
+    with numpy, and not blow codegen — the unrolled form was ~74k expression
+    nodes at this shape."""
+    import numpy as np
+
+    from mare_spark.operators.similarity import hyperplane_signature
+
+    dim, n_planes, n_rows = 1536, 48, 20
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((n_planes, dim))
+    vecs = rng.standard_normal((n_rows, dim))
+
+    expected = {}
+    for i, v in enumerate(vecs):
+        sig = 0
+        for p in range(n_planes):
+            if float(planes[p] @ v) > 0:
+                sig |= 1 << p
+        expected[i] = sig
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.sig
+        for r in df.select(
+            "vec_id",
+            hyperplane_signature(F.col("embedding"), planes).alias("sig"),
+        ).collect()
+    }
+    assert got == expected
+
+    with pytest.raises(ValueError):
+        hyperplane_signature(F.col("embedding"), np.zeros((64, 4)))
+
+
 def test_embedding_lsh_pairs_recall(spark):
     emb = read_table(spark, SF_ORACLE, "embeddings")
     exact = {
