@@ -459,13 +459,14 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    result = (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    return attach_caches(result, base)
 
 
 def dedup_clusters(

@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mare_spark.operators.dedup import cosine_similarity
+from mare_spark.operators.dedup import attach_caches, cosine_similarity
 
 
 def brute_force_topk(
@@ -130,7 +130,7 @@ def embedding_lsh_pairs(
         .distinct()
     )
     v = base
-    return (
+    result = (
         cand.join(v.withColumnsRenamed({"vid": "id_a", "v": "v_a"}), "id_a")
         .join(v.withColumnsRenamed({"vid": "id_b", "v": "v_b"}), "id_b")
         .withColumn(
@@ -139,6 +139,7 @@ def embedding_lsh_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    return attach_caches(result, base)
 
 
 def train_ivf_centroids(

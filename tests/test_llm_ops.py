@@ -154,6 +154,30 @@ def test_release_caches_unpersists_intermediates(docs):
     )
 
 
+def test_simhash_and_embedding_lsh_attach_caches(docs, emb):
+    """Every persisting operator must route its result through attach_caches
+    so long-lived sessions can release the intermediates (simhash_pairs and
+    embedding_lsh_pairs leaked one cached base per call in r1)."""
+    from mare_spark.operators.dedup import release_caches, simhash_pairs
+    from mare_spark.operators.similarity import embedding_lsh_pairs
+
+    for pairs in (
+        simhash_pairs(docs, "text", "doc_id", max_hamming=3),
+        embedding_lsh_pairs(emb, "embedding", "vec_id", threshold=0.4),
+    ):
+        pairs.count()
+        cached = pairs._mare_caches
+        assert cached
+        assert all(
+            c.storageLevel.useMemory or c.storageLevel.useDisk for c in cached
+        )
+        release_caches(pairs)
+        assert all(
+            not (c.storageLevel.useMemory or c.storageLevel.useDisk)
+            for c in cached
+        )
+
+
 def test_multimodal_decode_schema_and_determinism(docs):
     mm = attach_binary_payload(docs, "text", "doc_id")
     assert dict(mm.dtypes)["payload"] == "binary"
