@@ -579,13 +579,28 @@ def embedding_cosine_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
+    exact_max_rows: int | None = 100_000,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold, exact (self-join).
+    """Embedding near-dup pairs: cosine ≥ threshold.
 
-    This is the *exact* tier; it normalizes each vector once, then joins.
-    For corpus-scale N use :func:`mare_spark.operators.similarity.ann_lsh_topk`'s
-    hyperplane bucketing to restrict the pair space first.
+    Guarded routing: below ``exact_max_rows`` this is the *exact* tier — an
+    all-pairs theta self-join (O(N²) BroadcastNestedLoop, fine for modest N,
+    zero false negatives). Above it, the O(N²) plan would not survive, so
+    inputs route through the banded-LSH scale tier
+    (:func:`mare_spark.operators.similarity.embedding_lsh_pairs`), whose
+    candidates are exact-cosine verified — no false positives, recall
+    tunable via its banding. The size probe is ``limit(N+1).count()``
+    (bounded — never a full count of a 100 TB corpus). Pass
+    ``exact_max_rows=None`` to force the exact tier.
     """
+    if exact_max_rows is not None:
+        n_probe = df.select(id_col).limit(exact_max_rows + 1).count()
+        if n_probe > exact_max_rows:
+            from mare_spark.operators.similarity import embedding_lsh_pairs
+
+            return embedding_lsh_pairs(
+                df, vec_col=vec_col, id_col=id_col, threshold=threshold
+            )
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     a = base.withColumnsRenamed({"vid": "id_a", "v": "v_a"})
     b = base.withColumnsRenamed({"vid": "id_b", "v": "v_b"})

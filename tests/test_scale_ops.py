@@ -73,6 +73,24 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
 
 
+def test_embedding_cosine_pairs_guarded_routing(spark):
+    """Above the exact_max_rows guard the all-pairs theta join must NOT run:
+    the plan routes through banded LSH (no BroadcastNestedLoopJoin) and the
+    verified result is a subset of the exact pair set."""
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    exact = embedding_cosine_pairs(
+        emb, "embedding", "vec_id", 0.4, exact_max_rows=None
+    )
+    assert "BroadcastNestedLoopJoin" in exact._jdf.queryExecution().executedPlan().toString()
+
+    routed = embedding_cosine_pairs(emb, "embedding", "vec_id", 0.4, exact_max_rows=10)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    exact_set = {(r.id_a, r.id_b) for r in exact.collect()}
+    routed_set = {(r.id_a, r.id_b) for r in routed.collect()}
+    assert routed_set and routed_set <= exact_set
+
+
 def test_hyperplane_signature_realistic_dim(spark):
     """1536-dim embeddings × 48 planes: the signature must stay a compact
     higher-order-function expression (planes as one array literal), agree
