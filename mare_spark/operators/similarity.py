@@ -157,14 +157,22 @@ def train_ivf_centroids(
     (``sample_size`` rows, not a collect of the corpus). Lloyd iterations run
     in numpy on the driver; the result is a tiny (nlist × dim) array that is
     broadcast into the assignment UDF. Deterministic under ``seed``.
+
+    No full-corpus action: the sample uses a fixed conservative fraction +
+    ``limit`` (the r1 shape ran ``df.count()`` just to size the fraction —
+    a pointless extra job over the whole corpus at scale). If the fraction
+    under-fills on a small input, fall back to a bounded ``limit`` scan —
+    the input is tiny exactly when that scan is cheap.
     """
-    n = df.count()
-    frac = min(1.0, (sample_size * 1.2) / max(n, 1))
-    sample = np.array(
-        df.select(vec_col).sample(frac, seed=seed).limit(sample_size).rdd
-        .map(lambda r: r[0]).collect(),
-        dtype=np.float64,
+    rows = (
+        df.select(vec_col).sample(fraction=0.05, seed=seed)
+        .limit(sample_size).rdd.map(lambda r: r[0]).collect()
     )
+    if len(rows) < max(nlist, min(256, sample_size)):
+        rows = (
+            df.select(vec_col).limit(sample_size).rdd.map(lambda r: r[0]).collect()
+        )
+    sample = np.array(rows, dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
 
     rng = np.random.default_rng(seed)
@@ -249,6 +257,60 @@ def ivf_topk(
     return (
         ivf_assign(df, centroids, vec_col=vec_col)
         .filter(F.col("ivf_cell").isin([int(c) for c in probe_cells]))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), qcol), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Materialize the corpus as a parquet IVF index: rows assigned to their
+    nearest centroid and written ``partitionBy(cell_col)``.
+
+    This is the scale posture the operator docstrings promise: once the cell
+    is a *partition column*, a probe is a partition-pruned scan that reads
+    only nprobe/nlist of the files — the other cells are never opened.
+    Assignment is the map-only Arrow UDF; the write shuffles nothing (each
+    task writes its rows into per-cell subdirectories)."""
+    ivf_assign(df, centroids, vec_col=vec_col, cell_col=cell_col).write.mode(
+        "overwrite"
+    ).partitionBy(cell_col).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Top-k probe against a :func:`write_ivf_index` layout.
+
+    The ``isin`` filter on the partition column becomes a scan-side
+    PartitionFilter (plan-asserted in tests): only the probed cells' files
+    are listed and read. Candidate set ≈ nprobe/nlist of the corpus, cosine
+    + TakeOrderedAndProject on top — no shuffle."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probe_cells = np.argsort(-(centroids @ q))[:nprobe].tolist()
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col(cell_col).isin([int(c) for c in probe_cells]))
         .select(
             F.col(id_col),
             F.round(cosine_similarity(F.col(vec_col), qcol), 6).alias("cosine"),

@@ -125,6 +125,45 @@ def test_q9_broadcasts_nation_and_prunes_part(spark):
             assert set(cols) <= {"p_partkey", "p_name", "p_retailprice"}, cols
 
 
+def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
+    """With ivf_cell as a partition column, the probe must be a
+    partition-pruned scan: PartitionFilters on ivf_cell, only nprobe/nlist
+    of the cell directories read — the 100 TB probe story, demonstrated."""
+    from mare_spark.operators.similarity import (
+        ivf_topk_indexed,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+    from mare_spark.tables import read_table
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    centroids = train_ivf_centroids(emb, nlist=8)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, centroids)
+
+    q = emb.select("embedding").head()[0]
+    probe = ivf_topk_indexed(spark, path, centroids, list(q), k=5, nprobe=2)
+    plan = P.formatted_plan(probe)
+    assert "PartitionFilters" in plan, plan
+    # the probe predicate must be a partition filter (listing-time pruning),
+    # not a post-scan data filter
+    pf_section = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "ivf_cell" in pf_section and "IN" in pf_section, plan
+    assert probe.count() == 5
+    # after execution the scan metric confirms only the probed cells' files
+    # were opened (8 cells written, nprobe=2 read)
+    leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
+    n_files = None
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numFiles"):
+            n_files = m.apply("numFiles").value()
+            break
+    assert n_files is not None
+    total_files = len(spark.read.parquet(path).inputFiles())
+    assert n_files < total_files, (n_files, total_files)
+
+
 def test_q20_semi_join_after_aggregate(spark):
     """The IN-subquery is planned as a semi join onto the aggregated
     qualifying set — no full join materializing lineitem against supplier."""
