@@ -71,9 +71,67 @@ def read_text(
     reader = spark.read
     if line_sep is not None:
         reader = reader.option("lineSep", line_sep)
-    if whole_text:
-        reader = reader.option("wholetext", True)
-    return reader.text(path)
+    # NB: the option-string spelling `.option("wholetext", True)` is silently
+    # ignored by the text source — only the reader kwarg takes effect.
+    return reader.text(path, wholetext=whole_text)
+
+
+def read_fixed_record_text(
+    spark: SparkSession,
+    path: str,
+    n_lines: int,
+    drop_incomplete: bool = False,
+) -> DataFrame:
+    """Multi-line fixed-record text scan: one record = ``n_lines``
+    consecutive lines of a file (FASTQ = 4) → (file, record_id, value),
+    ``value`` holding the lines re-joined with ``\\n``.
+
+    Reference parity: the custom Hadoop ``SingleFastqInputFormat`` used by
+    HaplotypeCallTest.scala:26-35 — the one reference input capability
+    ``lineSep`` can't express, since the record boundary is positional, not
+    a delimiter string.
+
+    Plan: whole-file text scan, then pure expression code — split to a line
+    array, chunk with ``transform``/``slice``, ``posexplode`` — zero
+    shuffle, zero Python. Records never span files by construction (line
+    numbering restarts per file — a global-line-number scheme would break on
+    files whose line count isn't a multiple of ``n_lines`` and depends on
+    undocumented split ordering). Memory bound = file size, the same posture
+    as the reference's whole-file read (MountPoint.scala:90); at scale the
+    parallelism unit is the file, which matches how FASTQ corpora ship
+    (many per-sample files).
+
+    ``drop_incomplete`` drops a trailing partial record instead of keeping
+    it short.
+    """
+    if n_lines < 1:
+        raise ValueError("n_lines must be >= 1")
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+    sp = F.split(F.col("value"), "\n", -1)
+    # a trailing newline yields one trailing empty element — drop exactly it
+    lines = F.when(
+        (F.size(sp) > 0) & (F.element_at(sp, -1) == ""),
+        F.slice(sp, 1, F.size(sp) - 1),
+    ).otherwise(sp)
+    n_rec = F.ceil(F.size(lines) / F.lit(n_lines)).cast("int")
+    records = F.when(F.size(lines) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_rec - 1, F.lit(0))),
+            lambda i: F.array_join(
+                F.slice(lines, i * n_lines + 1, F.lit(n_lines)), "\n"
+            ),
+        )
+    )
+    out = raw.select(
+        "file", F.posexplode(records).alias("record_id", "value")
+    ).withColumn("_n_lines", F.size(F.split(F.col("value"), "\n", -1)))
+    if drop_incomplete:
+        out = out.filter(F.col("_n_lines") == n_lines)
+    return out.drop("_n_lines")
 
 
 def read_whole_text(

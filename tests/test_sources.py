@@ -86,3 +86,64 @@ def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
     # partition filter prunes to one directory's files
     one = back.filter(F.col("n_regionkey") == 0)
     assert one.count() < df.count()
+
+
+def test_fixed_record_text_fastq(spark, tmp_path):
+    """4-line FASTQ records, two files — differential vs a readlines-chunking
+    oracle; records never span files; per-file record_ids restart at 0."""
+    fq1 = tmp_path / "a.fastq"
+    fq2 = tmp_path / "b.fastq"
+    recs1 = [
+        "@read1\nACGT\n+\nFFFF",
+        "@read2\nTTAA\n+\n!!!!",
+        "@read3\nGGGG\n+\nIIII",
+    ]
+    recs2 = ["@readX\nCCCC\n+\nHHHH"]
+    fq1.write_text("\n".join(recs1) + "\n")
+    fq2.write_text("\n".join(recs2) + "\n")
+
+    df = src.read_fixed_record_text(spark, str(tmp_path), n_lines=4)
+    rows = df.collect()
+    # oracle: chunk each file's lines in python
+    expected = set()
+    for p, recs in ((fq1, recs1), (fq2, recs2)):
+        lines = p.read_text().splitlines()
+        for i in range(0, len(lines), 4):
+            expected.add((i // 4, "\n".join(lines[i : i + 4])))
+    assert {(r.record_id, r.value) for r in rows} == expected
+    assert len(rows) == 4
+    # per-file ids restart
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r.file, []).append(r.record_id)
+    assert all(sorted(ids) == list(range(len(ids))) for ids in per_file.values())
+
+
+def test_fixed_record_text_incomplete_tail(spark, tmp_path):
+    p = tmp_path / "trunc.fastq"
+    p.write_text("@r1\nACGT\n+\nFFFF\n@r2\nACGT\n")  # 6 lines: 1.5 records
+    kept = src.read_fixed_record_text(spark, str(p), n_lines=4)
+    assert kept.count() == 2
+    dropped = src.read_fixed_record_text(spark, str(p), n_lines=4, drop_incomplete=True)
+    vals = [r.value for r in dropped.collect()]
+    assert vals == ["@r1\nACGT\n+\nFFFF"]
+
+
+def test_fixed_record_text_roundtrip(spark, tmp_path):
+    """Records re-joined with the record separator reproduce the file byte
+    for byte (codec round-trip, TextFile-style trailing delimiter)."""
+    p = tmp_path / "r.txt"
+    original = "l1\nl2\nl3\nl4\nl5\nl6\n"
+    p.write_text(original)
+    df = src.read_fixed_record_text(spark, str(p), n_lines=2)
+    recs = [r.value for r in df.orderBy("record_id").collect()]
+    assert "\n".join(recs) + "\n" == original
+
+
+def test_read_text_whole_text_kwarg(spark, tmp_path):
+    """Regression: .option(\"wholetext\", True) is silently ignored by the
+    text source; read_text must route through the reader kwarg."""
+    p = tmp_path / "w.txt"
+    p.write_text("a\nb\nc\n")
+    assert src.read_text(spark, str(p), whole_text=True).count() == 1
+    assert src.read_text(spark, str(p)).count() == 3
