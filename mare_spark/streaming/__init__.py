@@ -23,25 +23,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA_RAW = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream over an events landing directory (parquet files).
 
-    The fixture's ``ts`` is parquet TIMESTAMP(NANOS) → read as long
-    (``nanosAsLong``, see mare_spark.tables) and converted to a microsecond
-    timestamp with exact integer division.
+    Streaming sources need an upfront schema; we take it from the landing
+    dir's own parquet footers (one metadata read — no data scan), so the
+    reader is timestamp-unit-agnostic: a TIMESTAMP(MICROS) fixture arrives
+    as TimestampType directly, while a TIMESTAMP(NANOS) fixture (read as
+    longs under ``nanosAsLong``, see mare_spark.tables) or a raw
+    nanosecond-long column is converted with exact integer division
+    (``div 1000`` — `/` would round-trip through double and lose precision
+    on int64 nanos).
     """
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(source_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA_RAW)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks require TIMESTAMP (with-TZ); the session TZ is pinned
+        # to UTC above, so this cast is value-preserving.
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def tumbling_counts(
