@@ -1,0 +1,268 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+repetition statistics, rule-based quality gates, PII scrubbing, eval-set
+decontamination, and sequence packing.
+
+These extend the text-analysis family (operators.text) with the
+filter/transform passes a production pretraining pipeline runs between raw
+ingestion and tokenization — the C4/Gopher-style rule filters, the
+"remove anything that overlaps the benchmark" decontamination join, and the
+concatenate-and-cut packing step that turns documents into fixed-length
+training sequences.
+
+Scale posture:
+* repetition/gates/PII are pure scan-side expression code (no shuffle, no
+  Python) — they compose with predicate pushdown and cost one pass.
+* decontamination is an inverted-index semi-join on n-gram hashes: the eval
+  side of the join is an eval *set* (benchmarks are MBs, not TBs), so it is
+  broadcast — the 100 TB corpus is never shuffled, only scanned.
+* packing shuffles once on the group key and runs one windowed cumulative
+  sum per group — the same cost as any keyed window; parallelism = number
+  of groups, so callers shard hot groups (the ``group_col`` can be a
+  composite like ``(lang, doc_id % 64)``) when one group dominates.
+
+No reference counterpart: MaRe (see /root/reference) has no text analytics;
+users would express these as shell commands inside containers
+(README.md:21-25). This family is part of the engine's declared LLM-pipeline
+extension (SURVEY §2B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mare_spark.operators.text import tokens
+
+__all__ = [
+    "repetition_stats",
+    "quality_gates",
+    "pii_scrub",
+    "decontaminate_ngrams",
+    "pack_sequences",
+    "PII_PATTERNS",
+]
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Word n-grams of an array column as space-joined strings; empty array
+    when the document has fewer than ``n`` words.
+
+    ``sequence(1, k)`` is used only under a ``size >= n`` guard because Spark
+    generates a *descending* sequence when k < 1 (DuckDB's ``range`` returns
+    empty instead — the guard keeps both engines identical).
+    """
+    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    * ``distinct_word_ratio`` — |distinct words| / |words|; low = repetitive.
+    * ``top_word_frac``       — occurrences of the most frequent word / |words|.
+    * ``dup_bigram_frac``     — fraction of word bigrams that are repeats
+      (1 - |distinct bigrams| / |bigrams|).
+
+    All scan-side array expressions: the per-document most-frequent-word count
+    is computed as a transform over the distinct-word array (O(d·n) per doc,
+    zero shuffle) rather than an explode + groupBy (two shuffles over the
+    whole corpus). For corpus-scale documents d·n stays small; the explode
+    formulation only wins when single documents are huge.
+    """
+    w = tokens(F.col(text_col))
+    d = df.withColumn("_w", w)
+    words = F.col("_w")
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda x: F.size(F.filter(words, lambda y: y == x)),
+        )
+    )
+    bg = _word_ngrams(words, 2)
+    nbg = F.size(bg)
+    nbgd = F.size(F.array_distinct(bg))
+    return d.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(nd / F.greatest(n, F.lit(1)), 6).alias("distinct_word_ratio"),
+        F.round(top / F.greatest(n, F.lit(1)), 6).alias("top_word_frac"),
+        F.round(
+            (nbg - nbgd) / F.greatest(nbg, F.lit(1)).cast("double"), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def quality_gates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_tokens: int = 25,
+    max_tokens: int = 100_000,
+    min_avg_word_len: float = 2.0,
+    max_avg_word_len: float = 12.0,
+    max_punct_ratio: float = 0.10,
+    min_stopword_hits: int = 2,
+    max_top_word_frac: float = 0.25,
+) -> DataFrame:
+    """Rule-based quality filter (C4/Gopher-style): one boolean gate per
+    rule plus the conjunction, emitted as 0/1 ints so downstream reporting
+    can aggregate pass rates per rule. Returns every document (filtering is
+    the caller's ``.filter("kept = 1")`` — keeping the gates visible is the
+    point: at corpus scale you audit *why* documents die before you drop
+    them)."""
+    from mare_spark.operators.text import STOPWORDS
+    from mare_spark.operators.dedup import normalize_text
+
+    w = tokens(F.col(text_col))
+    d = df.withColumn("_w", w)
+    words = F.col("_w")
+    n = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
+    avg_wl = F.length(
+        F.regexp_replace(normalize_text(F.col(text_col)), " ", "")
+    ) / F.greatest(n, F.lit(1))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(words, lambda x: F.array_contains(sw, x)))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda x: F.size(F.filter(words, lambda y: y == x)),
+        )
+    )
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+
+    g_len = (n >= min_tokens) & (n <= max_tokens)
+    g_wl = (avg_wl >= min_avg_word_len) & (avg_wl <= max_avg_word_len)
+    g_punct = punct_ratio <= max_punct_ratio
+    g_stop = stop_hits >= min_stopword_hits
+    g_rep = (top / F.greatest(n, F.lit(1))) <= max_top_word_frac
+    gates = {
+        "gate_len": g_len,
+        "gate_word_len": g_wl,
+        "gate_punct": g_punct,
+        "gate_stopwords": g_stop,
+        "gate_repetition": g_rep,
+    }
+    kept = None
+    for g in gates.values():
+        kept = g if kept is None else (kept & g)
+    return d.select(
+        F.col(id_col),
+        *[v.cast("int").alias(k) for k, v in gates.items()],
+        kept.cast("int").alias("kept"),
+    )
+
+
+# PII patterns kept to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): literal classes, bounded repeats, \d.
+# Replacement order matters (applied top to bottom); tokens are uppercase so
+# a scrubbed corpus is greppable for redaction density.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact PII spans (emails, IPv4s, SSN-shaped ids) and count them.
+
+    Output: id, one ``n_<kind>`` count per pattern, and the scrubbed text.
+    Pure regexp expression code — the 100 TB cost is one scan. The pattern
+    list is deliberately conservative (high precision); recall-critical
+    deployments chain a model-based pass afterwards on the
+    ``n_* > 0`` subset, which this pass has already shrunk.
+    """
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))).alias(
+                f"n_{kind}"
+            )
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed_text"))
+
+
+def decontaminate_ngrams(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    eval_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents sharing any word
+    ``n``-gram with the eval corpus (the standard 8–13-gram overlap rule
+    used for pretraining-set hygiene).
+
+    Plan shape: both sides shingle scan-side; eval n-grams are distinct-ed
+    and **broadcast** (eval sets are MBs — benchmarks, not corpora), so the
+    training side is a single scan + broadcast semi-join per document id,
+    then one anti-join. The corpus is never shuffled; there is no all-pairs
+    comparison anywhere. Hashing the grams (xxhash64) keeps the broadcast
+    table fixed-width regardless of gram length.
+    """
+    eval_text_col = eval_text_col or text_col
+    train_grams = df.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(tokens(F.col(text_col)), n)).alias("_gram"),
+    ).select(id_col, F.xxhash64("_gram").alias("_g"))
+    eval_grams = (
+        eval_df.select(
+            F.explode(_word_ngrams(tokens(F.col(eval_text_col)), n)).alias("_gram")
+        )
+        .select(F.xxhash64("_gram").alias("_g"))
+        .distinct()
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(eval_grams), "_g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    *,
+    group_col: str | None = None,
+    max_len: int = 2048,
+) -> DataFrame:
+    """Concatenate-and-cut sequence packing: documents, taken in ``id_col``
+    order within each group, are laid end-to-end on a token tape that is cut
+    every ``max_len`` tokens (documents may straddle cuts — the standard
+    GPT-style pretraining packing; pad-free).
+
+    Output per document: the sequence index its first token lands in
+    (``seq_id``) and its offset within that sequence (``seq_offset``) —
+    enough for a writer to materialize shards deterministically.
+
+    One shuffle (by ``group_col``) + one windowed running sum. Parallelism
+    equals the number of groups, so pack per shard — pass a composite group
+    (e.g. ``lang`` plus ``pmod(doc_id, 256)``) when a single group would
+    otherwise serialize; each shard's tape is independent by construction.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [group_col] if group_col else []
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    start = F.sum(token_col).over(w) - F.col(token_col)
+    out = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
+    return df.select(
+        *out,
+        F.col(token_col).alias("n_tokens"),
+        F.floor(start / max_len).alias("seq_id"),
+        (start % max_len).alias("seq_offset"),
+    )

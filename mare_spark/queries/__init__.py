@@ -9,6 +9,7 @@ Submodules group SURVEY.md §2B families:
 
 from mare_spark.queries import (  # noqa: F401
     llm,
+    llm2,
     pipe,
     relational,
     relational2,

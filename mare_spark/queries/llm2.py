@@ -1,0 +1,248 @@
+"""Corpus-preparation queries (LLM family, round 2): repetition stats,
+quality gates, PII scrubbing, eval-set decontamination, sequence packing,
+and the corpus mix report — the filter/transform passes between raw
+ingestion and tokenization in a pretraining data pipeline.
+
+Every query here is SQL-expressible and carries a DuckDB oracle. The
+shared fragments mirror mare_spark.queries.llm (normalized text, word
+split) so all LLM-family oracles agree on tokenization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mare_spark.operators.corpus import (
+    PII_PATTERNS,
+    decontaminate_ngrams,
+    pack_sequences,
+    pii_scrub,
+    quality_gates,
+    repetition_stats,
+)
+from mare_spark.operators.text import STOPWORDS, tokens
+from mare_spark.registry import register
+from mare_spark.tables import read_table
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WORDS = f"string_split({_NORM}, ' ')"
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _duck_ngrams(n: int, words: str = "w") -> str:
+    """Word n-grams over an already-bound DuckDB list column ``words``
+    (1-based inclusive slices — mirrors operators.corpus._word_ngrams)."""
+    return (
+        f"list_transform(range(1, greatest(len({words}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(({words})[i:i+{n - 1}], ' '))"
+    )
+
+
+# Most-frequent-word count over a bound list column — mirrors the scan-side
+# transform in operators.corpus (O(d·n), no unnest/groupBy).
+_TOP_WORD = (
+    "list_max(list_transform(list_distinct(w), "
+    "x -> len(list_filter(w, y -> y = x))))"
+)
+
+
+@register(
+    "text_repetition_stats",
+    category="llm",
+    bench=True,
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+             {_TOP_WORD} AS top,
+             {_duck_ngrams(2)} AS bg
+      FROM w
+    )
+    SELECT doc_id, n AS n_tokens,
+           round(nd / greatest(n, 1), 6) AS distinct_word_ratio,
+           round(top / greatest(n, 1), 6) AS top_word_frac,
+           round((len(bg) - len(list_distinct(bg))) / greatest(len(bg), 1), 6)
+             AS dup_bigram_frac
+    FROM s
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (distinct-word ratio, top-word
+    fraction, duplicate-bigram fraction) — scan-side array expressions,
+    no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id")
+
+
+@register(
+    "text_quality_gates",
+    category="llm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, len(w) AS n, length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+             length(replace({_NORM}, ' ', '')) / greatest(len(w), 1) AS avg_wl,
+             len(list_filter(w, x -> list_contains({_STOPLIST}, x))) AS stop_hits,
+             {_TOP_WORD} AS top
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(n BETWEEN 25 AND 100000 AS INT) AS gate_len,
+           CAST(avg_wl BETWEEN 2.0 AND 12.0 AS INT) AS gate_word_len,
+           CAST(n_punct / greatest(n_chars, 1) <= 0.10 AS INT) AS gate_punct,
+           CAST(stop_hits >= 2 AS INT) AS gate_stopwords,
+           CAST(top / greatest(n, 1) <= 0.25 AS INT) AS gate_repetition,
+           CAST(
+             (n BETWEEN 25 AND 100000)
+             AND (avg_wl BETWEEN 2.0 AND 12.0)
+             AND (n_punct / greatest(n_chars, 1) <= 0.10)
+             AND (stop_hits >= 2)
+             AND (top / greatest(n, 1) <= 0.25)
+           AS INT) AS kept
+    FROM s
+    """,
+)
+def text_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality filter (C4/Gopher-style): per-rule 0/1 gates plus
+    the conjunction, for per-rule kill-rate auditing before dropping docs."""
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_gates(docs, "text", "doc_id")
+
+
+def _pii_scrub_oracle() -> str:
+    email, ipv4, ssn = (p for _, p, _ in PII_PATTERNS)
+    after_email = f"regexp_replace(text, '{email}', '<EMAIL>', 'g')"
+    after_ip = f"regexp_replace({after_email}, '{ipv4}', '<IP>', 'g')"
+    after_ssn = f"regexp_replace({after_ip}, '{ssn}', '<ID>', 'g')"
+    # counts follow the operator's progressive-scrub order: each pattern is
+    # counted on the text as already scrubbed by the previous patterns
+    return f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{email}')) AS n_email,
+           len(regexp_extract_all({after_email}, '{ipv4}')) AS n_ipv4,
+           len(regexp_extract_all({after_ip}, '{ssn}')) AS n_ssn,
+           md5({after_ssn}) AS scrubbed_md5
+    FROM documents
+    """
+
+
+@register("text_pii_scrub", category="llm", oracle=_pii_scrub_oracle())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4s / SSN-shaped ids): per-kind counts +
+    md5 of the scrubbed text (the full scrubbed column stays on the
+    operator API; the query hashes it to keep the result compact).
+    Positive-match behavior is unit-tested on crafted rows in pytest — the
+    fixture corpus is PII-free, so this query additionally proves the
+    no-false-positive direction on clean text."""
+    docs = read_table(spark, sf_dir, "documents")
+    s = pii_scrub(docs, "text", "doc_id")
+    return s.select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn",
+        F.md5("scrubbed_text").alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "decontaminate_vs_eval",
+    category="llm",
+    bench=True,
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, lang, {_WORDS} AS w FROM documents),
+    g AS (
+      SELECT doc_id, source, unnest({_duck_ngrams(8)}) AS gram FROM w
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    contam AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+      WHERE g.source <> 'src0'
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.source <> 'src0'
+      AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)
+    """,
+)
+def decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: treat source 'src0' as the held-out eval
+    corpus and drop every other document sharing any word 8-gram with it.
+    Eval n-grams are hashed and broadcast — the training side is one scan +
+    broadcast semi-join, never shuffled."""
+    docs = read_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return decontaminate_ngrams(train, eval_df, "text", "doc_id", n=8).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "pack_training_sequences",
+    category="llm",
+    bench=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, len({_WORDS}) AS n_tokens FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(start / 512) AS BIGINT) AS seq_id,
+           CAST(start % 512 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-cut sequence packing per language: documents in
+    doc_id order land on a token tape cut every 512 tokens; output is each
+    document's (seq_id, seq_offset) — deterministic shard assignment for a
+    training-data writer. One shuffle on the group key + one windowed
+    cumulative sum."""
+    docs = read_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(
+        with_tokens, "n_tokens", "doc_id", group_col="lang", max_len=512
+    )
+
+
+@register(
+    "corpus_mix_report",
+    category="llm",
+    oracle=f"""
+    WITH t AS (SELECT lang, source, len({_WORDS}) AS nt FROM documents),
+    g AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM t GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share
+    FROM g
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix audit: documents and tokens per (lang, source) with
+    each cell's share of total corpus tokens — the report that drives
+    stratified-sampling rates. The share window runs over the grouped
+    result (|langs|x|sources| rows), not the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "lang", "source", F.size(tokens(F.col("text"))).alias("nt")
+        )
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return g.select(
+        "lang", "source", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+    )

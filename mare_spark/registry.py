@@ -94,7 +94,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q22_idle_wealthy_customers",
     # -- repaired this round (array-typed outputs ERR'd the r1 harness) --
     "text_rolling_fingerprint", "multimodal_decode",
-    # -- r1-green anchors (re-confirm the headline families) --
+    # -- new corpus-preparation family (round 2) --
+    "text_repetition_stats", "text_quality_gates", "decontaminate_vs_eval",
+    "pack_training_sequences", "text_pii_scrub",
+    # -- r1-green anchors + round-2 additions past the r1 check budget --
+    "corpus_mix_report",
     "q1_pricing_summary", "dedup_exact", "dedup_ngram_jaccard",
     "pipeline_clean_corpus", "sim_topk_cosine",
 )

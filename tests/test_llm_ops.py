@@ -329,3 +329,128 @@ def test_stratified_sample_deterministic_and_shuffle_free(docs):
     assert P.count_shuffle_exchanges(
         stratified_sample(docs, "lang", frac, "doc_id")
     ) == 0
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation operators (operators.corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_positive_matches(spark):
+    from mare_spark.operators.corpus import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.org or bob@test.co today"),
+            (2, "server 10.0.0.1 and 192.168.1.254 are up"),
+            (3, "ssn 123-45-6789 leaked"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(df, "text", "doc_id").collect()}
+    assert out[1].n_email == 2 and "<EMAIL>" in out[1].scrubbed_text
+    assert "jane" not in out[1].scrubbed_text
+    assert out[2].n_ipv4 == 2 and out[2].scrubbed_text.count("<IP>") == 2
+    assert out[3].n_ssn == 1 and "<ID>" in out[3].scrubbed_text
+    assert out[4].scrubbed_text == "clean text with no pii at all"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_ssn) == (0, 0, 0)
+
+
+def test_decontaminate_drops_planted_overlap(spark):
+    from mare_spark.operators.corpus import decontaminate_ngrams
+
+    secret = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words {secret} suffix words here"),  # contaminated
+            (2, "totally unrelated content about spark partitions and shuffles x y"),
+            (3, "one two three four five SIX different seven eight nine ten"),  # no shared 8-gram
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"the eval question contains {secret} verbatim")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate_ngrams(train, eval_df, "text", "doc_id", n=8).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_ngram_guard_short_docs(spark):
+    from mare_spark.operators.corpus import decontaminate_ngrams
+
+    # docs shorter than n produce no grams (never a descending-sequence
+    # artifact) and therefore can't be contaminated
+    train = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    eval_df = spark.createDataFrame([(2, "too short")], "doc_id long, text string")
+    kept = decontaminate_ngrams(train, eval_df, "text", "doc_id", n=8).collect()
+    assert [r.doc_id for r in kept] == [1]
+
+
+def test_pack_sequences_invariants(spark):
+    from mare_spark.operators.corpus import pack_sequences
+
+    rows = [(i, "g", 100 + (i * 37) % 200) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n long")
+    out = (
+        pack_sequences(df, "n", "doc_id", group_col="grp", max_len=512)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # offsets in range, seq ids non-decreasing, and each doc's start equals
+    # the running total of everything before it (tape is gapless)
+    tape = 0
+    for r in out:
+        assert 0 <= r.seq_offset < 512
+        assert r.seq_id == tape // 512
+        assert r.seq_offset == tape % 512
+        tape += r.n_tokens
+    # groups pack independently
+    df2 = spark.createDataFrame(
+        [(1, "a", 600), (2, "b", 600)], "doc_id long, grp string, n long"
+    )
+    out2 = {r.doc_id: r for r in pack_sequences(
+        df2, "n", "doc_id", group_col="grp", max_len=512).collect()}
+    assert out2[1].seq_id == 0 and out2[2].seq_id == 0
+
+
+def test_repetition_stats_crafted(spark):
+    from mare_spark.operators.corpus import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one word repeated
+            (2, "all words here are different"),  # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert out[1].top_word_frac == 1.0
+    assert out[1].distinct_word_ratio == 0.25
+    assert out[1].dup_bigram_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2].top_word_frac == 0.2
+    assert out[2].distinct_word_ratio == 1.0
+    assert out[2].dup_bigram_frac == 0.0
+
+
+def test_quality_gates_kill_reasons(spark):
+    from mare_spark.operators.corpus import quality_gates
+
+    long_clean = "the quick brown fox jumps over a lazy dog and then " * 5
+    df = spark.createDataFrame(
+        [
+            (1, long_clean),                       # passes everything
+            (2, "short doc"),                      # fails length
+            (3, ("buzz " * 60).strip()),           # fails repetition + stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in quality_gates(df, "text", "doc_id").collect()}
+    assert out[1].kept == 1
+    assert out[2].gate_len == 0 and out[2].kept == 0
+    assert out[3].gate_repetition == 0 and out[3].gate_stopwords == 0
+    assert out[3].kept == 0
