@@ -172,3 +172,34 @@ def test_q20_semi_join_after_aggregate(spark):
     df = q20_promo_volume_suppliers(spark, SF_ORACLE)
     plan = P.formatted_plan(df)
     assert "LeftSemi" in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval side must be broadcast (benchmarks are MBs): both the gram
+    semi-join and the final anti-join stay broadcast — the 100 TB corpus is
+    scanned, never shuffled, and no nested-loop join appears."""
+    from mare_spark.queries.llm2 import decontaminate_vs_eval
+
+    df = decontaminate_vs_eval(spark, SF_ORACLE)
+    plan = P.formatted_plan(df)
+    assert P.count_broadcast_joins(df) >= 1, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing = one exchange on the group key + one windowed running sum."""
+    from mare_spark.queries.llm2 import pack_training_sequences
+
+    df = pack_training_sequences(spark, SF_ORACLE)
+    assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
+
+
+def test_repetition_stats_no_shuffle(spark):
+    """Repetition signals are scan-side expression code: zero exchanges."""
+    from mare_spark.queries.llm2 import text_repetition_stats
+
+    df = text_repetition_stats(spark, SF_ORACLE)
+    assert P.count_shuffle_exchanges(df) == 0, P.formatted_plan(df)
+    (cols,) = P.read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}, cols
