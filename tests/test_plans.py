@@ -201,5 +201,8 @@ def test_repetition_stats_no_shuffle(spark):
 
     df = text_repetition_stats(spark, SF_ORACLE)
     assert P.count_shuffle_exchanges(df) == 0, P.formatted_plan(df)
-    (cols,) = P.read_schema_columns(df)
-    assert set(cols) == {"doc_id", "text"}, cols
+    # column pruning reaches the scan unless another test has cached the
+    # full table (InMemoryRelation hides the parquet scan's ReadSchema)
+    if "InMemoryRelation" not in P.formatted_plan(df):
+        (cols,) = P.read_schema_columns(df)
+        assert set(cols) == {"doc_id", "text"}, cols
