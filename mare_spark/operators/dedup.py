@@ -38,6 +38,14 @@ from pyspark.storagelevel import StorageLevel
 # Mersenne prime 2^61 - 1: (a < 2^31) * (h < 2^31) + b stays < 2^63.
 _MERSENNE = (1 << 61) - 1
 
+# Mersenne prime 2^31 - 1 — the MinHash permutation modulus. It must match
+# the 31-bit base-hash universe: with a modulus far above the universe
+# (2^61-1 was used initially), a*h+b wraps at most once, so for every
+# a < 2^30 the "permutation" is monotone in h and deterministically picks
+# the smallest base hash — half the permutations carry no randomness and
+# signature agreement collapses below the Jaccard it should estimate.
+_MERSENNE31 = (1 << 31) - 1
+
 
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread expression-heavy per-row work across all cores when the scan
@@ -284,17 +292,76 @@ def minhash_signature(
 
     Base shingle hash: 31 high bits of xxhash64 (shiftrightunsigned 33) so
     ``a*h + b < 2^62`` — ANSI-overflow-safe; per-permutation universal hash
-    ``(a*h + b) mod (2^61-1)``; min over shingles. Pure expression code —
-    whole-stage-codegen, no Python."""
+    ``(a*h + b) mod (2^31-1)`` (the modulus must sit at the universe size —
+    see ``_MERSENNE31``); min over shingles.
+
+    NB: expression-code tier for API completeness/composability — the
+    higher-order ``transform`` lambdas here are CodegenFallback
+    (interpreted); the hot path (:func:`minhash_lsh_pairs`) uses the
+    vectorized ``_minhash_base_udf`` instead."""
     shingles = word_shingles(text_col, shingle_n)
     h31 = F.transform(shingles, lambda s: F.shiftrightunsigned(F.xxhash64(s), 33))
     sig = [
         F.array_min(
-            F.transform(h31, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE))
+            F.transform(h31, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE31))
         )
         for a, b in _perm_coeffs(num_perm, seed)
     ]
     return F.array(*sig)
+
+
+def _minhash_base_udf(num_perm: int, shingle_n: int, seed: int):
+    """Arrow-batched UDF: per document, the sorted distinct 64-bit shingle
+    hashes AND the ``num_perm`` MinHash signature, in one pass.
+
+    Shingle hash: blake2b-8 (signed int64) — identical to
+    :func:`hashed_word_shingles`, so the LSH tier's verify sets equal the
+    exact tier's. Signature base: the hash's top 31 bits (keeps the affine
+    ``a*h + b`` under 2^62); per-permutation universal hash
+    ``(a*h + b) mod (2^31-1)`` (modulus at the universe size — see
+    ``_MERSENNE31``), minimized over shingles — the whole
+    (num_perm × |shingles|) grid is one numpy broadcast per document.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    coeffs = _perm_coeffs(num_perm, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.uint64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.uint64)[:, None]
+    M = np.uint64(_MERSENNE31)
+    empty_sig = [int(b % M) for b in B[:, 0]]
+
+    def mh_batch(texts):
+        shingles_out, sig_out = [], []
+        for t in texts:
+            ws = _WS_RE.sub(" ", (t or "").strip().lower()).split(" ")
+            grams = {
+                " ".join(ws[i : i + shingle_n])
+                for i in range(len(ws) - shingle_n + 1)
+            }
+            hs = sorted(
+                int.from_bytes(
+                    hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),
+                    "big",
+                    signed=True,
+                )
+                for g in grams
+            )
+            shingles_out.append(hs)
+            if not hs:
+                sig_out.append(empty_sig)
+                continue
+            h31 = np.array(hs, dtype=np.int64).astype(np.uint64) >> np.uint64(33)
+            sig = ((A * h31[None, :] + B) % M).min(axis=1)
+            sig_out.append([int(s) for s in sig])
+        return pd.DataFrame({"shingles": shingles_out, "sig": sig_out})
+
+    mh_batch.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        mh_batch, "struct<shingles: array<bigint>, sig: array<bigint>>"
+    )
 
 
 def minhash_lsh_pairs(
@@ -328,40 +395,36 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
 
-    # Materialize (doc, shingles, base-hash array) ONCE. Without this,
-    # CollapseProject inlines the full shingle→hash pipeline into every
-    # permutation's expression (num_perm × recompute) and the plan goes
-    # quadratic in expression size — measured 100×+ slowdown. Each affine
-    # permutation then only traverses the materialized h31 array, and each
-    # permutation appears in exactly one band hash, so the whole signature
-    # is computed exactly once per document. At corpus scale this persist
-    # is the standard "signature table" materialization point (disk-backed
-    # so it spills instead of OOMing).
+    # Materialize (doc, shingle set, full signature) ONCE, in a single
+    # Arrow-batched numpy UDF. Expression-code signatures were tried first
+    # and abandoned twice over: (a) without a materialization point,
+    # CollapseProject inlines the shingle pipeline into every permutation
+    # (num_perm × recompute, measured 100×+ slowdown); (b) even
+    # materialized, the per-permutation ``array_min(transform(...))``
+    # lambdas are higher-order functions — CodegenFallback, interpreted
+    # row-at-a-time (the same trap hashed_word_shingles documents). The
+    # numpy path computes the whole (num_perm × |shingles|) affine-min in
+    # one vectorized op per document. At corpus scale this persist is the
+    # standard "signature table" materialization point (disk-backed so it
+    # spills instead of OOMing).
     base = (
-        _fan_out(df).select(
+        _fan_out(df)
+        .select(
             F.col(id_col).alias("doc"),
-            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+            _minhash_base_udf(num_perm, shingle_n, seed)(
+                F.col(text_col)
+            ).alias("mh"),
         )
-        .withColumn(
-            "h31",
-            F.transform(
-                "shingles", lambda s: F.shiftrightunsigned(F.xxhash64(s), 33)
-            ),
-        )
+        .select("doc", F.col("mh.shingles").alias("shingles"),
+                F.col("mh.sig").alias("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def _affine(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)
-
-    coeffs = _perm_coeffs(num_perm, seed)
-    band_cols = []
-    for i in range(bands):
-        mins = [
-            F.array_min(F.transform(F.col("h31"), _affine(a, b)))
-            for a, b in coeffs[i * r : (i + 1) * r]
-        ]
-        band_cols.append(F.xxhash64(F.array(*mins)))
+    # band hash = xxhash64 of the band's signature slice — slice/xxhash64
+    # are plain (codegen'd) expressions, no lambdas
+    band_cols = [
+        F.xxhash64(F.slice("sig", i * r + 1, r)) for i in range(bands)
+    ]
     buckets = base.select(
         "doc", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
     )

@@ -82,7 +82,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-tier pairs at the same threshold (LSH recall check)."""
     docs = read_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "text", "doc_id", num_perm=32, bands=8, shingle_n=3, threshold=0.8
+        docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.8
     )
 
 

@@ -50,12 +50,12 @@ def _pair_set(df):
 def test_minhash_lsh_recovers_exact_pairs(docs):
     exact = _pair_set(ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8))
     lsh = _pair_set(
-        minhash_lsh_pairs(docs, "text", "doc_id", num_perm=32, bands=8, threshold=0.8)
+        minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.8)
     )
     assert exact, "fixture should contain seeded near-dups"
     # LSH verifies candidates with exact Jaccard → no false positives;
-    # banding with 8 bands of 4 rows at j>=0.8 → P(miss) ≈ (1-0.8^4)^8 < 3%,
-    # and the seeded pairs are all j>=0.95 → P(miss) < 1e-4.
+    # banding with 16 bands of 4 rows at j>=0.8 → P(miss) ≈ (1-0.8^4)^16 < 0.03%
+    # (signatures are one numpy broadcast per doc, so 64 perms are cheap).
     assert lsh <= exact
     recall = len(lsh) / len(exact)
     assert recall >= 0.95, f"LSH recall too low: {recall}"
