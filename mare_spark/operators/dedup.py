@@ -732,12 +732,14 @@ def embedding_cosine_pairs(
             return embedding_lsh_pairs(
                 df, vec_col=vec_col, id_col=id_col, threshold=threshold
             )
+    from mare_spark.operators.similarity import pairwise_cosine
+
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     a = base.withColumnsRenamed({"vid": "id_a", "v": "v_a"})
     b = base.withColumnsRenamed({"vid": "id_b", "v": "v_b"})
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn("cosine", F.round(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

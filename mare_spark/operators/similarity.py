@@ -23,7 +23,90 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mare_spark.operators.dedup import attach_caches, cosine_similarity
+from mare_spark.operators.dedup import attach_caches
+
+
+def cosine_to_query(vec_col, query_vec: list[float]):
+    """Cosine of every row's vector against one fixed query vector, as an
+    Arrow-batched numpy UDF: one (batch × dim) @ dim matvec per batch.
+
+    This is the hot loop of every similarity scan. The expression-code
+    alternative (``zip_with``/``aggregate``) is a higher-order function —
+    CodegenFallback, interpreted per row per element — and an unrolled
+    per-element expression tree blows past janino limits at realistic dims
+    (1536+). BLAS through numpy is the scale answer for both."""
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    def cos(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.array(list(vecs), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+        return pd.Series((m @ q) / (norms * qn))
+
+    cos.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(cos, "double")(vec_col)
+
+
+def pairwise_cosine(col_a, col_b):
+    """Row-wise cosine of two vector columns (candidate-pair verify),
+    vectorized: stack both sides and compute ``(A*B).sum(1)`` per batch."""
+    import pandas as pd
+
+    def cos(va, vb):
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.array(list(va), dtype=np.float64)
+        b = np.array(list(vb), dtype=np.float64)
+        num = (a * b).sum(axis=1)
+        den = np.maximum(
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-300
+        )
+        return pd.Series(num / den)
+
+    cos.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    return F.pandas_udf(cos, "double")(col_a, col_b)
+
+
+def hyperplane_signatures(vec_col, planes_per_band: list[np.ndarray]):
+    """All band signatures of a vector column at once, as an
+    ``array<bigint>`` (one packed sign-bit signature per band), via one
+    Arrow-batched matmul against the stacked plane matrix.
+
+    The expression tier (:func:`hyperplane_signature`) stays O(1) in plan
+    size but evaluates interpreted (higher-order functions are
+    CodegenFallback); this UDF is the hot-path form: (batch × dim) @
+    (dim × total_bits), signs packed per band with one dot against the bit
+    weights."""
+    import pandas as pd
+
+    P = np.vstack(planes_per_band).T.astype(np.float64)  # dim × total_bits
+    sizes = [len(p) for p in planes_per_band]
+    offsets = np.cumsum([0] + sizes)
+    weights = [
+        (1 << np.arange(n, dtype=np.uint64)).astype(np.uint64) for n in sizes
+    ]
+
+    def sigs(vecs):
+        out = []
+        if len(vecs) == 0:
+            return pd.Series(out)
+        m = np.array(list(vecs), dtype=np.float64)
+        bits = (m @ P) > 0  # batch × total_bits
+        per_band = [
+            (bits[:, offsets[i] : offsets[i + 1]].astype(np.uint64) * w).sum(
+                axis=1
+            )
+            for i, w in enumerate(weights)
+        ]
+        stacked = np.stack(per_band, axis=1).astype(np.int64)
+        return pd.Series(list(stacked.tolist()))
+
+    sigs.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sigs, "array<bigint>")(vec_col)
 
 
 def brute_force_topk(
@@ -34,11 +117,12 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k cosine. Deterministic tie-break on the id column."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+            F.round(cosine_to_query(F.col(vec_col), query_vec), 6).alias(
+                "cosine"
+            ),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -110,13 +194,15 @@ def embedding_lsh_pairs(
     dim = len(df.select(vec_col).head()[0])
     rng = np.random.default_rng(seed)
 
+    planes_per_band = [
+        rng.standard_normal((bits_per_band, dim)) for _ in range(bands)
+    ]
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).persist()
-    band_cols = []
-    for b in range(bands):
-        planes = rng.standard_normal((bits_per_band, dim))
-        band_cols.append(hyperplane_signature(F.col("v"), planes))
     buckets = base.select(
-        "vid", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+        "vid",
+        F.posexplode(
+            hyperplane_signatures(F.col("v"), planes_per_band)
+        ).alias("band", "bucket"),
     )
     cand = (
         buckets.alias("x")
@@ -134,7 +220,7 @@ def embedding_lsh_pairs(
         cand.join(v.withColumnsRenamed({"vid": "id_a", "v": "v_a"}), "id_a")
         .join(v.withColumnsRenamed({"vid": "id_b", "v": "v_b"}), "id_b")
         .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
+            "cosine", F.round(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6)
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -253,13 +339,12 @@ def ivf_topk(
     q /= max(np.linalg.norm(q), 1e-12)
     probe_cells = np.argsort(-(centroids @ q))[:nprobe].tolist()
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         ivf_assign(df, centroids, vec_col=vec_col)
         .filter(F.col("ivf_cell").isin([int(c) for c in probe_cells]))
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), qcol), 6).alias("cosine"),
+            F.round(cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -307,13 +392,12 @@ def ivf_topk_indexed(
     q /= max(np.linalg.norm(q), 1e-12)
     probe_cells = np.argsort(-(centroids @ q))[:nprobe].tolist()
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         spark.read.parquet(index_path)
         .filter(F.col(cell_col).isin([int(c) for c in probe_cells]))
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), qcol), 6).alias("cosine"),
+            F.round(cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -351,8 +435,7 @@ def ann_lsh_topk(
         if float(np.dot(plane, q)) > 0:
             q_sig |= 1 << i
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    sig = hyperplane_signature(F.col(vec_col), planes)
+    sig = F.element_at(hyperplane_signatures(F.col(vec_col), [planes]), 1)
     return (
         df.withColumn("_sig", sig)
         .filter(
@@ -361,7 +444,7 @@ def ann_lsh_topk(
         )
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), qcol), 6).alias("cosine"),
+            F.round(cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
