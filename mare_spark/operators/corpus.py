@@ -212,16 +212,21 @@ def decontaminate_ngrams(
     comparison anywhere. Hashing the grams (xxhash64) keeps the broadcast
     table fixed-width regardless of gram length.
     """
+    from mare_spark.operators.dedup import hashed_word_shingles
+
     eval_text_col = eval_text_col or text_col
+    # n-grams via the shared Arrow-batched shingle hasher (sorted distinct
+    # 64-bit hashes): overlap semantics are set-level, so the dedupe is
+    # free, and the interpreted-eval higher-order transform/slice pipeline
+    # (_word_ngrams) stays off this hot path
     train_grams = df.select(
         F.col(id_col),
-        F.explode(_word_ngrams(tokens(F.col(text_col)), n)).alias("_gram"),
-    ).select(id_col, F.xxhash64("_gram").alias("_g"))
+        F.explode(hashed_word_shingles(F.col(text_col), n)).alias("_g"),
+    )
     eval_grams = (
         eval_df.select(
-            F.explode(_word_ngrams(tokens(F.col(eval_text_col)), n)).alias("_gram")
+            F.explode(hashed_word_shingles(F.col(eval_text_col), n)).alias("_g")
         )
-        .select(F.xxhash64("_gram").alias("_g"))
         .distinct()
     )
     contaminated = (
