@@ -200,6 +200,11 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
     df.write.mode(mode).options(header=True, **options).csv(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    """JSON-lines sink (one object per line, splittable on read)."""
+    df.write.mode(mode).options(**options).json(path)
+
+
 def write_single_file(df: DataFrame, path: str, fmt: str = "csv", **options) -> str:
     """Single-file sink: write via one task, then move the part file to
     ``path``. For driver-sized results only (the distributed sinks above are

@@ -161,6 +161,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running count + value total via ``transformWithStateInPandas``
+    — the Spark 4 stateful-processor API (successor to
+    ``applyInPandasWithState``): named state variables on a handle instead
+    of one opaque state tuple, plus timer/TTL support. Semantically
+    equivalent to :func:`running_user_totals`; both are kept because the
+    two APIs are distinct public surfaces.
+
+    State = one (n, total) value-state per user — bounded by user
+    cardinality, not stream length.
+
+    Runtime dependency: the TWS state-server protocol needs ``protobuf``
+    in the Python workers (ships with full PySpark installs; absent here —
+    the operator import-gates cleanly and the applyInPandasWithState
+    variant is the no-extra-deps path).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def purchases_with_recent_view(
     events: DataFrame,
     join_horizon: str = "30 minutes",

@@ -147,3 +147,18 @@ def test_read_text_whole_text_kwarg(spark, tmp_path):
     p.write_text("a\nb\nc\n")
     assert src.read_text(spark, str(p), whole_text=True).count() == 1
     assert src.read_text(spark, str(p)).count() == 3
+
+
+def test_json_sink_round_trip(spark, tmp_path):
+    from mare_spark.sources import read_json, write_json
+    from mare_spark.tables import read_table
+    from tests.conftest import SF_SMOKE
+
+    df = read_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_json")
+    write_json(df, path)
+    back = read_json(spark, path)
+    assert back.count() == df.count()
+    a = {tuple(sorted(r.asDict().items())) for r in df.collect()}
+    b = {tuple(sorted(r.asDict().items())) for r in back.collect()}
+    assert a == b

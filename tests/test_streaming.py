@@ -226,3 +226,27 @@ def test_foreach_batch_sink(spark, events_dir, tmp_path):
     q.stop()
     assert sum(n for _, n in collected) == 1000  # sf0.001 events
     assert all(isinstance(e, int) for e, _ in collected)
+
+
+def test_running_user_totals_transform_with_state(spark, events_dir):
+    """transformWithStateInPandas operator: final per-user totals match the
+    batch aggregate (same contract as the applyInPandasWithState variant).
+
+    Requires protobuf (the TWS state-server wire protocol) — skipped where
+    the environment lacks it, like every other optional-dependency gate."""
+    pytest.importorskip("google.protobuf.descriptor")
+    stream = S.running_user_totals_tws(S.read_events_stream(spark, events_dir))
+    got = _collect_stream(spark, stream, mode="update")
+    final = got.groupby("user_id").last().reset_index()
+
+    want = (
+        read_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .toPandas()
+    )
+    f = final.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "n_events", "total"]
+    ]
+    w = want.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, w, check_like=True, check_dtype=False)
