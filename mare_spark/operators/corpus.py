@@ -39,6 +39,7 @@ __all__ = [
     "pii_scrub",
     "decontaminate_ngrams",
     "pack_sequences",
+    "unigram_logprob",
     "PII_PATTERNS",
 ]
 
@@ -270,4 +271,35 @@ def pack_sequences(
         F.col(token_col).alias("n_tokens"),
         F.floor(start / max_len).alias("seq_id"),
         (start % max_len).alias("seq_offset"),
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-adaptive fluency score: each document's mean unigram
+    log-probability under the corpus' own empirical word distribution —
+    the cheap stand-in for the LM-perplexity filters (CCNet-style) used to
+    rank pretraining text. Low scores = rare-word soup / gibberish;
+    suspiciously high = boilerplate.
+
+    Two passes, honestly: (1) global word frequencies (one shuffle on the
+    word — vocabulary-sized output, Zipf-bounded); (2) tokens re-joined to
+    the frequency table (broadcast — a 10M-type vocabulary is ~100 MB) and
+    re-aggregated per document (one shuffle on the id). At 100 TB the
+    vocabulary table is the only global state and it's exactly the
+    "language model" a production pass would broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w"))
+    freq = tok.groupBy("_w").agg(F.count("*").alias("_cnt"))
+    # total-token normalizer: a window over the (vocabulary-sized) freq
+    # table, not over the corpus
+    freq = freq.withColumn("_total", F.sum("_cnt").over(Window.partitionBy()))
+    scored = tok.join(
+        F.broadcast(freq.withColumn("_logp", F.log(F.col("_cnt") / F.col("_total")))),
+        "_w",
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("_logp"), 6).alias("avg_logprob"),
     )

@@ -246,3 +246,27 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source", "n_docs", "n_tokens",
         F.round(F.col("n_tokens") / total, 6).alias("token_share"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    category="llm",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+    freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT sum(cnt) AS total FROM freq)
+    SELECT tok.doc_id, count(*) AS n_tokens,
+           round(avg(ln(freq.cnt / tot.total)), 6) AS avg_logprob
+    FROM tok, freq, tot
+    WHERE tok.w = freq.w
+    GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus' own
+    word distribution — the cheap LM-perplexity stand-in for fluency
+    ranking (corpus-adaptive: the 'model' is pass one's frequency table)."""
+    from mare_spark.operators.corpus import unigram_logprob
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "text", "doc_id")
