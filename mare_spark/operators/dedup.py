@@ -421,11 +421,15 @@ def minhash_lsh_pairs(
     )
 
     # band hash = xxhash64 of the band's signature slice — slice/xxhash64
-    # are plain (codegen'd) expressions, no lambdas
+    # are plain (codegen'd) expressions, no lambdas. Docs with NO shingles
+    # (null/empty/shorter-than-n text) all carry the same constant empty
+    # signature: they would band-collide with each other and then 0/0 in
+    # the Jaccard verify (an ANSI divide-by-zero error, not a null) — by
+    # definition they share no content, so they never enter bucketing.
     band_cols = [
         F.xxhash64(F.slice("sig", i * r + 1, r)) for i in range(bands)
     ]
-    buckets = base.select(
+    buckets = base.filter(F.size("shingles") > 0).select(
         "doc", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
     )
 

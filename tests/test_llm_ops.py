@@ -454,3 +454,35 @@ def test_quality_gates_kill_reasons(spark):
     assert out[2].gate_len == 0 and out[2].kept == 0
     assert out[3].gate_repetition == 0 and out[3].gate_stopwords == 0
     assert out[3].kept == 0
+
+
+def test_dedup_tiers_null_and_empty_text(spark):
+    """Null / empty / shorter-than-n documents produce no shingles and must
+    pass through every dedup tier silently (no ANSI 0/0, no phantom pairs
+    between contentless docs)."""
+    from mare_spark.operators.dedup import (
+        hashed_word_shingles,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "short text"),
+            (4, "a b c d e f g h i j"),
+            (5, "a b c d e f g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.s for r in df.select(
+        "doc_id", hashed_word_shingles(F.col("text"), 3).alias("s")).collect()}
+    assert sh[1] == [] and sh[2] == [] and sh[3] == []
+    assert sh[4] == sh[5] and len(sh[4]) == 8
+
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.8).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in jac] == [(4, 5, 1.0)]
+    mh = minhash_lsh_pairs(df, "text", "doc_id", num_perm=64, bands=16,
+                           threshold=0.8).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in mh] == [(4, 5, 1.0)]
