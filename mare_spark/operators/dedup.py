@@ -747,3 +747,50 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def substring_overlap_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 12,
+    keep: int = 8,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 1000,
+) -> DataFrame:
+    """Candidate pairs for cross-document substring overlap, via shared
+    winnowing fingerprints — the bucketed approximation of suffix-array
+    substring dedup (exact suffix arrays don't distribute; shared
+    rolling-hash picks of ``window``-char runs do).
+
+    Each document keeps its ``keep`` smallest rolling-hash values
+    (:func:`mare_spark.operators.text.rolling_hash_fingerprint` — a
+    bottom-k sketch of its character ``window``-grams); documents sharing
+    at least ``min_shared`` picks very likely share verbatim character
+    runs (boilerplate headers, license blocks, quoted passages) even when
+    their word-level Jaccard is low. Downstream: route candidates to exact
+    verification or strip the common run.
+
+    Scale: explode is ``keep`` rows/doc (constant), the self-join key is
+    the fingerprint value (bucketed — Σ bucket², capped by
+    ``max_fp_freq`` exactly like the shingle index), never all-pairs.
+    """
+    from mare_spark.operators.text import rolling_hash_fingerprint
+
+    fp = rolling_hash_fingerprint(
+        df, text_col, id_col, window=window, keep=keep
+    )
+    inv = fp.select(F.col(id_col).alias("doc"), F.explode("fingerprint").alias("fp"))
+    if max_fp_freq is not None:
+        freq = inv.groupBy("fp").agg(F.count("*").alias("fp_freq"))
+        inv = inv.join(
+            freq.filter(F.col("fp_freq") <= max_fp_freq), "fp", "left_semi"
+        )
+    return (
+        inv.alias("a")
+        .join(inv.alias("b"), "fp")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

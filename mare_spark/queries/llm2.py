@@ -270,3 +270,18 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return unigram_logprob(docs, "text", "doc_id")
+
+
+@register("dedup_substring_candidates", category="llm", oracle=None)
+def dedup_substring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring-overlap candidates via shared winnowing
+    fingerprints (bottom-k rolling-hash sketch) — the distributable
+    approximation of suffix-array substring dedup. Rows-only driver check
+    (the rolling hash is not SQL-expressible); behavior is differentially
+    tested on planted common substrings in pytest."""
+    from mare_spark.operators.dedup import substring_overlap_candidates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return substring_overlap_candidates(
+        docs, "text", "doc_id", window=12, keep=8, min_shared=2
+    )

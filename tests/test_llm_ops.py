@@ -486,3 +486,23 @@ def test_dedup_tiers_null_and_empty_text(spark):
     mh = minhash_lsh_pairs(df, "text", "doc_id", num_perm=64, bands=16,
                            threshold=0.8).collect()
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in mh] == [(4, 5, 1.0)]
+
+
+def test_substring_candidates_planted_overlap(spark):
+    from mare_spark.operators.dedup import substring_overlap_candidates
+
+    boiler = "this exact licensing paragraph is repeated verbatim across files"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha content {boiler} tail one"),
+            (2, f"totally different body {boiler} closing words"),
+            (3, "no shared runs here at all just unique prose"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = substring_overlap_candidates(
+        df, "text", "doc_id", window=12, keep=8, min_shared=2
+    ).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in found
+    assert not any(3 in p for p in found)
