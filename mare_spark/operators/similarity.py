@@ -449,3 +449,78 @@ def ann_lsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    threshold: float = 0.9,
+    nprobe_assign: int = 2,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    into IVF cells (k-means blocking) and compare vectors only within a
+    cell. ``nprobe_assign`` is multi-probe blocking — each vector joins
+    its top-p cells, so pairs straddling a cell boundary still meet
+    (measured on the fixture at threshold 0.4: recall vs the exact
+    all-pairs tier 0.39 / 0.76 / 0.93 for p = 1 / 2 / 3).
+
+    Output: (id_a, id_b, cosine) pairs at ``cosine >= threshold``.
+    Compose with :func:`mare_spark.operators.dedup.dedup_clusters` to
+    resolve groups and keep one representative per semantic cluster.
+
+    Scale: cost is p² × Σ cell² — blocking is the scale lever: nlist
+    grows with the corpus so cells stay bounded (SemDeDup used 50k
+    clusters at LAION scale); assignment is the map-only Arrow matmul and
+    the self-join shuffles on the cell id only; candidates are verified
+    with exact cosine after a distinct on the id pair.
+    """
+    import pandas as pd
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, nlist=nlist, vec_col=vec_col, seed=seed
+        )
+    cent = centroids.astype(np.float64)
+    p = max(1, min(int(nprobe_assign), len(cent)))
+
+    def cells(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.array(list(vecs), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cent.T), axis=1)[:, :p].astype("int32")
+        return pd.Series(list(order.tolist()))
+
+    cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    cells_udf = F.pandas_udf(cells, "array<int>")
+
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        cells_udf(F.col(vec_col)).alias("cells"),
+    ).persist()
+    blocked = base.select("vid", F.explode("cells").alias("cell"))
+    cand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    v = base.select("vid", "v")
+    pairs = (
+        cand.join(v.withColumnsRenamed({"vid": "id_a", "v": "v_a"}), "id_a")
+        .join(v.withColumnsRenamed({"vid": "id_b", "v": "v_b"}), "id_b")
+        .withColumn(
+            "cosine", F.round(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return attach_caches(pairs, base)

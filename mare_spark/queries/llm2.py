@@ -285,3 +285,19 @@ def dedup_substring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_overlap_candidates(
         docs, "text", "doc_id", window=12, keep=8, min_shared=2
     )
+
+
+@register("dedup_semantic", category="llm", oracle=None)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: IVF-cell blocking (k-means)
+    + within-cell exact cosine at >= 0.4 (the fixture's seeded near-dup
+    band — its max pairwise cosine is ~0.51). Rows-only driver check
+    (centroid training is iterative, not SQL); pytest verifies its pairs
+    are a subset of the exact all-pairs tier with high recall (blocking
+    puts near-identical vectors in one cell)."""
+    from mare_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, "embedding", "vec_id", nlist=16, threshold=0.4, nprobe_assign=3
+    )

@@ -506,3 +506,22 @@ def test_substring_candidates_planted_overlap(spark):
     found = {(r.doc_a, r.doc_b) for r in pairs}
     assert (1, 2) in found
     assert not any(3 in p for p in found)
+
+
+def test_semantic_dedup_subset_and_recall(spark, emb):
+    from mare_spark.operators.dedup import embedding_cosine_pairs
+    from mare_spark.operators.similarity import semantic_dedup_pairs
+
+    exact = _pair_set(
+        embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4,
+                               exact_max_rows=None).select("id_a", "id_b")
+    )
+    sem = _pair_set(
+        semantic_dedup_pairs(emb, "embedding", "vec_id", nlist=16,
+                             threshold=0.4, nprobe_assign=3).select("id_a", "id_b")
+    )
+    assert exact
+    # cosine verify after blocking → no false positives
+    assert sem <= exact
+    # multi-probe (p=3) blocking recall on the fixture's similarity band
+    assert len(sem) / len(exact) >= 0.85, len(sem) / len(exact)
