@@ -115,3 +115,54 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@register(
+    "events_sessionize",
+    category="streaming",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(ts) AS session_start,
+           round(sum(value), 2) AS total
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with explicit session ids — the gaps-and-islands
+    construction (lag → new-session flag → running sum) expressed on the
+    DataFrame API, 30-minute gap. Unlike the session_window views, each
+    session carries a stable per-user ordinal, which downstream joins can
+    key on. One shuffle on user_id; both windows share it."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1800), 1
+    ).otherwise(0)
+    s = e.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
