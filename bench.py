@@ -29,6 +29,8 @@ def main() -> None:
     spark = get_spark("mare_spark_bench")
     queries = {n: q for n, q in all_queries().items() if q.bench}
 
+    from mare_spark.operators.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         best = None
@@ -38,6 +40,10 @@ def main() -> None:
             n = df.count()  # force full execution
             dt = time.perf_counter() - t0
             best = dt  # keep the warm (last) run
+        # drop operator-attached persists AFTER both runs: the second run
+        # keeps its legitimate warm-cache reuse (the repeated-query case),
+        # but cache pressure doesn't accumulate across different queries
+        release_caches(df)
         timings[name] = round(best, 4)
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
