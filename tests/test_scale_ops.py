@@ -146,3 +146,47 @@ def test_embedding_lsh_pairs_recall(spark):
     assert lsh <= exact  # exact verify → no false positives
     recall = len(lsh) / len(exact)
     assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_vectorized_similarity_udfs_realistic_dim(spark):
+    """1536-dim: the numpy hot-path UDFs (batched multi-band signatures,
+    query cosine, pairwise cosine) must agree with a reference numpy
+    computation — these are the forms the 100 TB paths actually run."""
+    import numpy as np
+
+    from mare_spark.operators.similarity import (
+        cosine_to_query,
+        hyperplane_signatures,
+        pairwise_cosine,
+    )
+
+    dim, n_rows = 1536, 16
+    rng = np.random.default_rng(11)
+    planes_per_band = [rng.standard_normal((8, dim)) for _ in range(6)]
+    vecs = rng.standard_normal((n_rows, dim))
+    q = rng.standard_normal(dim)
+
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in vecs[i]], [float(x) for x in vecs[(i + 1) % n_rows]])
+            for i in range(n_rows)
+        ],
+        "vec_id int, a array<double>, b array<double>",
+    )
+    out = df.select(
+        "vec_id",
+        hyperplane_signatures(F.col("a"), planes_per_band).alias("sigs"),
+        F.round(cosine_to_query(F.col("a"), [float(x) for x in q]), 8).alias("cq"),
+        F.round(pairwise_cosine(F.col("a"), F.col("b")), 8).alias("cp"),
+    ).collect()
+
+    for r in out:
+        v = vecs[r.vec_id]
+        w = vecs[(r.vec_id + 1) % n_rows]
+        want_sigs = [
+            int(sum(1 << i for i in range(8) if float(p[i] @ v) > 0))
+            for p in planes_per_band
+        ]
+        assert r.sigs == want_sigs
+        assert r.cq == round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 8)
+        assert r.cp == round(float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w))), 8)
