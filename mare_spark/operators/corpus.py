@@ -10,8 +10,10 @@ concatenate-and-cut packing step that turns documents into fixed-length
 training sequences.
 
 Scale posture:
-* repetition/gates/PII are pure scan-side expression code (no shuffle, no
-  Python) — they compose with predicate pushdown and cost one pass.
+* repetition/gates/PII are scan-side single-pass ops (no shuffle): regex
+  and length signals are JVM expression code; per-document token counting
+  runs as one Arrow-batched Counter pass (the expression-code alternative
+  is an interpreted higher-order transform, O(distinct·n) per row).
 * decontamination is an inverted-index semi-join on n-gram hashes: the eval
   side of the join is an eval *set* (benchmarks are MBs, not TBs), so it is
   broadcast — the 100 TB corpus is never shuffled, only scanned.
@@ -67,33 +69,30 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     * ``dup_bigram_frac``     — fraction of word bigrams that are repeats
       (1 - |distinct bigrams| / |bigrams|).
 
-    All scan-side array expressions: the per-document most-frequent-word count
-    is computed as a transform over the distinct-word array (O(d·n) per doc,
-    zero shuffle) rather than an explode + groupBy (two shuffles over the
-    whole corpus). For corpus-scale documents d·n stays small; the explode
-    formulation only wins when single documents are huge.
+    Token statistics come from one Arrow-batched Counter pass per document
+    (:func:`mare_spark.operators.text.doc_token_stats_udf`) — the
+    expression-code most-frequent-word transform is O(distinct·n) per row
+    and interpreted (higher-order functions are CodegenFallback). Ratios
+    and rounding stay JVM-side so the SQL oracle hash-matches. Still one
+    scan, zero shuffle.
     """
-    w = tokens(F.col(text_col))
-    d = df.withColumn("_w", w)
-    words = F.col("_w")
-    n = F.size(words)
-    nd = F.size(F.array_distinct(words))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda x: F.size(F.filter(words, lambda y: y == x)),
-        )
-    )
-    bg = _word_ngrams(words, 2)
-    nbg = F.size(bg)
-    nbgd = F.size(F.array_distinct(bg))
+    from mare_spark.operators.text import doc_token_stats_udf
+
+    d = df.select(F.col(id_col), doc_token_stats_udf()(F.col(text_col)).alias("_s"))
+    n = F.col("_s.n")
+    nbg = F.col("_s.nbg")
     return d.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        F.round(nd / F.greatest(n, F.lit(1)), 6).alias("distinct_word_ratio"),
-        F.round(top / F.greatest(n, F.lit(1)), 6).alias("top_word_frac"),
+        F.round(F.col("_s.nd") / F.greatest(n, F.lit(1)), 6).alias(
+            "distinct_word_ratio"
+        ),
+        F.round(F.col("_s.top") / F.greatest(n, F.lit(1)), 6).alias(
+            "top_word_frac"
+        ),
         F.round(
-            (nbg - nbgd) / F.greatest(nbg, F.lit(1)).cast("double"), 6
+            (nbg - F.col("_s.nbgd")) / F.greatest(nbg, F.lit(1)).cast("double"),
+            6,
         ).alias("dup_bigram_frac"),
     )
 
@@ -117,26 +116,19 @@ def quality_gates(
     the caller's ``.filter("kept = 1")`` — keeping the gates visible is the
     point: at corpus scale you audit *why* documents die before you drop
     them)."""
-    from mare_spark.operators.text import STOPWORDS
-    from mare_spark.operators.dedup import normalize_text
+    from mare_spark.operators.text import doc_token_stats_udf
 
-    w = tokens(F.col(text_col))
-    d = df.withColumn("_w", w)
-    words = F.col("_w")
-    n = F.size(words)
+    d = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        doc_token_stats_udf()(F.col(text_col)).alias("_s"),
+    )
+    n = F.col("_s.n")
     n_chars = F.length(F.col(text_col))
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", ""))
-    avg_wl = F.length(
-        F.regexp_replace(normalize_text(F.col(text_col)), " ", "")
-    ) / F.greatest(n, F.lit(1))
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_hits = F.size(F.filter(words, lambda x: F.array_contains(sw, x)))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda x: F.size(F.filter(words, lambda y: y == x)),
-        )
-    )
+    avg_wl = F.col("_s.alpha_len") / F.greatest(n, F.lit(1))
+    stop_hits = F.col("_s.stop_hits")
+    top = F.col("_s.top")
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
 
     g_len = (n >= min_tokens) & (n <= max_tokens)

@@ -235,3 +235,56 @@ def stratified_sample(
             rate
         )
     return df.filter(u < rate)
+
+
+def doc_token_stats_udf():
+    """Per-document token statistics as one Arrow-batched UDF:
+    ``struct<n, nd, top, nbg, nbgd, stop_hits, alpha_len>`` (token count,
+    distinct tokens, max token multiplicity, bigram counts, stopword hits,
+    total word chars).
+
+    One Counter pass per document replaces the expression-code
+    most-frequent-word transform, which is O(distinct x n) per row AND
+    interpreted (higher-order-function lambdas are CodegenFallback).
+    Tokenization mirrors normalize_text exactly (collapse whitespace,
+    trim, lower, split on single space) so ratios computed from these
+    counts hash-match the SQL oracles; all division and rounding stays
+    JVM-side (Spark/DuckDB round half-up agree; Python's round does not).
+    """
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+
+    ws_re = _re.compile(r"\s+")
+    stop = frozenset(STOPWORDS)
+
+    def stats(texts):
+        rows = []
+        for t in texts:
+            ws = ws_re.sub(" ", (t or "").strip().lower()).split(" ")
+            counts = Counter(ws)
+            n = len(ws)
+            bigrams = {(ws[i], ws[i + 1]) for i in range(n - 1)}
+            rows.append(
+                (
+                    n,
+                    len(counts),
+                    max(counts.values()),
+                    n - 1 if n >= 2 else 0,
+                    len(bigrams),
+                    sum(c for w, c in counts.items() if w in stop),
+                    sum(len(w) for w in ws),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["n", "nd", "top", "nbg", "nbgd", "stop_hits", "alpha_len"],
+        )
+
+    stats.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        stats,
+        "struct<n:int, nd:int, top:int, nbg:int, nbgd:int, "
+        "stop_hits:int, alpha_len:int>",
+    )
