@@ -206,3 +206,39 @@ def test_repetition_stats_no_shuffle(spark):
     if "InMemoryRelation" not in P.formatted_plan(df):
         (cols,) = P.read_schema_columns(df)
         assert set(cols) == {"doc_id", "text"}, cols
+
+
+# Queries whose plans legitimately contain a nested-loop/cartesian join:
+# an intentional cross join, theta-joins (range/band predicates), and the
+# small-N exact embedding tier (guarded: large inputs route through LSH).
+_NESTED_LOOP_OK = {
+    "q_join_cross",
+    "q_join_range_band",
+    "q_asof_join",
+    "dedup_embedding_cosine",
+    "sim_filtered_topk",  # scalar query-vector broadcast into the gate
+    "q_subquery_above_avg",  # scalar subquery joins as a 1-row broadcast
+    "q22_idle_wealthy_customers",  # scalar avg-balance threshold, 1-row broadcast
+}
+
+
+def test_no_accidental_cartesian_joins(spark):
+    """Registry-wide plan audit: no registered query may plan a
+    BroadcastNestedLoopJoin or CartesianProduct unless it is on the
+    explicit allowlist — at 100 TB an accidental nested-loop join is the
+    difference between a job and an outage."""
+    from mare_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    offenders = {}
+    for name, q in all_queries().items():
+        try:
+            plan = P.formatted_plan(q.fn(spark, SF_SMOKE))
+        except Exception as e:  # plan construction only; execution untested here
+            offenders[name] = f"plan construction failed: {e}"
+            continue
+        if name in _NESTED_LOOP_OK:
+            continue
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            offenders[name] = "nested-loop/cartesian join in plan"
+    assert not offenders, offenders
