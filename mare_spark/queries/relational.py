@@ -799,6 +799,46 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_c.subtract(f_c)  # EXCEPT (distinct set semantics)
 
 
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — multiplicity = min of the two sides),
+    Spark's ``intersectAll``."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicity = left minus right),
+    Spark's ``exceptAll``."""
+    o = _t(spark, sf_dir, "orders")
+    all_c = o.select(F.col("o_custkey").alias("custkey"))
+    f_c = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_c.exceptAll(f_c)
+
+
 # ===========================================================================
 # Scalar function coverage (strings, dates, math/conditional, arrays, JSON).
 # All JVM-side built-ins — whole-stage-codegen'd, no Python in the hot path.
