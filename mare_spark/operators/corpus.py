@@ -42,6 +42,7 @@ __all__ = [
     "decontaminate_ngrams",
     "pack_sequences",
     "unigram_logprob",
+    "temperature_rates",
     "PII_PATTERNS",
 ]
 
@@ -294,4 +295,33 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("_logp"), 6).alias("avg_logprob"),
+    )
+
+
+def temperature_rates(
+    df: DataFrame, strata_col: str, alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-scaled sampling shares per stratum — the standard
+    multilingual mixing rule: sampling share ∝ (natural share)^alpha, so
+    alpha < 1 upweights low-resource strata and alpha = 1 keeps natural
+    proportions. Output per stratum: count, natural share, temperature
+    share, and the boost factor a sampler should apply
+    (feed ``boost × base_rate`` into :func:`stratified_sample
+    <mare_spark.operators.text.stratified_sample>`).
+
+    One groupBy over the corpus; every window below runs over the
+    stratum-sized grouped table, not the corpus."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    g = df.groupBy(strata_col).agg(F.count("*").alias("n"))
+    nat = F.col("n") / F.sum("n").over(w)
+    powed = F.pow(nat, alpha)
+    temp = powed / F.sum(powed).over(w)
+    return g.select(
+        F.col(strata_col),
+        F.col("n"),
+        F.round(nat, 6).alias("natural_share"),
+        F.round(temp, 6).alias("temperature_share"),
+        F.round(temp / nat, 6).alias("boost"),
     )

@@ -301,3 +301,27 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(
         emb, "embedding", "vec_id", nlist=16, threshold=0.4, nprobe_assign=3
     )
+
+
+@register(
+    "sample_temperature_rates",
+    category="llm",
+    oracle="""
+    WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    n1 AS (SELECT lang, n, n / sum(n) OVER () AS nat FROM g),
+    n2 AS (SELECT lang, n, nat, pow(nat, 0.7) AS p FROM n1),
+    n3 AS (SELECT lang, n, nat, p / sum(p) OVER () AS temp FROM n2)
+    SELECT lang, n, round(nat, 6) AS natural_share,
+           round(temp, 6) AS temperature_share,
+           round(temp / nat, 6) AS boost
+    FROM n3
+    """,
+)
+def sample_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.7) per-language mixing shares — the
+    multilingual upweighting rule; boost is the factor to apply to a base
+    sampling rate per stratum."""
+    from mare_spark.operators.corpus import temperature_rates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return temperature_rates(docs, "lang", alpha=0.7)
