@@ -250,14 +250,14 @@ def train_ivf_centroids(
     under-fills on a small input, fall back to a bounded ``limit`` scan —
     the input is tiny exactly when that scan is cheap.
     """
+    # Arrow-path driver pull (toPandas) — the .rdd.collect() alternative
+    # spins a pickling Python pipeline per job and is several times slower
     rows = (
         df.select(vec_col).sample(fraction=0.05, seed=seed)
-        .limit(sample_size).rdd.map(lambda r: r[0]).collect()
+        .limit(sample_size).toPandas()[vec_col].tolist()
     )
     if len(rows) < max(nlist, min(256, sample_size)):
-        rows = (
-            df.select(vec_col).limit(sample_size).rdd.map(lambda r: r[0]).collect()
-        )
+        rows = df.select(vec_col).limit(sample_size).toPandas()[vec_col].tolist()
     sample = np.array(rows, dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
 
