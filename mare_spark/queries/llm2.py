@@ -325,3 +325,35 @@ def sample_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return temperature_rates(docs, "lang", alpha=0.7)
+
+
+@register(
+    "multimodal_frame_sample",
+    category="llm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             least(CAST(floor(octet_length(encode(text)) / 64) AS BIGINT) + 1, 8) AS n
+      FROM documents
+    ),
+    f AS (SELECT doc_id, text, unnest(range(0, n)) AS frame_idx FROM t)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads: bounded explode to
+    (doc, frame_idx, stride-sliced frame bytes), hashed to a scalar for
+    the harness. The oracle slices the source text — byte-identical to the
+    payload on this ASCII fixture (payload = utf8(text))."""
+    from mare_spark.operators.multimodal import attach_binary_payload, sample_frames
+
+    docs = read_table(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs, "text", "doc_id")
+    frames = sample_frames(mm, "payload", "doc_id", every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
