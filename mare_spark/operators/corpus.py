@@ -47,21 +47,6 @@ __all__ = [
 ]
 
 
-def _word_ngrams(words: Column, n: int) -> Column:
-    """Word n-grams of an array column as space-joined strings; empty array
-    when the document has fewer than ``n`` words.
-
-    ``sequence(1, k)`` is used only under a ``size >= n`` guard because Spark
-    generates a *descending* sequence when k < 1 (DuckDB's ``range`` returns
-    empty instead — the guard keeps both engines identical).
-    """
-    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    return F.when(F.size(words) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher-style repetition signals per document.
 
@@ -256,7 +241,13 @@ def pack_sequences(
     from pyspark.sql.window import Window
 
     keys = [group_col] if group_col else []
-    w = Window.partitionBy(*keys).orderBy(id_col)
+    # explicit ROWS frame: the orderBy default is RANGE, under which rows
+    # tied on id_col would share one cumulative sum and overlap on the tape
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = F.sum(token_col).over(w) - F.col(token_col)
     out = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
     return df.select(

@@ -18,8 +18,9 @@ Four tiers, all shuffle-disciplined for the 100 TB case:
   variant lives in :mod:`mare_spark.operators.similarity`.
 
 ANSI-mode note (Spark 4 default): all hash arithmetic is constructed to fit
-in 63 bits (31-bit hashes × 31-bit multipliers + mod 2^61-1), so no overflow
-errors and no need to disable ANSI.
+in 63 bits (31-bit hashes × 31-bit multipliers, MinHash permutations mod the
+universe-sized prime 2^31-1), so no overflow errors and no need to disable
+ANSI.
 """
 
 from __future__ import annotations
@@ -28,15 +29,17 @@ import random
 import re
 
 # whitespace-run collapse shared by the UDF shingle path — must mirror
-# normalize_text (Python re \s+ and Java \s+ agree on ASCII whitespace)
-_WS_RE = re.compile(r"\s+")
+# normalize_text EXACTLY: Java \s (Spark) and RE2 \s (DuckDB oracle) are
+# ASCII-only, while Python \s is Unicode by default — re.ASCII restricts
+# it to [ \t\n\r\f\v], the same set Java matches. A non-breaking space
+# must stay inside a token on every engine or the UDF tiers' shingle sets
+# diverge from the expression tier and the oracles.
+_WS_RE = re.compile(r"\s+", re.ASCII)
+_ASCII_WS = " \t\n\r\f\v"
 
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
-
-# Mersenne prime 2^61 - 1: (a < 2^31) * (h < 2^31) + b stays < 2^63.
-_MERSENNE = (1 << 61) - 1
 
 # Mersenne prime 2^31 - 1 — the MinHash permutation modulus. It must match
 # the 31-bit base-hash universe: with a modulus far above the universe
@@ -131,14 +134,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text (JVM-side:
-    split → sequence → transform → array_distinct; no UDF)."""
+    split → sequence → transform → array_distinct; no UDF).
+
+    The transform is gated on ``size >= n``: Spark's ``sequence(1, k)``
+    generates a *descending* ``[1, 0]`` when k = 0, and ``slice(_, 0, n)``
+    then throws INVALID_PARAMETER_VALUE.START — short docs must yield an
+    empty shingle set, not a job abort."""
     words = F.split(normalize_text(text_col), " ")
     k = F.size(words) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def hashed_word_shingles(text_col: Column, n: int = 3) -> Column:
@@ -165,10 +175,14 @@ def hashed_word_shingles(text_col: Column, n: int = 3) -> Column:
     def shingle_batch(texts):
         out = []
         for t in texts:
-            ws = _WS_RE.sub(" ", (t or "").strip().lower()).split(" ")
-            grams = {
-                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
-            }
+            ws = _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
+            # contentless docs normalize to [''] — no shingles at ANY n
+            # (without this, every empty doc shares one phantom 1-gram)
+            grams = (
+                set()
+                if ws == [""]
+                else {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+            )
             out.append(
                 sorted(
                     int.from_bytes(
@@ -336,11 +350,15 @@ def _minhash_base_udf(num_perm: int, shingle_n: int, seed: int):
     def mh_batch(texts):
         shingles_out, sig_out = [], []
         for t in texts:
-            ws = _WS_RE.sub(" ", (t or "").strip().lower()).split(" ")
-            grams = {
-                " ".join(ws[i : i + shingle_n])
-                for i in range(len(ws) - shingle_n + 1)
-            }
+            ws = _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
+            grams = (
+                set()
+                if ws == [""]
+                else {
+                    " ".join(ws[i : i + shingle_n])
+                    for i in range(len(ws) - shingle_n + 1)
+                }
+            )
             hs = sorted(
                 int.from_bytes(
                     hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(),

@@ -38,7 +38,7 @@ def cosine_to_query(vec_col, query_vec: list[float]):
     import pandas as pd
 
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.linalg.norm(q))
+    qn = max(float(np.linalg.norm(q)), 1e-300)  # zero query → cosine 0, not NaN
 
     def cos(vecs):
         if len(vecs) == 0:

@@ -256,13 +256,14 @@ def doc_token_stats_udf():
 
     import pandas as pd
 
-    ws_re = _re.compile(r"\s+")
+    # ASCII-only \s to mirror Java/RE2 (Python \s is Unicode by default)
+    ws_re = _re.compile(r"\s+", _re.ASCII)
     stop = frozenset(STOPWORDS)
 
     def stats(texts):
         rows = []
         for t in texts:
-            ws = ws_re.sub(" ", (t or "").strip().lower()).split(" ")
+            ws = ws_re.sub(" ", (t or "").strip(" \t\n\r\f\v").lower()).split(" ")
             counts = Counter(ws)
             n = len(ws)
             bigrams = {(ws[i], ws[i + 1]) for i in range(n - 1)}

@@ -32,7 +32,8 @@ _STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 def _duck_ngrams(n: int, words: str = "w") -> str:
     """Word n-grams over an already-bound DuckDB list column ``words``
-    (1-based inclusive slices — mirrors operators.corpus._word_ngrams)."""
+    (1-based inclusive slices — same space-joined-slice semantics as
+    operators.dedup.hashed_word_shingles, pre-hash)."""
     return (
         f"list_transform(range(1, greatest(len({words}) - {n - 1}, 0) + 1), "
         f"i -> array_to_string(({words})[i:i+{n - 1}], ' '))"

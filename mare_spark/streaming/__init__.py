@@ -35,11 +35,24 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     (``div 1000`` — `/` would round-trip through double and lose precision
     on int64 nanos).
     """
+    from pyspark.errors import AnalysisException
     from pyspark.sql import types as T
 
+    # same defensive confs as tables.read_table (the repo's documented
+    # pattern for harness-built sessions): nanos fixtures need the
+    # long-read, and a non-UTC session TZ would shift every window edge
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(source_dir).schema
+    try:
+        schema = spark.read.parquet(source_dir).schema
+    except AnalysisException:
+        # cold start: the landing dir is empty (or not yet created) — fall
+        # back to the events contract schema so the stream can start and
+        # wait for files instead of failing before the first one lands
+        schema = T._parse_datatype_string(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -525,3 +525,23 @@ def test_semantic_dedup_subset_and_recall(spark, emb):
     assert sem <= exact
     # multi-probe (p=3) blocking recall on the fixture's similarity band
     assert len(sem) / len(exact) >= 0.85, len(sem) / len(exact)
+
+
+def test_minhash_signature_short_docs_no_crash(spark):
+    """Expression-tier minhash_signature on docs shorter than shingle_n:
+    word_shingles must yield an empty set (sequence(1,0) is DESCENDING in
+    Spark and slice(start=0) throws) — not abort the job."""
+    from mare_spark.operators.dedup import minhash_signature, word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None), (4, "one two three four")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        F.size(word_shingles(F.col("text"), 3)).alias("n_sh"),
+        minhash_signature(F.col("text"), num_perm=4).alias("sig"),
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].n_sh == 0 and by_id[2].n_sh == 0 and by_id[3].n_sh == 0
+    assert by_id[4].n_sh == 2 and len(by_id[4].sig) == 4

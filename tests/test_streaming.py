@@ -250,3 +250,20 @@ def test_running_user_totals_transform_with_state(spark, events_dir):
     ]
     w = want.sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(f, w, check_like=True, check_dtype=False)
+
+
+def test_stream_cold_start_empty_landing_dir(spark, tmp_path):
+    """The stream must start on an empty landing directory (the normal
+    cold-start pattern) and pick up the first file when it lands."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    stream = S.tumbling_counts(S.read_events_stream(spark, str(d)))
+    name = "cold_" + uuid.uuid4().hex[:6]
+    q = stream.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    assert spark.sql(f"SELECT * FROM {name}").count() == 0
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "events_0.parquet")
+    q.processAllAvailable()
+    got = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
+    q.stop()
+    assert got > 0
