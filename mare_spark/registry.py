@@ -61,6 +61,12 @@ def register(
 # Driver-facing enumeration order. The round-1 correctness gate recorded
 # rows for exactly the FIRST 50 registry entries (dict order), leaving 43
 # queries with no driver-side check. This list front-loads, deterministically:
+#
+# ROUND-3 ROTATION NOTE: once CORRECTNESS_r02 lands, front-load whatever the
+# r2 gate did NOT reach — expected: corpus_mix_report, text_unigram_logprob,
+# sample_temperature_rates, events_sessionize, multimodal_frame_sample,
+# q_intersect_all, q_except_all, dedup_substring_candidates, dedup_semantic
+# (rows-only) — plus any r2 row that erred; drop the re-confirmed anchors.
 #   1. the 43 queries with no CORRECTNESS_r01 row (one representative per
 #      SURVEY §2 family first — streaming, as-of, percentiles, UDF surface,
 #      scalar fns, set ops — then TPC-H Q2–Q22), so they gain rows in r2;
