@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the corpus-preparation operators:
+Spark results are checked against independent pure-Python models on
+arbitrary generated corpora. A single shared SparkSession drives many
+hypothesis examples per test, so each property runs one Spark job over a
+batch of generated documents rather than one job per example.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# ASCII word soup: the operators' tokenization contract is ASCII-\s
+# (mirroring Java/RE2); property inputs stay in that regime on purpose —
+# the Unicode-whitespace divergence is pinned by a dedicated example test.
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+_doc = st.lists(_word, min_size=0, max_size=40).map(" ".join)
+
+
+def _norm_words(t: str) -> list[str]:
+    return re.sub(r"\s+", " ", t.strip().lower(), flags=re.ASCII).split(" ")
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=12))
+def test_pack_sequences_property(spark, docs):
+    """For any corpus: per-group tape offsets are gapless, in-range, and
+    equal to the running token total of every earlier doc in id order."""
+    from mare_spark.operators.corpus import pack_sequences
+
+    rows = [(i, "g", max(1, len(_norm_words(d)))) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n long")
+    out = (
+        pack_sequences(df, "n", "doc_id", group_col="grp", max_len=7)
+        .orderBy("doc_id")
+        .collect()
+    )
+    tape = 0
+    for r in out:
+        assert r.seq_id == tape // 7
+        assert r.seq_offset == tape % 7
+        tape += r.n_tokens
+
+
+# emails restricted to the scrubber's documented (deliberately
+# conservative, high-precision) pattern class — RFC oddities like a '*'
+# local part are out of contract by design
+_local = st.text(alphabet="abcdefgh0123._%+-", min_size=1, max_size=10).filter(
+    lambda s: any(c.isalnum() for c in s)
+)
+_domain = st.text(alphabet="abcdefgh", min_size=1, max_size=8)
+_email = st.builds(lambda l, d: f"{l}@{d}.com", _local, _domain)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_doc, min_size=1, max_size=8),
+    st.lists(_email, min_size=0, max_size=3),
+)
+def test_pii_scrub_email_count_property(spark, docs, emails):
+    """Inserting k in-contract emails into a clean document makes
+    n_email >= k and removes every inserted address from the scrubbed
+    text (adjacent doc words can never form an email — the doc alphabet
+    has no '@')."""
+    from mare_spark.operators.corpus import pii_scrub
+
+    base = docs[0] if docs else ""
+    text = base + " " + " ".join(emails)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = pii_scrub(df, "text", "doc_id").collect()[0]
+    assert row.n_email >= len(emails)
+    for e in emails:
+        assert e not in row.scrubbed_text
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_word, min_size=8, max_size=12), st.integers(0, 5))
+def test_decontaminate_always_catches_verbatim_ngram(spark, secret_words, pad):
+    """Any training doc containing a verbatim 8-word run from an eval doc
+    is dropped; a doc with no 8-word overlap survives."""
+    from mare_spark.operators.corpus import decontaminate_ngrams
+
+    secret = " ".join(secret_words[:8])
+    padding = " ".join(["zz"] * pad)
+    train = spark.createDataFrame(
+        [
+            (1, f"{padding} {secret} trailing words here".strip()),
+            (2, "completely separate content with no overlap at all x y"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, f"prefix {secret} suffix")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate_ngrams(train, eval_df, "text", "doc_id", n=8).collect()
+    )
+    assert 1 not in kept
+    assert 2 in kept
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=10))
+def test_repetition_stats_matches_python_model(spark, docs):
+    """Spark repetition signals equal an independent Python model on
+    arbitrary ASCII corpora (rounding reproduced exactly: Spark round is
+    half-up at 6dp)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mare_spark.operators.corpus import repetition_stats
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    for i, d in enumerate(docs):
+        ws = _norm_words(d)
+        n = len(ws)
+        nd = len(set(ws))
+        top = max(len([w for w in ws if w == x]) for x in set(ws))
+        bg = [(ws[j], ws[j + 1]) for j in range(n - 1)]
+        nbg, nbgd = len(bg), len(set(bg))
+        assert got[i].n_tokens == n
+        assert got[i].distinct_word_ratio == pytest.approx(r6(nd / max(n, 1)), abs=1e-9)
+        assert got[i].top_word_frac == pytest.approx(r6(top / max(n, 1)), abs=1e-9)
+        assert got[i].dup_bigram_frac == pytest.approx(
+            r6((nbg - nbgd) / max(nbg, 1)), abs=1e-9
+        )
