@@ -1,10 +1,17 @@
 """Text-analysis operators for training-data pipelines: token counting,
 quality scoring, language ID, document fingerprinting.
 
-Everything here is JVM expression code (split / regexp / array functions) —
-no Python in the row path, so these run at scan speed and compose with
-predicate pushdown (e.g. ``quality_stats(df).filter("quality >= 0.5")``
-prunes before any downstream shuffle).
+Execution-tier policy (measured, not assumed):
+* scalar string/regexp/length expressions are JVM codegen — true scan
+  speed, and they compose with predicate pushdown (e.g.
+  ``quality_stats(df).filter("quality >= 0.5")`` prunes before any
+  downstream shuffle);
+* higher-order array lambdas (``transform``/``filter``) are
+  CodegenFallback — interpreted per row. They are kept only where the
+  per-row array work is O(tokens) and bounded (stopword filters over
+  ≤100-token arrays); anything heavier (rolling-hash fingerprints,
+  per-doc token statistics, shingle hashing) runs as Arrow-batched
+  UDFs — see ``doc_token_stats_udf`` and ``operators.dedup``.
 """
 
 from __future__ import annotations
