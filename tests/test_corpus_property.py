@@ -134,3 +134,38 @@ def test_repetition_stats_matches_python_model(spark, docs):
         assert got[i].dup_bigram_frac == pytest.approx(
             r6((nbg - nbgd) / max(nbg, 1)), abs=1e-9
         )
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(_word, min_size=12, max_size=20), min_size=4, max_size=8))
+def test_minhash_subset_and_recall_property(spark, base_docs):
+    """On arbitrary corpora with planted near-dups: the LSH tier's pairs
+    are always a subset of the exact tier's, and every planted
+    one-word-edit pair (j >= ~0.85 at 12+ words) is recovered — the
+    invariant that caught the MinHash modulus bug."""
+    from mare_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    rows = []
+    for i, words in enumerate(base_docs):
+        rows.append((2 * i, " ".join(words)))
+        dup = list(words)
+        dup[0] = dup[0] + "x"  # one-word edit: high but non-1.0 jaccard
+        rows.append((2 * i + 1, " ".join(dup)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", num_perm=64, bands=16, threshold=0.6
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in exact.items():
+        if j >= 0.85:
+            assert pair in lsh, (pair, j)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
