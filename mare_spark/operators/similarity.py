@@ -38,14 +38,18 @@ def cosine_to_query(vec_col, query_vec: list[float]):
     import pandas as pd
 
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = max(float(np.linalg.norm(q)), 1e-300)  # zero query → cosine 0, not NaN
+    qn = float(np.linalg.norm(q))
 
     def cos(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype="float64")
         m = np.array(list(vecs), dtype=np.float64)
-        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
-        return pd.Series((m @ q) / (norms * qn))
+        # clamp the PRODUCT (as pairwise_cosine does): clamping the two
+        # factors separately underflows to 0.0 when both are degenerate
+        # (1e-300 * 1e-300) and still yields NaN — degenerate vectors must
+        # score cosine 0, never NaN (NaN sorts above every real value)
+        den = np.maximum(np.linalg.norm(m, axis=1) * qn, 1e-300)
+        return pd.Series((m @ q) / den)
 
     cos.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     return F.pandas_udf(cos, "double")(vec_col)

@@ -258,19 +258,20 @@ def doc_token_stats_udf():
     counts hash-match the SQL oracles; all division and rounding stays
     JVM-side (Spark/DuckDB round half-up agree; Python's round does not).
     """
-    import re as _re
     from collections import Counter
 
     import pandas as pd
 
-    # ASCII-only \s to mirror Java/RE2 (Python \s is Unicode by default)
-    ws_re = _re.compile(r"\s+", _re.ASCII)
+    # single source of truth for the ASCII tokenization contract — the
+    # same constants every UDF-tier tokenizer uses (operators.dedup)
+    from mare_spark.operators.dedup import _ASCII_WS, _WS_RE
+
     stop = frozenset(STOPWORDS)
 
     def stats(texts):
         rows = []
         for t in texts:
-            ws = ws_re.sub(" ", (t or "").strip(" \t\n\r\f\v").lower()).split(" ")
+            ws = _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
             counts = Counter(ws)
             n = len(ws)
             bigrams = {(ws[i], ws[i + 1]) for i in range(n - 1)}

@@ -336,6 +336,11 @@ def sample_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              least(CAST(floor(octet_length(encode(text)) / 64) AS BIGINT) + 1, 8) AS n
       FROM documents
+      -- char-sliced frames equal byte-sliced frames only for pure-ASCII
+      -- docs (DuckDB cannot slice BLOBs); both engines apply the SAME
+      -- bytes==chars gate, so the compared row sets stay identical on
+      -- any fixture content
+      WHERE octet_length(encode(text)) = length(text)
     ),
     f AS (SELECT doc_id, text, unnest(range(0, n)) AS frame_idx FROM t)
     SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
@@ -346,11 +351,14 @@ def sample_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over binary payloads: bounded explode to
     (doc, frame_idx, stride-sliced frame bytes), hashed to a scalar for
-    the harness. The oracle slices the source text — byte-identical to the
-    payload on this ASCII fixture (payload = utf8(text))."""
+    the harness. The DuckDB oracle can only slice by characters, so both
+    sides gate on bytes==chars (pure-ASCII docs) — identical row sets on
+    any fixture, byte-exact frames on the compared rows."""
     from mare_spark.operators.multimodal import attach_binary_payload, sample_frames
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
     mm = attach_binary_payload(docs, "text", "doc_id")
     frames = sample_frames(mm, "payload", "doc_id", every_n_bytes=64, max_frames=8)
     return frames.select(

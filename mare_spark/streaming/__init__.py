@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    cold_start_schema: str | None = None,
+) -> DataFrame:
     """File-source stream over an events landing directory (parquet files).
 
     Streaming sources need an upfront schema; we take it from the landing
@@ -34,6 +38,13 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     nanosecond-long column is converted with exact integer division
     (``div 1000`` — `/` would round-trip through double and lose precision
     on int64 nanos).
+
+    Cold start (empty/not-yet-created landing dir): there is no footer to
+    infer from and a stream cannot change schema after start, so the
+    reader falls back to ``cold_start_schema`` (default: the micros/NTZ
+    events contract, ``ts timestamp``). If your landing format stores
+    TIMESTAMP(NANOS), pass ``cold_start_schema`` with ``ts long`` so the
+    div-1000 conversion path engages when the first file lands.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import types as T
@@ -47,11 +58,12 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
         schema = spark.read.parquet(source_dir).schema
     except AnalysisException:
         # cold start: the landing dir is empty (or not yet created) — fall
-        # back to the events contract schema so the stream can start and
-        # wait for files instead of failing before the first one lands
+        # back to the contract schema so the stream can start and wait for
+        # files instead of failing before the first one lands
         schema = T._parse_datatype_string(
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string"
+            cold_start_schema
+            or "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
         )
     raw = (
         spark.readStream.schema(schema)
