@@ -41,6 +41,7 @@ __all__ = [
     "pii_scrub",
     "decontaminate_ngrams",
     "pack_sequences",
+    "write_packed_corpus",
     "unigram_logprob",
     "temperature_rates",
     "PII_PATTERNS",
@@ -316,3 +317,37 @@ def temperature_rates(
         F.round(temp, 6).alias("temperature_share"),
         F.round(temp / nat, 6).alias("boost"),
     )
+
+
+def write_packed_corpus(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    token_col: str,
+    id_col: str,
+    *,
+    group_col: str | None = None,
+    max_len: int = 2048,
+    seqs_per_shard: int = 1024,
+) -> None:
+    """Materialize a training corpus as packed parquet shards: documents
+    get their :func:`pack_sequences` tape position, then land in files
+    partitioned by ``shard = seq_id // seqs_per_shard`` (and the group) —
+    so a trainer streams shard directories in order and every shard holds
+    a contiguous, deterministic slice of the token tape.
+
+    The write itself shuffles nothing beyond packing's single group-key
+    exchange; partition pruning on ``shard`` gives resumable training
+    (restart from shard k = one directory listing, not a corpus scan).
+    """
+    packed = pack_sequences(
+        df, token_col, id_col, group_col=group_col, max_len=max_len
+    )
+    keys = [group_col] if group_col else []
+    out = (
+        packed.join(df.select(id_col, text_col), id_col)
+        .withColumn("shard", (F.col("seq_id") / seqs_per_shard).cast("long"))
+        .select(*keys, "shard", id_col, "n_tokens", "seq_id", "seq_offset",
+                text_col)
+    )
+    out.write.mode("overwrite").partitionBy(*keys, "shard").parquet(path)

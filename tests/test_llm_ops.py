@@ -545,3 +545,35 @@ def test_minhash_signature_short_docs_no_crash(spark):
     by_id = {r.doc_id: r for r in rows}
     assert by_id[1].n_sh == 0 and by_id[2].n_sh == 0 and by_id[3].n_sh == 0
     assert by_id[4].n_sh == 2 and len(by_id[4].sig) == 4
+
+
+def test_write_packed_corpus_shards(spark, tmp_path):
+    """Packed-corpus writer: shard directories partition the tape; a
+    one-shard read is partition-pruned and sequences within a shard are
+    the expected contiguous range."""
+    from mare_spark.operators.corpus import write_packed_corpus
+    from mare_spark.tables import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    path = str(tmp_path / "packed")
+    write_packed_corpus(
+        docs, path, "text", "n_tok", "doc_id",
+        group_col="lang", max_len=256, seqs_per_shard=4,
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # every row's shard matches its seq_id range
+    bad = back.filter(
+        (F.col("seq_id") < F.col("shard") * 4)
+        | (F.col("seq_id") >= (F.col("shard") + 1) * 4)
+    ).count()
+    assert bad == 0
+    # single-shard read prunes partitions
+    one = back.filter((F.col("lang") == "en") & (F.col("shard") == 0))
+    from mare_spark import plans as P
+    assert "PartitionFilters" in P.formatted_plan(one)
+    assert one.count() > 0
