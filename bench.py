@@ -4,9 +4,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed twice; the second (warm) run is reported — the first
-run amortizes JVM/codegen warm-up so numbers reflect steady-state plan cost,
-which is what matters for the 100 TB extrapolation.
+Each query runs once cold (JVM/codegen warm-up, not reported) and then 3
+warm times; the reported number is the MEDIAN of the 3 warm runs, so a
+single contended run on a busy driver host cannot double the recorded
+total (VERDICT r2: driver recorded 63 s where an idle re-run gave 30 s —
+uniform external CPU contention). Median-of-3 damps exactly that.
 """
 
 from __future__ import annotations
@@ -14,8 +16,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+WARM_RUNS = 3
 
 
 def main() -> None:
@@ -33,19 +38,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
-        best = None
-        for _ in range(2):
+        samples: list[float] = []
+        dfs = []
+        n = 0
+        for i in range(1 + WARM_RUNS):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             n = df.count()  # force full execution
             dt = time.perf_counter() - t0
-            best = dt  # keep the warm (last) run
-        # drop operator-attached persists AFTER both runs: the second run
-        # keeps its legitimate warm-cache reuse (the repeated-query case),
-        # but cache pressure doesn't accumulate across different queries
-        release_caches(df)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+            dfs.append(df)
+            if i > 0:  # drop the cold run
+                samples.append(dt)
+        med = statistics.median(samples)
+        # release operator-attached persists from EVERY run's plan (pandas-UDF
+        # plans are not plan-equal across invocations, so each run may pin its
+        # own signature/candidate caches) — warm reuse within a query is kept,
+        # cache pressure must not accumulate across queries.
+        for df in dfs:
+            release_caches(df)
+        timings[name] = round(med, 4)
+        print(
+            f"# {name}: median {med:.3f}s of {[round(s, 3) for s in samples]}"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(

@@ -224,6 +224,7 @@ def pack_sequences(
     *,
     group_col: str | None = None,
     max_len: int = 2048,
+    shards: int | None = None,
 ) -> DataFrame:
     """Concatenate-and-cut sequence packing: documents, taken in ``id_col``
     order within each group, are laid end-to-end on a token tape that is cut
@@ -234,14 +235,36 @@ def pack_sequences(
     (``seq_id``) and its offset within that sequence (``seq_offset``) —
     enough for a writer to materialize shards deterministically.
 
-    One shuffle (by ``group_col``) + one windowed running sum. Parallelism
-    equals the number of groups, so pack per shard — pass a composite group
-    (e.g. ``lang`` plus ``pmod(doc_id, 256)``) when a single group would
-    otherwise serialize; each shard's tape is independent by construction.
+    One shuffle (by the group keys) + one windowed running sum. Parallelism
+    equals the number of groups. ``shards=N`` adds a deterministic salt key
+    ``pack_shard = pmod(xxhash64(id_col), N)`` so each of the N tapes packs
+    independently (per group, if ``group_col`` is also given) — THE scale
+    path for a corpus-wide pack. With neither ``group_col`` nor ``shards``
+    the entire input serializes through ONE window partition — a silent
+    single-task tape at scale — so that call emits a RuntimeWarning.
     """
+    import warnings
+
     from pyspark.sql.window import Window
 
+    if group_col is None and shards is None:
+        warnings.warn(
+            "pack_sequences(group_col=None, shards=None) packs the whole "
+            "input through a single window partition — one task, no "
+            "parallelism. Pass group_col and/or shards=N at scale.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     keys = [group_col] if group_col else []
+    shard_key = None
+    if shards is not None:
+        if shards < 1:
+            raise ValueError(f"shards must be >= 1, got {shards}")
+        shard_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).alias(
+            "pack_shard"
+        )
+        df = df.withColumn("pack_shard", shard_key)
+        keys.append("pack_shard")
     # explicit ROWS frame: the orderBy default is RANGE, under which rows
     # tied on id_col would share one cumulative sum and overlap on the tape
     w = (
@@ -251,6 +274,8 @@ def pack_sequences(
     )
     start = F.sum(token_col).over(w) - F.col(token_col)
     out = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
+    if shards is not None:
+        out.append(F.col("pack_shard"))
     return df.select(
         *out,
         F.col(token_col).alias("n_tokens"),

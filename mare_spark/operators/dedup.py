@@ -219,8 +219,9 @@ def ngram_jaccard_pairs(
     Scale: the join key is the shingle, so work is Σ bucket², bounded by the
     frequency cap — never |corpus|². This is also precisely the candidate
     set: pairs sharing zero shingles are never materialized. Shingles are
-    carried as xxhash64 longs end-to-end (fixed-width join keys and set
-    elements); the PPJoin prefix, length, and position filters prune the
+    carried as blake2b-8 signed-int64 hashes end-to-end (fixed-width join
+    keys and set elements — see :func:`hashed_word_shingles`); the PPJoin
+    prefix, length, and position filters prune the
     candidate set before the distinct — all three are exact (no true pair
     at the threshold can be dropped).
     """
@@ -312,7 +313,12 @@ def minhash_signature(
     NB: expression-code tier for API completeness/composability — the
     higher-order ``transform`` lambdas here are CodegenFallback
     (interpreted); the hot path (:func:`minhash_lsh_pairs`) uses the
-    vectorized ``_minhash_base_udf`` instead."""
+    vectorized ``_minhash_base_udf`` instead.
+
+    CROSS-TIER INCOMPATIBILITY: this tier's base shingle hash is xxhash64;
+    the UDF tier's is blake2b-8. The two tiers agree on the Jaccard
+    ESTIMATOR (same permutation family, same modulus) but NOT on signature
+    values — never compare/join signatures produced by different tiers."""
     shingles = word_shingles(text_col, shingle_n)
     h31 = F.transform(shingles, lambda s: F.shiftrightunsigned(F.xxhash64(s), 33))
     sig = [
@@ -335,6 +341,10 @@ def _minhash_base_udf(num_perm: int, shingle_n: int, seed: int):
     ``(a*h + b) mod (2^31-1)`` (modulus at the universe size — see
     ``_MERSENNE31``), minimized over shingles — the whole
     (num_perm × |shingles|) grid is one numpy broadcast per document.
+
+    CROSS-TIER INCOMPATIBILITY: :func:`minhash_signature` (expression tier)
+    hashes shingles with xxhash64, not blake2b-8 — same estimator, different
+    signature values. Never mix signatures across tiers.
     """
     import hashlib
 
@@ -733,6 +743,7 @@ def embedding_cosine_pairs(
     id_col: str,
     threshold: float = 0.95,
     exact_max_rows: int | None = 100_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold.
 
@@ -751,8 +762,12 @@ def embedding_cosine_pairs(
         if n_probe > exact_max_rows:
             from mare_spark.operators.similarity import embedding_lsh_pairs
 
+            if dim is None:
+                # the probe row is already on the driver conceptually; one
+                # bounded fetch beats failing the scale-tier handoff
+                dim = len(df.select(vec_col).limit(1).collect()[0][0])
             return embedding_lsh_pairs(
-                df, vec_col=vec_col, id_col=id_col, threshold=threshold
+                df, vec_col=vec_col, id_col=id_col, threshold=threshold, dim=dim
             )
     from mare_spark.operators.similarity import pairwise_cosine
 

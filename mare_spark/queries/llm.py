@@ -172,8 +172,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mare_spark.operators.similarity import embedding_lsh_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # dim is a scalar query input (same class as the one-row query-vector
+    # fetch below) — the OPERATOR itself never probes; see similarity.py
+    dim = len(emb.select("embedding").limit(1).collect()[0][0])
     return embedding_lsh_pairs(
-        emb, "embedding", "vec_id", threshold=0.4, bands=16, bits_per_band=4
+        emb, "embedding", "vec_id", threshold=0.4, bands=16, bits_per_band=4, dim=dim
     )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mare_spark.queries._decimal import MONEY4, MONEY6, davg, dsum, dsum_raw
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -38,14 +39,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT
       l_returnflag,
       l_linestatus,
-      round(sum(l_quantity), 2)                                        AS sum_qty,
-      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-      round(avg(l_quantity), 4)                                        AS avg_qty,
-      round(avg(l_extendedprice), 4)                                   AS avg_price,
-      round(avg(l_discount), 6)                                        AS avg_disc,
-      count(*)                                                         AS count_order
+      CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)       AS sum_qty,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)  AS sum_base_price,
+      CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))), 2) AS DOUBLE)                  AS sum_disc_price,
+      CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          AS DECIMAL(18,6))), 2) AS DOUBLE)                  AS sum_charge,
+      round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            / count(l_quantity), 4)                                          AS avg_qty,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / count(l_extendedprice), 4)                                     AS avg_price,
+      round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+            / count(l_discount), 6)                                          AS avg_disc,
+      count(*)                                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -59,13 +65,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, MONEY4).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), MONEY6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", scale=6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -85,7 +91,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       o.o_orderkey,
-      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
       o.o_orderdate,
       o.o_orderpriority
     FROM customer c
@@ -114,9 +120,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY4).alias(
+                "revenue"
+            )
         )
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -129,7 +135,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -163,9 +169,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY4).alias(
+                "revenue"
+            )
         )
     )
 
@@ -175,7 +181,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey,
            count(o.o_orderkey)                        AS n_orders,
-           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+           CAST(round(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0), 2) AS DOUBLE) AS total_spent
     FROM customer c
     LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
@@ -190,9 +196,12 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "total_spent"
-            ),
+            F.round(
+                F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)),
+                2,
+            )
+            .cast("double")
+            .alias("total_spent"),
         )
     )
 
@@ -306,7 +315,9 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_range_band",
     oracle="""
-    SELECT b.band, count(*) AS n_parts, round(avg(p.p_retailprice), 4) AS avg_price
+    SELECT b.band, count(*) AS n_parts,
+           round(CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(p.p_retailprice), 4) AS avg_price
     FROM part p
     JOIN (VALUES ('budget', 900.0, 935.0),
                  ('mid',    935.0, 970.0),
@@ -332,7 +343,7 @@ def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            davg("p_retailprice").alias("avg_price"),
         )
     )
 
@@ -412,7 +423,8 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -421,7 +433,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup: (flag, status), (flag), ()."""
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dsum("l_quantity").alias("sum_qty"),
         F.count("*").alias("n"),
     )
 
@@ -430,7 +442,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_price
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -439,7 +451,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cube over two keys (all 4 grouping sets)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+        dsum("l_extendedprice").alias("sum_price")
     )
 
 
@@ -447,7 +459,8 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """,
@@ -458,7 +471,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
@@ -468,10 +482,11 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_having",
     oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spent
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS spent
     FROM orders
     GROUP BY o_custkey
-    HAVING count(*) >= 15 AND sum(o_totalprice) > 1000000
+    HAVING count(*) >= 15 AND sum(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000
     """,
 )
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,8 +496,8 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spent"),
-            F.sum("o_totalprice").alias("_raw_spent"),
+            dsum("o_totalprice").alias("spent"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_raw_spent"),
         )
         .filter((F.col("n_orders") >= 15) & (F.col("_raw_spent") > 1000000))
         .drop("_raw_spent")
@@ -493,8 +508,10 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     oracle="""
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+           CAST(round(sum(CASE WHEN l_linestatus = 'O'
+                          THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS qty_O,
+           CAST(round(sum(CASE WHEN l_linestatus = 'F'
+                          THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS qty_F
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -506,7 +523,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(dsum("l_quantity"))
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
@@ -603,10 +620,15 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
     FROM orders
@@ -620,11 +642,19 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(
-            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
             2,
-        ).alias("running_total"),
+        )
+        .cast("double")
+        .alias("running_total"),
         F.round(
-            F.avg("o_totalprice").over(w.rowsBetween(-2, W.currentRow)), 4
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(-2, W.currentRow))
+            .cast("double")
+            / F.count("*").over(w.rowsBetween(-2, W.currentRow)),
+            4,
         ).alias("moving_avg_3"),
     )
 
@@ -940,8 +970,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(abs(l_extendedprice - 50000), 2)  AS price_dev,
-           ceil(l_quantity / 7)                    AS qty_ceil,
-           floor(l_quantity / 7)                   AS qty_floor,
+           CAST(ceil(l_quantity / 7) AS BIGINT)    AS qty_ceil,
+           CAST(floor(l_quantity / 7) AS BIGINT)   AS qty_floor,
            round(pow(l_discount + 1, 2), 6)        AS disc_sq,
            round(ln(l_extendedprice), 6)           AS log_price,
            CASE WHEN l_quantity >= 40 THEN 'bulk'
@@ -1075,7 +1105,7 @@ def q_from_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -1097,7 +1127,7 @@ def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
                n.n_name
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -1116,7 +1146,8 @@ def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS price
     FROM orders
-    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                       / count(o_totalprice) FROM orders)
     """,
 )
 def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1126,6 +1157,7 @@ def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, round(o_totalprice, 2) AS price
         FROM orders
-        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                       / count(o_totalprice) FROM orders)
         """
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mare_spark.operators.asof import asof_join
+from mare_spark.queries._decimal import MONEY4, dsum, dsum_raw
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -26,7 +27,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q6_revenue_change",
     bench=True,
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -44,9 +45,7 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        )
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), MONEY4).alias("revenue")
     )
 
 
@@ -81,10 +80,11 @@ def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue_share",
     oracle="""
     SELECT round(
-             100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct
+             100.0 * CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+                              THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             4) AS promo_share_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
@@ -105,8 +105,12 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(
+                        F.col("p_type") == "ECONOMY", rev.cast(MONEY4)
+                    ).otherwise(F.lit(0).cast(MONEY4))
+                ).cast("double")
+                / dsum_raw(rev, MONEY4),
                 4,
             ).alias("promo_share_pct")
         )

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mare_spark.queries._decimal import MONEY4, davg, dsum, dsum_raw
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -62,7 +63,7 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            year(l.l_shipdate) AS yr,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS volume
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -100,9 +101,9 @@ def q7_volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("yr"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("volume")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY4).alias(
+                "volume"
+            )
         )
     )
 
@@ -111,12 +112,14 @@ def q7_volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_suppliers",
     oracle="""
     WITH sup AS (
-      SELECT l_suppkey, sum(l_extendedprice * l_quantity) AS val
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS val
       FROM lineitem GROUP BY l_suppkey
     )
-    SELECT l_suppkey, round(val, 2) AS supplier_value
+    SELECT l_suppkey, CAST(round(val, 2) AS DOUBLE) AS supplier_value
     FROM sup
-    WHERE val > (SELECT avg(val) * 1.05 FROM sup)
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(sum(val) AS DOUBLE) / count(*) * 1.05 FROM sup)
     """,
 )
 def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,12 +131,14 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH sup AS (
-          SELECT l_suppkey, sum(l_extendedprice * l_quantity) AS val
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS val
           FROM lineitem GROUP BY l_suppkey
         )
-        SELECT l_suppkey, round(val, 2) AS supplier_value
+        SELECT l_suppkey, CAST(round(val, 2) AS DOUBLE) AS supplier_value
         FROM sup
-        WHERE val > (SELECT avg(val) * 1.05 FROM sup)
+        WHERE CAST(val AS DOUBLE) >
+              (SELECT CAST(sum(val) AS DOUBLE) / count(*) * 1.05 FROM sup)
         """
     )
 
@@ -168,7 +173,8 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     "q15_top_supplier",
     oracle="""
     WITH rev AS (
-      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      SELECT l_suppkey,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -188,7 +194,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY4).alias(
             "total_rev"
         )
     )
@@ -246,7 +252,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_brackets",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 1 AND 20)
@@ -280,7 +286,7 @@ def q19_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(bracket).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY4).alias(
             "revenue"
         )
     )
@@ -289,9 +295,12 @@ def q19_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_idle_wealthy_customers",
     oracle="""
-    SELECT c.c_mktsegment, count(*) AS n_custs, round(sum(c.c_acctbal), 2) AS total_bal
+    SELECT c.c_mktsegment, count(*) AS n_custs,
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / count(c_acctbal)
+                         FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     GROUP BY c.c_mktsegment
@@ -304,7 +313,7 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("threshold")
+        (dsum_raw("c_acctbal") / F.count("c_acctbal")).alias("threshold")
     )
     return (
         c.join(F.broadcast(avg_bal))
@@ -317,6 +326,6 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            dsum("c_acctbal").alias("total_bal"),
         )
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mare_spark.queries._decimal import MONEY4, dsum, dsum_raw
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -28,7 +29,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     WITH all_volumes AS (
       SELECT year(o.o_orderdate) AS yr,
              sn.n_name AS supp_nation,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume
       FROM lineitem l
       JOIN part p     ON p.p_partkey = l.l_partkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -40,11 +41,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
     )
     SELECT yr,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
              AS nation_volume,
-           round(sum(volume), 2) AS total_volume,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           CAST(round(sum(volume), 2) AS DOUBLE) AS total_volume,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
     FROM all_volumes
     GROUP BY yr
     """,
@@ -67,8 +70,10 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    nation_vol = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0)
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(MONEY4)
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0).cast(MONEY4)
+    )
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
@@ -79,9 +84,11 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("yr"))
         .agg(
-            F.round(F.sum(nation_vol), 2).alias("nation_volume"),
-            F.round(F.sum(volume), 2).alias("total_volume"),
-            F.round(F.sum(nation_vol) / F.sum(volume), 6).alias("mkt_share"),
+            F.round(F.sum(nation_vol), 2).cast("double").alias("nation_volume"),
+            F.round(F.sum(volume), 2).cast("double").alias("total_volume"),
+            F.round(
+                F.sum(nation_vol).cast("double") / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share"),
         )
     )
 
@@ -90,8 +97,8 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_type_profit",
     oracle="""
     SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - p.p_retailprice * l.l_quantity * 0.1), 2) AS profit
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.1 AS DECIMAL(18,5))), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -116,12 +123,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    - F.col("p_retailprice") * F.col("l_quantity") * 0.1
-                ),
-                2,
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("p_retailprice") * F.col("l_quantity") * 0.1,
+                "decimal(18,5)",
             ).alias("profit")
         )
     )
@@ -131,7 +136,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_reporting",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            c.c_acctbal, n.n_name AS nation
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -163,9 +168,9 @@ def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY4).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -251,10 +256,13 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_small_quantity_revenue",
     oracle="""
     WITH pa AS (
-      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+      SELECT l_partkey,
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(l_quantity)) AS qty_threshold
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN pa    ON pa.l_partkey = l.l_partkey
@@ -266,18 +274,21 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from below-average-quantity orders of one
     brand. The correlated scalar subquery becomes a grouped aggregate joined
     back on partkey (what Catalyst would rewrite it to anyway). The
-    threshold compare is exact across engines: integral quantities sum
-    exactly in doubles, so avg and 0.2*avg are bit-identical."""
+    threshold compare is exact across engines: quantities accumulate as
+    exact decimals (see queries/_decimal.py), so avg and 0.2*avg are
+    bit-identical doubles on both sides."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     pa = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+        (F.lit(0.2) * (dsum_raw("l_quantity") / F.count("l_quantity"))).alias(
+            "qty_threshold"
+        )
     )
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .join(pa, l.l_partkey == pa.pa_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(dsum_raw("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
 

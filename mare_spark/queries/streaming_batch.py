@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mare_spark.queries._decimal import VALUE4, davg, dsum
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -22,7 +23,7 @@ from mare_spark.tables import read_table
     SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM events
     GROUP BY 1, 2
     """,
@@ -33,7 +34,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), dsum("value", VALUE4).alias("total"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
     )
 
@@ -53,7 +54,9 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT b0 - INTERVAL '5 minutes' AS window_start, event_type, value FROM shifted
     )
     SELECT window_start, event_type,
-           round(avg(value), 4) AS avg_value, count(*) AS n
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 4)
+             AS avg_value,
+           count(*) AS n
     FROM assigned
     GROUP BY 1, 2
     """,
@@ -65,7 +68,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+        .agg(davg("value", VALUE4).alias("avg_value"), F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "avg_value", "n")
     )
 
@@ -94,7 +97,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(ts) + INTERVAL '1 hour'     AS session_end,
            user_id,
            count(*)                        AS n_events,
-           round(sum(value), 2)            AS total
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM s
     GROUP BY user_id, session_id
     """,
@@ -106,7 +109,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n_events"), dsum("value", VALUE4).alias("total"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
@@ -137,7 +140,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            count(*) AS n_events, min(ts) AS session_start,
-           round(sum(value), 2) AS total
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM s GROUP BY user_id, session_id
     """,
 )
@@ -164,5 +167,5 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
-        F.round(F.sum("value"), 2).alias("total"),
+        dsum("value", VALUE4).alias("total"),
     )

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from mare_spark.queries._decimal import VALUE4, davg, dsum
+
 def read_events_stream(
     spark: SparkSession,
     source_dir: str,
@@ -88,7 +90,7 @@ def tumbling_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), dsum("value", VALUE4).alias("total"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -108,7 +110,7 @@ def sliding_avg(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+        .agg(davg("value", VALUE4).alias("avg_value"), F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "avg_value", "n")
     )
 
@@ -123,7 +125,7 @@ def session_aggregate(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.count("*").alias("n_events"), dsum("value", VALUE4).alias("total"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),

@@ -52,8 +52,19 @@ def _canon_cell(v):
     return v
 
 
-def compare(spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 1e-6) -> None:
-    """Assert the Spark result matches the DuckDB oracle result."""
+def compare(
+    spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 0.0
+) -> None:
+    """Assert the Spark result matches the DuckDB oracle result.
+
+    Default is STRICT — the driver's hash gate compares canonicalized
+    values exactly, so any value difference surviving the 9dp canon round
+    is a red CORRECTNESS row (r2's q10 cent flip passed the old 1e-6
+    tolerance locally, then hash-failed at the driver). Strict mode also
+    asserts per-column dtype KIND parity (int vs float vs object...):
+    r2's q_math_conditional was value-identical but hashed `6` (Spark
+    bigint) against `6.0` (DuckDB double). Pass ``float_tol`` > 0 only for
+    queries whose contract is genuinely approximate."""
     got = _canon(spark_df.toPandas())
     con = duckdb_con(sf_dir)
     try:
@@ -67,7 +78,16 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 1e-6) -> 
     )
     for c in got.columns:
         g, w = got[c], want[c]
-        if pd.api.types.is_float_dtype(g) and pd.api.types.is_float_dtype(w):
+        assert g.dtype.kind == w.dtype.kind, (
+            f"{c}: dtype drift spark={g.dtype} duckdb={w.dtype} — the "
+            "driver hash stringifies values, so int-vs-float is a red row; "
+            "align the oracle's type (CAST) with Spark's return type"
+        )
+        if (
+            float_tol > 0.0
+            and pd.api.types.is_float_dtype(g)
+            and pd.api.types.is_float_dtype(w)
+        ):
             for i, (a, b) in enumerate(zip(g, w)):
                 na, nb = pd.isna(a), pd.isna(b)
                 assert na == nb, f"{c}[{i}]: spark={a} duckdb={b}"

@@ -163,7 +163,13 @@ def test_simhash_and_embedding_lsh_attach_caches(docs, emb):
 
     for pairs in (
         simhash_pairs(docs, "text", "doc_id", max_hamming=3),
-        embedding_lsh_pairs(emb, "embedding", "vec_id", threshold=0.4),
+        embedding_lsh_pairs(
+            emb,
+            "embedding",
+            "vec_id",
+            threshold=0.4,
+            dim=len(emb.head()["embedding"]),
+        ),
     ):
         pairs.count()
         cached = pairs._mare_caches
@@ -416,6 +422,38 @@ def test_pack_sequences_invariants(spark):
     out2 = {r.doc_id: r for r in pack_sequences(
         df2, "n", "doc_id", group_col="grp", max_len=512).collect()}
     assert out2[1].seq_id == 0 and out2[2].seq_id == 0
+
+
+def test_pack_sequences_ungrouped_guard_and_shards(spark):
+    """Ungrouped+unsharded packing serializes through ONE window partition —
+    the call must warn (VERDICT r2 #4); shards=N salts the tape into N
+    independent groups with a stable pack_shard key, and each shard's tape
+    is gapless in doc_id order."""
+    import warnings
+
+    from mare_spark.operators.corpus import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 200) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pack_sequences(df, "n", "doc_id", max_len=512)
+    assert any("single window partition" in str(w.message) for w in caught)
+
+    out = pack_sequences(df, "n", "doc_id", max_len=512, shards=4).collect()
+    assert {r.pack_shard for r in out} <= set(range(4))
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        by_shard.setdefault(r.pack_shard, []).append(r)
+    for shard_rows in by_shard.values():
+        tape = 0
+        for r in shard_rows:
+            assert r.seq_id == tape // 512 and r.seq_offset == tape % 512
+            tape += r.n_tokens
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, "n", "doc_id", shards=0)
 
 
 def test_repetition_stats_crafted(spark):

@@ -130,6 +130,25 @@ def test_hyperplane_signature_realistic_dim(spark):
         hyperplane_signature(F.col("embedding"), np.zeros((64, 4)))
 
 
+def test_embedding_lsh_pairs_no_job_before_signature_stage(spark):
+    """With an explicit dim, building the LSH-pairs plan must trigger ZERO
+    Spark jobs (the r2 head() probe was a needless driver action); without
+    dim and without schema metadata it must raise instead of probing."""
+    from mare_spark.operators.similarity import embedding_lsh_pairs
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh-plan-build", "plan construction must not run jobs")
+    try:
+        embedding_lsh_pairs(emb, "embedding", "vec_id", 0.4, dim=64)
+        assert not sc.statusTracker().getJobIdsForGroup("lsh-plan-build")
+        with pytest.raises(ValueError, match="pass dim"):
+            embedding_lsh_pairs(emb, "embedding", "vec_id", 0.4)
+        assert not sc.statusTracker().getJobIdsForGroup("lsh-plan-build")
+    finally:
+        sc.setJobGroup("", "")
+
+
 def test_embedding_lsh_pairs_recall(spark):
     emb = read_table(spark, SF_ORACLE, "embeddings")
     exact = {
@@ -139,7 +158,13 @@ def test_embedding_lsh_pairs_recall(spark):
     lsh = {
         (r.id_a, r.id_b)
         for r in embedding_lsh_pairs(
-            emb, "embedding", "vec_id", 0.4, bands=16, bits_per_band=4
+            emb,
+            "embedding",
+            "vec_id",
+            0.4,
+            bands=16,
+            bits_per_band=4,
+            dim=len(emb.head()["embedding"]),
         ).collect()
     }
     assert exact
