@@ -406,17 +406,62 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(docs, "text", "doc_id")
 
 
-@register("text_rolling_fingerprint", category="llm", oracle=None)
+@register(
+    "text_rolling_fingerprint",
+    category="llm",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS s
+      FROM documents
+      WHERE length(text) = octet_length(CAST(text AS BLOB))
+    ),
+    c AS (
+      SELECT doc_id, length(s) AS n,
+             list_transform(range(1, length(s)+1),
+                            i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS HUGEINT))
+               AS cs
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id,
+        CASE
+          WHEN n = 0 THEN [CAST(0 AS BIGINT)]
+          WHEN n < 8 THEN [CAST(list_sum(cs) AS BIGINT)]
+          ELSE list_transform(
+                 list_sort(list_distinct(list_transform(range(1, n - 6),
+                   i -> (cs[CAST(i AS INT)]   * 74051159531521793
+                       + cs[CAST(i AS INT)+1] * 288136807515649
+                       + cs[CAST(i AS INT)+2] * 1121154893057
+                       + cs[CAST(i AS INT)+3] * 4362470401
+                       + cs[CAST(i AS INT)+4] * 16974593
+                       + cs[CAST(i AS INT)+5] * 66049
+                       + cs[CAST(i AS INT)+6] * 257
+                       + cs[CAST(i AS INT)+7]) % 2147483647
+                 )))[1:4],
+                 x -> CAST(x AS BIGINT))
+        END AS fp
+      FROM c
+    )
+    SELECT doc_id, array_to_string(fp, ',') AS fingerprint FROM h
+    """,
+)
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprints (numpy-windowed pandas UDF;
-    determinism asserted in tests). The operator returns the fingerprint as
-    ``array<bigint>`` for composition; the registered query serializes it to
-    one comma-joined string so the result holds only scalar columns (the
-    correctness harness canonicalizes row sets with pandas, where array
-    cells are unhashable)."""
+    """Winnowing-style rolling-hash fingerprints (numpy-windowed pandas UDF).
+
+    The oracle replays the exact polynomial recurrence in DuckDB: HUGEINT
+    Horner constants 257^7..257^0 mod 2^31-1 over per-character code lists
+    (window 8, keep the 4 smallest distinct). Both sides ASCII-gate the
+    corpus identically — `length == octet_length` (the same pattern as the
+    multimodal frame oracle, queries/llm2.py) — so SQL codepoints equal the
+    UDF's UTF-8 bytes; on the current fixtures the gate drops zero rows.
+    The operator returns ``array<bigint>`` for composition; the registered
+    query serializes it to one comma-joined string so the result holds only
+    scalar columns (driver canonicalizer contract)."""
     from mare_spark.operators.text import rolling_hash_fingerprint
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
     fp = rolling_hash_fingerprint(docs, "text", "doc_id")
     return fp.select(
         "doc_id", F.concat_ws(",", F.col("fingerprint")).alias("fingerprint")
@@ -488,6 +533,155 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(drop, "doc_id", "left_anti")
         .select("doc_id", "n_tokens")
     )
+
+
+@register(
+    "pipeline_clean_corpus_v2",
+    category="llm",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, lower(text) AS s
+      FROM documents
+      WHERE length(text) = octet_length(CAST(text AS BLOB))
+    ),
+    docs AS (
+      SELECT doc_id, {_SHINGLES3} AS sh FROM base
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING common / (na + nb - common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    r1 AS (SELECT src AS node, least(src, min(dst)) AS label FROM edges GROUP BY src),
+    r2 AS (
+      SELECT e.src AS node, least(max(r.label), min(l.label)) AS label
+      FROM edges e JOIN r1 r ON r.node = e.src JOIN r1 l ON l.node = e.dst
+      GROUP BY e.src
+    ),
+    c AS (
+      SELECT doc_id, length(s) AS n,
+             list_transform(range(1, length(s)+1),
+                            i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS HUGEINT))
+               AS cs
+      FROM base
+    ),
+    fp AS (
+      SELECT doc_id,
+        CASE
+          WHEN n = 0 THEN [CAST(0 AS BIGINT)]
+          WHEN n < 12 THEN [CAST(list_sum(cs) AS BIGINT)]
+          ELSE list_transform(
+                 list_sort(list_distinct(list_transform(range(1, n - 10),
+                   i -> (cs[CAST(i AS INT)]    * 323045991615992848448948993
+                       + cs[CAST(i AS INT)+1]  * 1256988294225653106805249
+                       + cs[CAST(i AS INT)+2]  * 4891005035897482905857
+                       + cs[CAST(i AS INT)+3]  * 19031147999601100801
+                       + cs[CAST(i AS INT)+4]  * 74051159531521793
+                       + cs[CAST(i AS INT)+5]  * 288136807515649
+                       + cs[CAST(i AS INT)+6]  * 1121154893057
+                       + cs[CAST(i AS INT)+7]  * 4362470401
+                       + cs[CAST(i AS INT)+8]  * 16974593
+                       + cs[CAST(i AS INT)+9]  * 66049
+                       + cs[CAST(i AS INT)+10] * 257
+                       + cs[CAST(i AS INT)+11]) % 2147483647
+                 )))[1:8],
+                 x -> CAST(x AS BIGINT))
+        END AS picks
+      FROM c
+    ),
+    finv AS (
+      SELECT doc_id, unnest(picks) AS fpv FROM fp
+    ),
+    fkeep AS (
+      SELECT fpv FROM finv GROUP BY fpv HAVING count(*) <= 1000
+    ),
+    finv2 AS (SELECT i.doc_id, i.fpv FROM finv i JOIN fkeep USING (fpv)),
+    sub_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM finv2 a JOIN finv2 b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    q AS (
+      SELECT doc_id, len({_WORDS}) AS n_tokens FROM base
+    )
+    SELECT d.doc_id, q.n_tokens
+    FROM base d
+    JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN r2 ON r2.node = d.doc_id
+    WHERE q.n_tokens >= 30
+      AND (r2.node IS NULL OR r2.label = d.doc_id)
+      AND d.doc_id NOT IN (SELECT doc_b FROM sub_pairs)
+    """,
+)
+def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition v2 — v1's cleaning pass with the substring-
+    overlap stage wired in: (0) charset gate (ASCII; keeps SQL codepoints
+    equal to UDF bytes — drops zero fixture rows), (1) length gate (>=30
+    tokens), (2) word-level near-dup clusters (3-gram Jaccard >= 0.8, CC
+    min-id representative), (3) verbatim-run prune: winnowing fingerprint
+    candidates (window 12, keep 8, >= 2 shared picks —
+    :func:`substring_overlap_candidates`) drop the higher-id doc of each
+    pair. All drop sets derive from the gated base corpus, so stages
+    compose order-independently; the whole plan stays declarative. The
+    oracle replays every stage in DuckDB, including the rolling hash
+    (HUGEINT Horner, mod 2^31-1)."""
+    from mare_spark.operators.dedup import (
+        dedup_clusters,
+        release_caches,
+        substring_overlap_candidates,
+    )
+    from mare_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    clusters = dedup_clusters(pairs)
+    release_caches(pairs)
+    drop_dup = clusters.filter(F.col("member") != F.col("cluster")).select(
+        F.col("member").alias("doc_id")
+    )
+    cand = substring_overlap_candidates(
+        docs, "text", "doc_id", window=12, keep=8, min_shared=2
+    )
+    drop_sub = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        docs.withColumn("n_tokens", F.size(tokens(F.col("text"))))
+        .filter(F.col("n_tokens") >= 30)
+        .join(drop_dup, "doc_id", "left_anti")
+        .join(drop_sub, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens")
+    )
+
+
+@register("pipeline_clean_corpus_semantic", category="llm", oracle=None)
+def pipeline_clean_corpus_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v2 + the semantic stage: SemDeDup-style IVF-blocked cosine
+    pairs (>= 0.4) over the embeddings table additionally drop the
+    higher-id doc of each semantic pair, for documents that HAVE an
+    embedding (vec_id keys a document prefix; at sf0.1 only 2000 of 5000
+    docs carry vectors, so the stage is a partial prune by design).
+    Rows-only driver check: centroid training is iterative (k-means), not
+    SQL-expressible; the non-semantic stages are hash-checked via
+    ``pipeline_clean_corpus_v2`` and the semantic pair set via pytest
+    (subset-of-exact + recall)."""
+    from mare_spark.operators.similarity import semantic_dedup_pairs
+
+    base = pipeline_clean_corpus_v2(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    sem = semantic_dedup_pairs(
+        emb, "embedding", "vec_id", nlist=16, threshold=0.4, nprobe_assign=3
+    )
+    drop_sem = sem.select(F.col("id_b").alias("doc_id")).distinct()
+    return base.join(drop_sem, "doc_id", "left_anti")
 
 
 @register(

@@ -82,9 +82,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_sessionize", "multimodal_frame_sample",
     "q_intersect_all", "q_except_all",
     "dedup_substring_candidates", "dedup_semantic",
-    # -- 2. repaired this round --
+    # -- 2. repaired or newly registered this round --
     "q_math_conditional", "q10_returned_item_reporting",
     "text_rolling_fingerprint",
+    "pipeline_clean_corpus_v2", "pipeline_clean_corpus_semantic",
     # -- 3. decimal-summation re-checks (oracle SQL changed this round) --
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_revenue_change", "q7_volume_between_nations",

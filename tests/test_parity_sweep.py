@@ -105,6 +105,101 @@ def test_docker_backend_fails_cleanly_without_daemon(tmp_path):
         run_container("busybox:1", "cat /i", [(str(i), "/i")], backend="docker")
 
 
+# -- docker backend contract, daemon-free (mocked CLI) ----------------------
+# DockerHelper.scala:80-135 semantics: pull only when the image is absent
+# (once per worker), -v host:mount binds, `sh -c` entrypoint, non-zero exit
+# raises so Spark's task retry kicks in. The sandbox has no daemon, so the
+# CLI layer is mocked and the command vectors asserted directly.
+
+class _FakeDockerCLI:
+    """Records docker invocations; scriptable per-subcommand results."""
+
+    def __init__(self, *, image_present=False, run_rc=0, pull_rc=0):
+        self.calls: list[list[str]] = []
+        self.image_present = image_present
+        self.run_rc = run_rc
+        self.pull_rc = pull_rc
+
+    def __call__(self, args, **kwargs):
+        import subprocess as sp
+
+        self.calls.append(list(args))
+        sub = args[1] if args[0] == "docker" else None
+        if sub == "image":  # docker image inspect
+            rc = 0 if self.image_present else 1
+        elif sub == "pull":
+            rc = self.pull_rc
+        elif sub == "run":
+            rc = self.run_rc
+        else:
+            rc = 0
+        return sp.CompletedProcess(args, rc, stdout="", stderr=f"rc={rc}")
+
+
+@pytest.fixture()
+def fresh_pull_cache(monkeypatch):
+    import mare_spark.runner as runner
+
+    monkeypatch.setattr(runner, "_pulled_images", set())
+    return runner
+
+
+def test_docker_pull_once_and_run_vector(fresh_pull_cache, monkeypatch, tmp_path):
+    runner = fresh_pull_cache
+    cli = _FakeDockerCLI(image_present=False)
+    monkeypatch.setattr(runner.subprocess, "run", cli)
+    host = str(tmp_path / "in")
+
+    runner.run_container("busybox", "cat /i > /o", [(host, "/i")], backend="docker")
+    subcmds = [c[1] for c in cli.calls]
+    assert subcmds == ["image", "pull", "run"]  # absent → inspect, pull, run
+    run_args = cli.calls[-1]
+    assert run_args[:3] == ["docker", "run", "--rm"]
+    assert f"{runner.os.path.abspath(host)}:/i" in run_args  # bind mount
+    # normalized image + sh -c entrypoint (DockerHelper.scala:51-64,103-108)
+    assert "busybox:latest" in run_args
+    ep = run_args.index("--entrypoint")
+    assert run_args[ep + 1] == "sh" and run_args[-2:] == ["-c", "cat /i > /o"]
+
+    # second run: pull-once cache skips inspect AND pull
+    cli.calls.clear()
+    runner.run_container("busybox", "true", [(host, "/i")], backend="docker")
+    assert [c[1] for c in cli.calls] == ["run"]
+
+    # force_pull bypasses the cache
+    cli.calls.clear()
+    runner.run_container(
+        "busybox", "true", [(host, "/i")], backend="docker", force_pull=True
+    )
+    assert [c[1] for c in cli.calls] == ["pull", "run"]
+
+
+def test_docker_present_image_skips_pull(fresh_pull_cache, monkeypatch):
+    runner = fresh_pull_cache
+    cli = _FakeDockerCLI(image_present=True)
+    monkeypatch.setattr(runner.subprocess, "run", cli)
+    runner.run_container("repo.io/org/img:2", "true", [], backend="docker")
+    assert [c[1] for c in cli.calls] == ["image", "run"]
+
+
+def test_docker_nonzero_exit_raises(fresh_pull_cache, monkeypatch):
+    runner = fresh_pull_cache
+    cli = _FakeDockerCLI(image_present=True, run_rc=137)
+    monkeypatch.setattr(runner.subprocess, "run", cli)
+    with pytest.raises(ContainerRunError, match="code 137"):
+        runner.run_container("busybox:1", "oom", [], backend="docker")
+
+
+def test_docker_pull_failure_raises(fresh_pull_cache, monkeypatch):
+    runner = fresh_pull_cache
+    cli = _FakeDockerCLI(image_present=False, pull_rc=1)
+    monkeypatch.setattr(runner.subprocess, "run", cli)
+    with pytest.raises(ContainerRunError, match="pull"):
+        runner.run_container("ghost/none", "true", [], backend="docker")
+    # a failed pull must NOT poison the pull-once cache
+    assert "ghost/none:latest" not in runner._pulled_images
+
+
 # -- RDD-plumbing parity (MaRe.scala:32-51) ---------------------------------
 
 def test_num_partitions_and_cache(spark):
