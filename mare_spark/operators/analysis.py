@@ -1,0 +1,341 @@
+"""Corpus-analysis operators (round 3): the measurement passes a
+pretraining-data pipeline runs to AUDIT a corpus rather than transform it —
+heavy-hitter n-grams, per-document TF-IDF keywords, sequence-length
+histograms, duplicate-cluster statistics, cross-source contamination, and
+embedding-norm sanity stats.
+
+Scale posture (each op notes its exact shuffle budget):
+* ``ngram_heavy_hitters`` — explode is a narrow flatMap; the count is one
+  hash aggregate with map-side partial combine (the gram key is
+  high-cardinality but partials still collapse duplicates within a task's
+  documents); top-k is TakeOrderedAndProject (no global sort). One shuffle.
+* ``tfidf_keywords`` — two keyed aggregates (term-frequency per doc,
+  document-frequency per term) + one join on the term key + one per-doc
+  top-k window. The corpus-size scalar joins in as a 1-row broadcast
+  (never a driver collect, never a global window).
+* ``length_histogram`` — scan-side bucket expression + one tiny aggregate;
+  the per-group share is a window over the already-aggregated (buckets x
+  groups) result, which is O(100) rows at any corpus size.
+* ``dedup_cluster_stats`` — two map-side-combinable aggregates per key
+  granularity (digest -> cluster size -> histogram). The histogram is at
+  most O(max cluster size) rows per granularity.
+* ``cross_source_overlap`` — distinct (source, gram-hash) then a
+  self-join on the hash. Sources are a small fixed set, so the join
+  fan-out per gram is bounded by sources²; counts are exact integers.
+* ``embedding_norm_stats`` — per-row norm is a scan-side left-fold
+  (``F.aggregate``), rounded to a fixed 6dp grid and summed as
+  DECIMAL(18,6) so the group average is order-independent (the same
+  hash-stable convention as queries/_decimal.py).
+
+No reference counterpart: MaRe (see /root/reference, README.md:21-25) has
+no analytics surface; this family is part of the engine's declared
+LLM-pipeline extension (SURVEY §2B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mare_spark.operators.dedup import normalize_text
+from mare_spark.operators.text import STOPWORDS, tokens
+
+__all__ = [
+    "word_ngrams",
+    "ngram_heavy_hitters",
+    "tfidf_keywords",
+    "length_histogram",
+    "dedup_cluster_stats",
+    "cross_source_overlap",
+    "embedding_norm_stats",
+    "LENGTH_BUCKETS",
+]
+
+
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams of the normalized text (same
+    tokenization as every other text operator: ``normalize_text`` + split
+    on single spaces, matching the oracles' ``string_split`` form).
+
+    Documents shorter than ``n`` words yield an empty array — guarded
+    explicitly because ``F.sequence(1, 0)`` would count DOWN (Spark infers
+    step -1 when start > stop) and fabricate phantom grams.
+    """
+    w = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(w) >= n, grams).otherwise(empty)
+
+
+def ngram_heavy_hitters(
+    df: DataFrame, text_col: str, n: int = 3, k: int = 25
+) -> DataFrame:
+    """Exact corpus-wide top-``k`` most frequent word ``n``-grams.
+
+    The audit query behind repetition-aware filtering: boilerplate
+    (cookie banners, license headers, navigation chrome) shows up as
+    heavy-hitter n-grams long before any pairwise dedup finds it.
+
+    Shape: flatMap(explode) -> one hash aggregate (map-side partial
+    combine collapses within-task duplicates — boilerplate is exactly the
+    case where partials pay off) -> TakeOrderedAndProject for the top-k
+    (count desc, gram asc tie-break; no global sort materializes).
+    """
+    return (
+        df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Top-``k`` keywords per document by a deterministic TF-IDF score.
+
+    Terms are normalized tokens of length >= ``min_term_len`` with
+    stopwords removed. The score is ``tf * n_docs / df`` computed as ONE
+    double division of exact integers (``round(tf * n_docs / df, 6)``) —
+    both engines produce the identical IEEE double, so the value hash
+    can't flip (a log-idf would re-introduce cross-engine libm drift).
+    Ties break on the term string ascending.
+
+    Shape: explode -> tf aggregate keyed (doc, term) -> df aggregate keyed
+    term -> shuffle join on term -> per-doc top-k window. The corpus size
+    ``n_docs`` enters as a 1-row broadcast (BroadcastNestedLoopJoin of a
+    single row — the sanctioned scalar pattern, see tests/test_plans.py
+    allowlist), so no driver action and no global window.
+    """
+    from pyspark.sql import Window
+
+    stop = F.array([F.lit(w) for w in STOPWORDS])
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                tokens(F.col(text_col)),
+                lambda t: (F.length(t) >= min_term_len) & ~F.array_contains(stop, t),
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rank")
+    )
+
+
+#: (label, inclusive lower bound) token-count buckets — integer comparisons
+#: only, so bucket assignment is engine-exact (a log2/floor bucketing can
+#: straddle a power-of-two boundary differently per libm).
+LENGTH_BUCKETS: tuple[tuple[str, int], ...] = (
+    ("0032+", 32),
+    ("0128+", 128),
+    ("0512+", 512),
+    ("2048+", 2048),
+)
+
+
+def _length_bucket(n_tokens: Column) -> Column:
+    expr = F.lit("0000+")
+    for label, lo in LENGTH_BUCKETS:
+        expr = F.when(n_tokens >= lo, F.lit(label)).otherwise(expr)
+    return expr
+
+
+def length_histogram(
+    df: DataFrame, text_col: str, id_col: str, group_col: str
+) -> DataFrame:
+    """Token-length histogram per group: doc counts, token totals, and each
+    bucket's share of its group — the packing-efficiency / curriculum audit
+    (how much of each language is short-tail vs long-form).
+
+    Shape: scan-side token count + bucket CASE, one aggregate on
+    (group, bucket), then the share via a window over the aggregated
+    result — which is at most groups x buckets rows (O(100)) regardless of
+    corpus size, so the window never sees big data.
+    """
+    from pyspark.sql import Window
+
+    n = F.size(tokens(F.col(text_col)))
+    per_bucket = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            _length_bucket(n).alias("length_bucket"),
+            n.alias("n_tokens"),
+        )
+        .groupBy("grp", "length_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    w = Window.partitionBy("grp")
+    return per_bucket.withColumn(
+        "share_of_group",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ),
+    ).select(
+        F.col("grp").alias(group_col),
+        "length_bucket",
+        "n_docs",
+        "total_tokens",
+        "share_of_group",
+    )
+
+
+def _cluster_histogram(keys: DataFrame, kind: str) -> DataFrame:
+    """digest column -> (key_kind, cluster_size, n_clusters, n_docs,
+    n_redundant) histogram. Two map-side-combinable aggregates."""
+    clusters = keys.groupBy("digest").agg(F.count("*").alias("cluster_size"))
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.lit(kind).alias("key_kind"),
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_redundant"
+            ),
+        )
+    )
+
+
+def dedup_cluster_stats(
+    df: DataFrame, text_col: str, prefix_words: int = 8
+) -> DataFrame:
+    """Duplicate-cluster size histogram at two key granularities: exact
+    normalized text, and the first ``prefix_words`` normalized words (the
+    cheap shared-prefix family that catches templated boilerplate exact
+    dedup misses). For each (granularity, cluster size): how many
+    clusters, how many documents, how many redundant (size - 1 each).
+
+    The audit companion to ``operators.dedup.exact_dedup``: it reports the
+    dedup *yield* (what fraction of the corpus each pass would remove)
+    without materializing survivors. Two map-side-combinable aggregates
+    per granularity over one shared scan; the result is O(max cluster
+    size) rows.
+    """
+    w = tokens(F.col(text_col))
+    keyed = df.select(
+        F.md5(normalize_text(F.col(text_col))).alias("exact_digest"),
+        F.md5(F.concat_ws(" ", F.slice(w, 1, prefix_words))).alias(
+            "prefix_digest"
+        ),
+    )
+    exact = _cluster_histogram(
+        keyed.select(F.col("exact_digest").alias("digest")), "exact"
+    )
+    prefix = _cluster_histogram(
+        keyed.select(F.col("prefix_digest").alias("digest")),
+        f"prefix{prefix_words}",
+    )
+    return exact.unionByName(prefix).orderBy("key_kind", "cluster_size")
+
+
+def cross_source_overlap(
+    df: DataFrame, text_col: str, source_col: str, n: int = 5
+) -> DataFrame:
+    """Pairwise cross-source contamination: for every unordered source
+    pair, how many DISTINCT word ``n``-grams appear in both — the
+    "did crawl B re-scrape crawl A" audit that decides whether sources can
+    be mixed without a global dedup pass. N-gram granularity (vs whole
+    documents) catches partial overlap: quoted passages, shared templates,
+    re-crawled fragments.
+
+    Shape: distinct (source, gram-hash) -> self-join on the hash with
+    ``source_a < source_b`` (each gram contributes at most sources²/2
+    pairs, and sources are a small fixed set) -> one count aggregate.
+    Grams travel as md5 hashes, not strings, so the shuffle carries
+    fixed-width keys. Exact integer counts; deterministic.
+    """
+    d = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+        )
+        .select("src", F.md5(F.col("g")).alias("gram"))
+        .distinct()
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def embedding_norm_stats(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-label embedding-norm sanity stats: count, mean/min/max L2 norm.
+
+    The pre-flight check before any cosine-based dedup or ANN pass —
+    near-zero or wildly varying norms mean the embedding batch is broken
+    and every similarity downstream is noise.
+
+    Determinism: the per-row norm is a scan-side left-fold over the vector
+    (``F.aggregate`` — bit-identical to DuckDB's ``list_sum`` left fold,
+    verified empirically), rounded onto a fixed 6dp grid; the group MEAN
+    sums those grid points as DECIMAL(18,6) — exact integer arithmetic, so
+    the average is independent of partition order (queries/_decimal.py
+    convention). Min/max of identical doubles are trivially stable.
+    """
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    norm = F.round(F.sqrt(sq), 6)
+    return (
+        df.select(F.col(label_col).alias("label"), norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("norm").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_norm"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )

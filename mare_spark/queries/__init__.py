@@ -10,6 +10,7 @@ Submodules group SURVEY.md §2B families:
 from mare_spark.queries import (  # noqa: F401
     llm,
     llm2,
+    llm3,
     pipe,
     relational,
     relational2,

@@ -1,0 +1,199 @@
+"""Corpus-audit queries (LLM family, round 3): heavy-hitter n-grams,
+TF-IDF keywords, length histograms, duplicate-cluster statistics,
+cross-source contamination, and embedding-norm sanity stats — the
+measurement passes a pretraining pipeline runs to understand a corpus
+before (and after) transforming it.
+
+Every query carries a DuckDB oracle. Tokenization mirrors
+mare_spark.queries.llm2 (`_NORM`/`_WORDS`) so all LLM-family oracles agree
+on the word split; float outputs follow the hash-stable conventions of
+queries/_decimal.py (single-division doubles, 6dp grids, decimal sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mare_spark.operators.analysis import (
+    cross_source_overlap,
+    dedup_cluster_stats,
+    embedding_norm_stats,
+    length_histogram,
+    ngram_heavy_hitters,
+    tfidf_keywords,
+)
+from mare_spark.queries.llm2 import _duck_ngrams, _NORM, _STOPLIST, _WORDS
+from mare_spark.registry import register
+from mare_spark.tables import read_table
+
+
+@register(
+    "corpus_ngram_heavy_hitters",
+    category="llm",
+    bench=True,
+    oracle=f"""
+    WITH w AS (SELECT {_WORDS} AS w FROM documents),
+    g AS (SELECT unnest({_duck_ngrams(3)}) AS ngram FROM w)
+    SELECT ngram, count(*) AS n_occurrences
+    FROM g GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram ASC
+    LIMIT 25
+    """,
+)
+def corpus_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-25 most frequent word trigrams corpus-wide — the
+    boilerplate detector (cookie banners, license headers) that motivates
+    repetition-aware filtering. Explode -> map-side-combined hash
+    aggregate -> TakeOrderedAndProject."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_heavy_hitters(docs, "text", n=3, k=25)
+
+
+@register(
+    "text_tfidf_keywords",
+    category="llm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    t AS (
+      SELECT doc_id,
+             unnest(list_filter(w, x -> length(x) >= 3
+                    AND NOT list_contains({_STOPLIST}, x))) AS term
+      FROM w
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+             round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.doc_freq, 6)
+               AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, doc_freq, tfidf, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (stopword-pruned terms of >= 3
+    chars; score = tf * n_docs / doc_freq as one exact-integer double
+    division — no libm log, so the value hash can't drift)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, "text", "doc_id", k=3, min_term_len=3)
+
+
+@register(
+    "corpus_length_histogram",
+    category="llm",
+    oracle=f"""
+    WITH s AS (SELECT lang, len({_WORDS}) AS n FROM documents),
+    b AS (
+      SELECT lang,
+             CASE WHEN n >= 2048 THEN '2048+' WHEN n >= 512 THEN '0512+'
+                  WHEN n >= 128 THEN '0128+' WHEN n >= 32 THEN '0032+'
+                  ELSE '0000+' END AS length_bucket,
+             n
+      FROM s
+    )
+    SELECT lang, length_bucket, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           round(CAST(count(*) AS DOUBLE) /
+                 CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE), 6)
+             AS share_of_group
+    FROM b GROUP BY lang, length_bucket
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per language (integer-threshold buckets —
+    engine-exact, unlike a log2/floor bucketing) with each bucket's share
+    of its language; the packing-efficiency / curriculum audit."""
+    docs = read_table(spark, sf_dir, "documents")
+    return length_histogram(docs, "text", "doc_id", "lang")
+
+
+@register(
+    "dedup_cluster_stats",
+    category="llm",
+    oracle=f"""
+    WITH w AS (
+      SELECT md5({_NORM}) AS exact_digest,
+             md5(array_to_string(({_WORDS})[1:8], ' ')) AS prefix_digest
+      FROM documents
+    ),
+    ec AS (SELECT exact_digest, count(*) AS cluster_size FROM w
+           GROUP BY exact_digest),
+    pc AS (SELECT prefix_digest, count(*) AS cluster_size FROM w
+           GROUP BY prefix_digest),
+    eh AS (
+      SELECT 'exact' AS key_kind, cluster_size, count(*) AS n_clusters
+      FROM ec GROUP BY cluster_size
+    ),
+    ph AS (
+      SELECT 'prefix8' AS key_kind, cluster_size, count(*) AS n_clusters
+      FROM pc GROUP BY cluster_size
+    ),
+    u AS (SELECT * FROM eh UNION ALL SELECT * FROM ph)
+    SELECT key_kind, cluster_size, n_clusters,
+           cluster_size * n_clusters AS n_docs,
+           (cluster_size - 1) * n_clusters AS n_redundant
+    FROM u
+    """,
+)
+def dedup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram at two granularities (exact
+    normalized text; first-8-words prefix) — the dedup-yield audit that
+    sizes a cleaning pass without materializing survivors."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_cluster_stats(docs, "text", prefix_words=8)
+
+
+@register(
+    "cross_source_contamination",
+    category="llm",
+    oracle=f"""
+    WITH w AS (SELECT source, {_WORDS} AS w FROM documents),
+    d AS (
+      SELECT DISTINCT source AS src, md5(g) AS gram
+      FROM (SELECT source, unnest({_duck_ngrams(5)}) AS g FROM w)
+    )
+    SELECT a.src AS source_a, b.src AS source_b,
+           count(*) AS n_shared_ngrams
+    FROM d a JOIN d b ON a.gram = b.gram AND a.src < b.src
+    GROUP BY source_a, source_b
+    """,
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shared word 5-grams per unordered source pair — the
+    "did crawl B re-scrape crawl A" audit; n-gram granularity catches
+    partial overlap (quotes, templates) that exact-text keys miss."""
+    docs = read_table(spark, sf_dir, "documents")
+    return cross_source_overlap(docs, "text", "source", n=5)
+
+
+@register(
+    "embedding_norm_stats",
+    category="llm",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             round(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_norm,
+           min(norm) AS min_norm, max(norm) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm sanity stats over the embedding table — the
+    pre-flight check before cosine dedup / ANN. Norms come from a
+    scan-side left-fold bit-identical to DuckDB's list_sum (verified
+    empirically); the mean sums 6dp-grid norms as DECIMAL(18,6), so it is
+    partition-order independent."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_norm_stats(emb, "embedding", "label")

@@ -1,0 +1,106 @@
+"""Semantic unit tests for operators.analysis (corpus-audit family) on
+small planted corpora — the oracle sweep (test_queries_oracle) carries the
+fixture-scale parity evidence; these pin the operator semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mare_spark.operators.analysis import (
+    cross_source_overlap,
+    dedup_cluster_stats,
+    embedding_norm_stats,
+    length_histogram,
+    ngram_heavy_hitters,
+    tfidf_keywords,
+    word_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_word_ngrams_short_doc_yields_empty(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    out = df.select(word_ngrams(F.col("text"), 3).alias("g")).head()
+    assert out.g == []  # no phantom descending-sequence grams
+
+
+def test_word_ngrams_count_and_content(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(word_ngrams(F.col("text"), 2).alias("g")).head()
+    assert out.g == ["a b", "b c", "c d"]
+
+
+def test_heavy_hitters_finds_planted_boilerplate(spark):
+    boiler = "accept all cookies to continue"
+    rows = [(i, f"{boiler} unique words {i} here", "s") for i in range(20)]
+    rows += [(100, "completely different text entirely", "s")]
+    top = ngram_heavy_hitters(_docs(spark, rows), "text", n=3, k=3).collect()
+    assert top[0].ngram == "accept all cookies"
+    assert top[0].n_occurrences == 20
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    # "shared" appears in every doc (df=3) — "zebra" only in doc 0 (df=1).
+    rows = [
+        (0, "shared zebra words", "s"),
+        (1, "shared plain words", "s"),
+        (2, "shared plain words", "s"),
+    ]
+    out = tfidf_keywords(_docs(spark, rows), "text", "doc_id", k=1)
+    r0 = out.filter(F.col("doc_id") == 0).head()
+    assert r0.term == "zebra"
+    assert r0.doc_freq == 1 and r0.tf == 1
+    assert r0.tfidf == 3.0  # tf(1) * n_docs(3) / df(1)
+
+
+def test_length_histogram_shares_sum_to_one(spark):
+    rows = [(i, " ".join(["w"] * (10 + 40 * (i % 3))), "s") for i in range(30)]
+    df = _docs(spark, rows).withColumn("lang", F.lit("en"))
+    out = length_histogram(df, "text", "doc_id", "lang")
+    agg = out.agg(
+        F.round(F.sum("share_of_group"), 4).alias("s"),
+        F.sum("n_docs").alias("n"),
+    ).head()
+    assert agg.n == 30
+    assert abs(agg.s - 1.0) < 1e-3
+
+
+def test_cluster_stats_docs_total_matches_corpus(spark):
+    rows = [(0, "same text here now", "s"), (1, "same TEXT  here now", "s"),
+            (2, "other text", "s")]
+    out = dedup_cluster_stats(_docs(spark, rows), "text").collect()
+    for kind in ("exact", "prefix8"):
+        part = [r for r in out if r.key_kind == kind]
+        assert sum(r.n_docs for r in part) == 3
+    exact2 = [r for r in out if r.key_kind == "exact" and r.cluster_size == 2]
+    assert exact2 and exact2[0].n_clusters == 1  # normalization merged 0,1
+    assert exact2[0].n_redundant == 1
+
+
+def test_cross_source_overlap_counts_distinct_shared_grams(spark):
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, shared, "a"),
+        (1, shared + " tail", "b"),
+        (2, "nothing in common with those", "c"),
+    ]
+    out = cross_source_overlap(_docs(spark, rows), "text", "src", n=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # "a" has 2 distinct 5-grams; both appear in b's 3-gram set of 5-grams.
+    assert (r.source_a, r.source_b, r.n_shared_ngrams) == ("a", "b", 2)
+
+
+def test_embedding_norm_stats_exact_values(spark):
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0], 1), (1, [6.0, 8.0], 1), (2, [0.0, 0.0], 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.label: r for r in embedding_norm_stats(df, "embedding", "label").collect()}
+    assert out[1].n_vecs == 2
+    assert out[1].avg_norm == 7.5 and out[1].min_norm == 5.0
+    assert out[1].max_norm == 10.0
+    assert out[2].avg_norm == 0.0

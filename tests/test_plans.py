@@ -219,6 +219,7 @@ _NESTED_LOOP_OK = {
     "sim_filtered_topk",  # scalar query-vector broadcast into the gate
     "q_subquery_above_avg",  # scalar subquery joins as a 1-row broadcast
     "q22_idle_wealthy_customers",  # scalar avg-balance threshold, 1-row broadcast
+    "text_tfidf_keywords",  # scalar corpus-size (n_docs), 1-row broadcast
 }
 
 
