@@ -243,3 +243,40 @@ def test_no_accidental_cartesian_joins(spark):
         if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
             offenders[name] = "nested-loop/cartesian join in plan"
     assert not offenders, offenders
+
+
+# -- corpus-audit family (round 3) ------------------------------------------
+
+def test_heavy_hitters_topk_is_take_ordered(spark):
+    """Top-k heavy hitters must plan TakeOrderedAndProject — a global sort
+    of the full n-gram frequency table would materialize billions of rows
+    at corpus scale just to keep 25."""
+    from mare_spark.queries.llm3 import corpus_ngram_heavy_hitters
+
+    df = corpus_ngram_heavy_hitters(spark, SF_ORACLE)
+    assert P.uses_take_ordered(df), P.formatted_plan(df)
+    # one shuffle: the gram aggregate (TakeOrdered is not an exchange)
+    assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
+
+
+def test_length_histogram_window_after_aggregate(spark):
+    """The per-group share window must run over the aggregated
+    (groups x buckets) result — 2 keyed shuffles total, never a window
+    over raw documents."""
+    from mare_spark.queries.llm3 import corpus_length_histogram
+
+    df = corpus_length_histogram(spark, SF_ORACLE)
+    assert P.count_shuffle_exchanges(df) <= 2, P.formatted_plan(df)
+
+
+def test_tfidf_scalar_broadcast_and_topk_pushdown(spark):
+    """The corpus-size scalar must enter as a 1-row broadcast, never via a
+    global (empty-partition) window: the only SinglePartition exchange
+    allowed is the scalar count's own final combine (32 partial rows).
+    The per-doc top-k must plan WindowGroupLimit (rank-filter pushdown),
+    so partitions keep only k rows per doc before the window shuffle."""
+    from mare_spark.queries.llm3 import text_tfidf_keywords
+
+    plan = P.formatted_plan(text_tfidf_keywords(spark, SF_ORACLE))
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "WindowGroupLimit" in plan, plan
