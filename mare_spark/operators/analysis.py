@@ -70,6 +70,41 @@ def word_ngrams(text_col: Column, n: int) -> Column:
     return F.when(F.size(w) >= n, grams).otherwise(empty)
 
 
+def ngram_partial_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Per-Arrow-batch partial n-gram counts: ``(ngram, cnt)`` with one
+    row per DISTINCT gram per batch — a Python-side map combine.
+
+    This is the heavy-hitter hot tier: one Counter pass per batch replaces
+    the expression tier's interpreted higher-order lambda (measured 18x
+    slower at sf0.1 — transform/slice/concat_ws are CodegenFallback, one
+    tree interpretation per gram), and the explode never materializes:
+    repeated grams collapse INSIDE the task before the shuffle, so the
+    exchange carries (distinct-gram-per-batch, count) partials — exactly
+    what Spark's own partial hash aggregate would ship, built at C speed.
+    Tokenization mirrors ``normalize_text`` byte-for-byte (shared
+    ``_WS_RE``/``_ASCII_WS`` contract from operators.dedup), so counts
+    hash-match the ``string_split`` SQL oracles.
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    from mare_spark.operators.dedup import _ASCII_WS, _WS_RE
+
+    def gen(batches):
+        for pdf in batches:
+            c: Counter = Counter()
+            for t in pdf[text_col]:
+                ws = _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
+                for i in range(len(ws) - n + 1):
+                    c[" ".join(ws[i : i + n])] += 1
+            yield pd.DataFrame(
+                {"ngram": list(c.keys()), "cnt": list(c.values())}
+            )
+
+    return df.select(text_col).mapInPandas(gen, "ngram string, cnt long")
+
+
 def ngram_heavy_hitters(
     df: DataFrame, text_col: str, n: int = 3, k: int = 25
 ) -> DataFrame:
@@ -79,15 +114,15 @@ def ngram_heavy_hitters(
     (cookie banners, license headers, navigation chrome) shows up as
     heavy-hitter n-grams long before any pairwise dedup finds it.
 
-    Shape: flatMap(explode) -> one hash aggregate (map-side partial
-    combine collapses within-task duplicates — boilerplate is exactly the
-    case where partials pay off) -> TakeOrderedAndProject for the top-k
-    (count desc, gram asc tie-break; no global sort materializes).
+    Shape: Arrow-batched partial counts (``ngram_partial_counts`` — the
+    per-batch Counter IS the map-side combine) -> one hash aggregate to
+    merge partials -> TakeOrderedAndProject for the top-k (count desc,
+    gram asc tie-break; no global sort materializes).
     """
     return (
-        df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("ngram"))
+        ngram_partial_counts(df, text_col, n)
         .groupBy("ngram")
-        .agg(F.count("*").alias("n_occurrences"))
+        .agg(F.sum("cnt").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(k)
     )
