@@ -22,6 +22,7 @@ from mare_spark.operators.similarity import (
     hyperplane_signatures,
     pairwise_cosine,
 )
+from mare_spark.operators.analysis import word_ngrams
 from mare_spark.operators.text import (
     bpe_ish_token_count,
     deterministic_uniform,
@@ -42,6 +43,7 @@ __all__ = [
     "tokens",
     "bpe_ish_token_count",
     "deterministic_uniform",
+    "word_ngrams",
     # vectorized (Arrow-batched) tier
     "hashed_word_shingles",
     "cosine_to_query",

@@ -8,6 +8,14 @@ from mare_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from mare_spark.operators.analysis import (
+    cross_source_overlap,
+    dedup_cluster_stats,
+    embedding_norm_stats,
+    length_histogram,
+    ngram_heavy_hitters,
+    tfidf_keywords,
+)
 from mare_spark.operators.asof import asof_join, asof_join_pandas
 from mare_spark.operators.scale import bucketed_table, join_bucketed, salted_join
 from mare_spark.operators.similarity import (
@@ -38,4 +46,10 @@ __all__ = [
     "language_id",
     "quality_stats",
     "text_fingerprint",
+    "ngram_heavy_hitters",
+    "tfidf_keywords",
+    "length_histogram",
+    "dedup_cluster_stats",
+    "cross_source_overlap",
+    "embedding_norm_stats",
 ]
