@@ -44,6 +44,7 @@ __all__ = [
     "write_packed_corpus",
     "unigram_logprob",
     "temperature_rates",
+    "apply_mixture_sampling",
     "PII_PATTERNS",
 ]
 
@@ -341,6 +342,45 @@ def temperature_rates(
         F.round(nat, 6).alias("natural_share"),
         F.round(temp, 6).alias("temperature_share"),
         F.round(temp / nat, 6).alias("boost"),
+    )
+
+
+def apply_mixture_sampling(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    base_rate: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Materialize a temperature-mixed sample: compute per-stratum
+    temperature boosts (:func:`temperature_rates`), turn them into keep
+    rates (``min(boost * base_rate, 1)``), and keep each row iff its
+    deterministic md5-uniform (:func:`mare_spark.operators.text.
+    deterministic_uniform`) falls under its stratum's rate. The composed
+    form of the two primitives — the step that actually produces the
+    upweighted multilingual corpus.
+
+    Scale/determinism: two scans of the corpus (one count aggregate for
+    the rates, one sampling scan), never a shuffle of the data — the rate
+    table is strata-sized and broadcast. Membership is a pure function of
+    (key, salt, rates); rates use the 6dp-rounded boost so both engines
+    compare the same grid value and the sampled set is oracle-checkable
+    and re-derivable months later.
+    """
+    from mare_spark.operators.text import deterministic_uniform
+
+    rates = temperature_rates(df, strata_col, alpha).select(
+        strata_col,
+        F.least(F.col("boost") * F.lit(float(base_rate)), F.lit(1.0)).alias(
+            "rate"
+        ),
+    )
+    u = deterministic_uniform(F.col(key_col), salt)
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(u < F.col("rate"))
+        .select(key_col, strata_col, "rate")
     )
 
 

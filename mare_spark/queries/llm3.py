@@ -197,3 +197,39 @@ def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order independent."""
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_norm_stats(emb, "embedding", "label")
+
+
+@register(
+    "sample_apply_mixture",
+    category="llm",
+    oracle="""
+    WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    n1 AS (SELECT lang, n, n / sum(n) OVER () AS nat FROM g),
+    n2 AS (SELECT lang, n, nat, pow(nat, 0.7) AS p FROM n1),
+    n3 AS (
+      SELECT lang, round((p / sum(p) OVER ()) / nat, 6) AS boost FROM n2
+    ),
+    r AS (SELECT lang, least(boost * 0.5, 1.0) AS rate FROM n3),
+    u AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT u.doc_id, u.lang, r.rate
+    FROM u JOIN r USING (lang)
+    WHERE u.u < r.rate
+    """,
+)
+def sample_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixed sample materialized (alpha=0.7, base rate 0.5):
+    per-language boosts become keep rates; membership is the deterministic
+    md5-uniform of doc_id — the composed form of sample_temperature_rates
+    + sample_stratified_by_lang that produces the actual upweighted
+    corpus."""
+    from mare_spark.operators.corpus import apply_mixture_sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    return apply_mixture_sampling(
+        docs, "lang", "doc_id", alpha=0.7, base_rate=0.5
+    )

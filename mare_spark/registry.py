@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_ngram_heavy_hitters", "text_tfidf_keywords",
     "corpus_length_histogram", "dedup_cluster_stats",
     "cross_source_contamination", "embedding_norm_stats",
+    "sample_apply_mixture",
     # -- 3. decimal-summation re-checks (oracle SQL changed this round) --
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_revenue_change", "q7_volume_between_nations",

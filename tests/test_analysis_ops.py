@@ -104,3 +104,21 @@ def test_embedding_norm_stats_exact_values(spark):
     assert out[1].avg_norm == 7.5 and out[1].min_norm == 5.0
     assert out[1].max_norm == 10.0
     assert out[2].avg_norm == 0.0
+
+
+def test_apply_mixture_upweights_low_resource_stratum(spark):
+    """With alpha < 1, the rare stratum's keep rate exceeds the dominant
+    stratum's; membership is deterministic (same result twice); the rate
+    table joins as a broadcast (no shuffle of the corpus)."""
+    from mare_spark import plans as P
+    from mare_spark.operators.corpus import apply_mixture_sampling
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = apply_mixture_sampling(df, "lang", "doc_id", alpha=0.5, base_rate=0.4)
+    rates = {r.lang: r.rate for r in out.select("lang", "rate").distinct().collect()}
+    assert rates["small"] > rates["big"]
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in out.collect())
+    assert a == b and len(a) > 0
+    assert P.count_broadcast_joins(out) >= 1, P.formatted_plan(out)
