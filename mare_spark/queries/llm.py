@@ -32,6 +32,33 @@ _SHINGLES3 = (
 )
 
 
+def duck_rolling_fp(keep: int) -> str:
+    """DuckDB replay of ``operators.text.rolling_hash_fingerprint``
+    (window 8): HUGEINT Horner with raw 257^7..257^0 constants, one mod
+    2^31-1 (congruent to the UDF's per-step mod), distinct-sorted, keep the
+    ``keep`` smallest. Expects a bound CTE with columns ``n`` (char count)
+    and ``cs`` (per-character HUGEINT code list); ASCII-gate the corpus
+    (``length(text) = octet_length(CAST(text AS BLOB))``) so SQL codepoints
+    equal the UDF's UTF-8 bytes."""
+    return f"""
+        CASE
+          WHEN n = 0 THEN [CAST(0 AS BIGINT)]
+          WHEN n < 8 THEN [CAST(list_sum(cs) AS BIGINT)]
+          ELSE list_transform(
+                 list_sort(list_distinct(list_transform(range(1, n - 6),
+                   i -> (cs[CAST(i AS INT)]   * 74051159531521793
+                       + cs[CAST(i AS INT)+1] * 288136807515649
+                       + cs[CAST(i AS INT)+2] * 1121154893057
+                       + cs[CAST(i AS INT)+3] * 4362470401
+                       + cs[CAST(i AS INT)+4] * 16974593
+                       + cs[CAST(i AS INT)+5] * 66049
+                       + cs[CAST(i AS INT)+6] * 257
+                       + cs[CAST(i AS INT)+7]) % 2147483647
+                 )))[1:{keep}],
+                 x -> CAST(x AS BIGINT))
+        END"""
+
+
 @register(
     "dedup_exact",
     category="llm",
@@ -406,10 +433,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(docs, "text", "doc_id")
 
 
-@register(
-    "text_rolling_fingerprint",
-    category="llm",
-    oracle=r"""
+#: shared CTE prefix binding ``n``/``cs`` for :func:`duck_rolling_fp`
+_FP_CTES = r"""
     WITH d AS (
       SELECT doc_id, lower(text) AS s
       FROM documents
@@ -421,27 +446,15 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             i -> CAST(ascii(substr(s, CAST(i AS INT), 1)) AS HUGEINT))
                AS cs
       FROM d
-    ),
-    h AS (
-      SELECT doc_id,
-        CASE
-          WHEN n = 0 THEN [CAST(0 AS BIGINT)]
-          WHEN n < 8 THEN [CAST(list_sum(cs) AS BIGINT)]
-          ELSE list_transform(
-                 list_sort(list_distinct(list_transform(range(1, n - 6),
-                   i -> (cs[CAST(i AS INT)]   * 74051159531521793
-                       + cs[CAST(i AS INT)+1] * 288136807515649
-                       + cs[CAST(i AS INT)+2] * 1121154893057
-                       + cs[CAST(i AS INT)+3] * 4362470401
-                       + cs[CAST(i AS INT)+4] * 16974593
-                       + cs[CAST(i AS INT)+5] * 66049
-                       + cs[CAST(i AS INT)+6] * 257
-                       + cs[CAST(i AS INT)+7]) % 2147483647
-                 )))[1:4],
-                 x -> CAST(x AS BIGINT))
-        END AS fp
-      FROM c
-    )
+    )"""
+
+
+@register(
+    "text_rolling_fingerprint",
+    category="llm",
+    oracle=f"""
+    {_FP_CTES},
+    h AS (SELECT doc_id, {duck_rolling_fp(4)} AS fp FROM c)
     SELECT doc_id, array_to_string(fp, ',') AS fingerprint FROM h
     """,
 )

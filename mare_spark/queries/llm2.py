@@ -273,18 +273,44 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, "text", "doc_id")
 
 
-@register("dedup_substring_candidates", category="llm", oracle=None)
+def _substring_candidates_oracle() -> str:
+    from mare_spark.queries.llm import _FP_CTES, duck_rolling_fp
+
+    return f"""
+    {_FP_CTES},
+    h AS (SELECT doc_id, {duck_rolling_fp(8)} AS fp FROM c),
+    inv AS (SELECT DISTINCT doc_id, unnest(fp) AS fp FROM h),
+    capped AS (SELECT fp FROM inv GROUP BY fp HAVING count(*) <= 1000),
+    iv AS (SELECT doc_id, fp FROM inv WHERE fp IN (SELECT fp FROM capped))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM iv a JOIN iv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= 2
+    """
+
+
+@register(
+    "dedup_substring_candidates",
+    category="llm",
+    oracle=_substring_candidates_oracle(),
+)
 def dedup_substring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document substring-overlap candidates via shared winnowing
-    fingerprints (bottom-k rolling-hash sketch) — the distributable
-    approximation of suffix-array substring dedup. Rows-only driver check
-    (the rolling hash is not SQL-expressible); behavior is differentially
-    tested on planted common substrings in pytest."""
+    fingerprints (bottom-8 rolling-hash sketch, window 8) — the
+    distributable approximation of suffix-array substring dedup.
+
+    Hash-checked (upgraded from rows-only): the oracle replays the
+    window-8 polynomial fingerprint (`queries.llm.duck_rolling_fp`) and
+    recomposes the freq-capped inverted-index pair count in SQL. Both
+    sides ASCII-gate the corpus identically (zero rows dropped on current
+    fixtures) so SQL codepoints equal the UDF's UTF-8 bytes."""
     from mare_spark.operators.dedup import substring_overlap_candidates
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
     return substring_overlap_candidates(
-        docs, "text", "doc_id", window=12, keep=8, min_shared=2
+        docs, "text", "doc_id", window=8, keep=8, min_shared=2
     )
 
 
