@@ -307,3 +307,79 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "appe
     )
     q.processAllAvailable()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus ingestion: streaming quality gate + exact dedup
+# ---------------------------------------------------------------------------
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    source_dir: str,
+    cold_start_schema: str | None = None,
+) -> DataFrame:
+    """File-source stream over a documents landing directory (parquet).
+
+    Same footer-inferred-schema / cold-start pattern as
+    :func:`read_events_stream`; the documents contract has no event-time
+    column, so downstream stateful operators key their watermark on ingest
+    time (see :func:`clean_corpus_stream`).
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+
+    try:
+        schema = spark.read.parquet(source_dir).schema
+    except AnalysisException:
+        schema = T._parse_datatype_string(
+            cold_start_schema
+            or "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def clean_corpus_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 25,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Incremental corpus cleaning: the streaming form of the batch
+    length-gate + exact-dedup pipeline stages, for continuous ingestion
+    (crawl batches landing as files) instead of periodic full re-runs.
+
+    * The token gate is a stateless scan-side expression — streaming-safe
+      by construction, identical semantics to the batch pipeline's gate.
+    * Exact dedup keys on the shared normalized-text digest
+      (``operators.dedup.normalize_text`` + md5 — the same digest the
+      batch tier and every oracle use) via
+      ``dropDuplicatesWithinWatermark``. Documents carry no event time, so
+      the watermark runs on an ingest-time column: state is bounded by the
+      watermark horizon — duplicates arriving within it are dropped, a
+      re-crawl after the horizon re-admits (by design: bounded state IS
+      the 100 TB/day contract; widen the horizon or add a periodic batch
+      sweep for total dedup).
+
+    Output: one row per first-seen digest — (id, digest, n_tokens, lang
+    passthrough columns preserved upstream of the select are intentionally
+    dropped so the sink schema is the minimal dedup ledger).
+    """
+    from mare_spark.operators.dedup import normalize_text
+    from mare_spark.operators.text import token_count
+
+    return (
+        docs.withColumn("n_tokens", token_count(F.col(text_col)))
+        .filter(F.col("n_tokens") >= min_tokens)
+        .withColumn("digest", F.md5(normalize_text(F.col(text_col))))
+        .withColumn("_ingest_ts", F.current_timestamp())
+        .withWatermark("_ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+        .select(id_col, "digest", "n_tokens")
+    )

@@ -267,3 +267,48 @@ def test_stream_cold_start_empty_landing_dir(spark, tmp_path):
     got = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
     q.stop()
     assert got > 0
+
+
+# -- incremental corpus ingestion (round 3) ---------------------------------
+
+
+def test_clean_corpus_stream_equals_batch(spark, tmp_path):
+    """Streaming gate+dedup over a landing dir with a planted duplicate
+    file equals the batch length-gate + exact-dedup digest set, and keeps
+    exactly one row per digest."""
+    d = tmp_path / "docs_landing"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", d / "docs_0.parquet")
+    # second landing file: a duplicate crawl of the same corpus
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", d / "docs_1.parquet")
+
+    out = _collect_stream(
+        spark, S.clean_corpus_stream(S.read_documents_stream(spark, str(d)))
+    )
+
+    batch = (
+        read_table(spark, SF_SMOKE, "documents")
+        .withColumn(
+            "n_tokens",
+            F.size(F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")),
+        )
+        .filter(F.col("n_tokens") >= 25)
+        .select(F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("digest"))
+        .distinct()
+        .toPandas()
+    )
+    assert len(out) == len(batch)  # duplicate crawl fully collapsed
+    assert set(out["digest"]) == set(batch["digest"])
+    assert out["digest"].is_unique
+    assert (out["n_tokens"] >= 25).all()
+
+
+def test_clean_corpus_stream_cold_start(spark, tmp_path):
+    """An empty landing dir starts the stream on the contract schema
+    instead of failing before the first file arrives."""
+    d = tmp_path / "empty_docs"
+    d.mkdir()
+    stream = S.clean_corpus_stream(S.read_documents_stream(spark, str(d)))
+    out = _collect_stream(spark, stream)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "digest", "n_tokens"]
