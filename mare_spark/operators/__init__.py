@@ -12,9 +12,11 @@ from mare_spark.operators.analysis import (
     cross_source_overlap,
     dedup_cluster_stats,
     embedding_norm_stats,
+    lang_confusion_matrix,
     length_histogram,
     ngram_heavy_hitters,
     tfidf_keywords,
+    vocab_stats,
 )
 from mare_spark.operators.asof import asof_join, asof_join_pandas
 from mare_spark.operators.scale import bucketed_table, join_bucketed, salted_join
@@ -52,4 +54,6 @@ __all__ = [
     "dedup_cluster_stats",
     "cross_source_overlap",
     "embedding_norm_stats",
+    "vocab_stats",
+    "lang_confusion_matrix",
 ]

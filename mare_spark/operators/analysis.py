@@ -337,6 +337,76 @@ def cross_source_overlap(
     )
 
 
+def vocab_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Per-group vocabulary statistics: token count, type (distinct-term)
+    count, hapax count (terms occurring exactly once in the group), and
+    type-token ratio — the Zipf-tail audit that flags template-generated
+    or boilerplate-heavy slices (low TTR, thin hapax tail) before any
+    pairwise dedup runs.
+
+    Shape: one keyed aggregate to term frequencies (map-side combinable),
+    one tiny per-group rollup. The TTR is a single double division of
+    exact integers, rounded to the 6dp grid — engine-identical.
+    """
+    tf = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("grp", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        tf.groupBy("grp")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            "type_token_ratio",
+        )
+        .orderBy(group_col)
+    )
+
+
+def lang_confusion_matrix(
+    df: DataFrame, text_col: str, label_col: str
+) -> DataFrame:
+    """Agreement matrix between the labeled language column and the
+    marker-word heuristic (:func:`mare_spark.operators.text.language_id`):
+    (label, predicted, count) — the routing audit that shows where the
+    cheap scan-side classifier disagrees with upstream metadata and a real
+    classifier is worth the spend.
+
+    Shape: the scan-side score expressions plus one aggregate over the
+    (labels x predictions) key space — O(langs²) result rows. The
+    prediction is computed in the same scan as the label (shared
+    ``language_scores``/``language_pred`` expressions), never by joining
+    the corpus back to itself on the id.
+    """
+    from mare_spark.operators.text import language_pred, language_scores
+
+    return (
+        df.select(
+            F.col(label_col).alias("lang_label"),
+            *language_scores(F.col(text_col)),
+        )
+        .select("lang_label", language_pred().alias("lang_pred"))
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_label", "lang_pred")
+    )
+
+
 def embedding_norm_stats(
     df: DataFrame, vec_col: str, label_col: str
 ) -> DataFrame:

@@ -97,27 +97,43 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic language ID: distinct-marker-word overlap per language;
-    highest count wins (ties broken by language code order); 'und'
-    (undetermined) when nothing matches."""
-    t = tokens(F.col(text_col))
-    scores = [
+def language_scores(text_col: Column) -> list[Column]:
+    """Per-language marker-overlap scores (``score_<lang>`` aliased, in
+    sorted language order) — the scan-side building block shared by
+    :func:`language_id` and any composition that wants the prediction
+    without a join (e.g. analysis.lang_confusion_matrix)."""
+    t = tokens(text_col)
+    return [
         F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in ws]))).alias(
             f"score_{lang}"
         )
         for lang, ws in sorted(LANG_MARKERS.items())
     ]
-    scored = df.select(F.col(id_col), *scores)
+
+
+def language_pred(scores_prefix: str = "score_") -> Column:
+    """Argmax language over already-bound ``score_<lang>`` columns (ties
+    broken by language code order, 'und' when every score is zero)."""
     langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    best = F.greatest(*[F.col(f"{scores_prefix}{l}") for l in langs])
     pred = F.lit("und")
     # reversed so that earlier language codes win ties
     for l in reversed(langs):
-        pred = F.when((F.col(f"score_{l}") == best) & (best > 0), l).otherwise(pred)
+        pred = F.when(
+            (F.col(f"{scores_prefix}{l}") == best) & (best > 0), l
+        ).otherwise(pred)
+    return pred
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: distinct-marker-word overlap per language;
+    highest count wins (ties broken by language code order); 'und'
+    (undetermined) when nothing matches."""
+    langs = sorted(LANG_MARKERS)
+    scored = df.select(F.col(id_col), *language_scores(F.col(text_col)))
     return scored.select(
         id_col,
-        pred.alias("lang_pred"),
+        language_pred().alias("lang_pred"),
         *[F.col(f"score_{l}") for l in langs],
     )
 

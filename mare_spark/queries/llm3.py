@@ -233,3 +233,71 @@ def sample_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_mixture_sampling(
         docs, "lang", "doc_id", alpha=0.7, base_rate=0.5
     )
+
+
+@register(
+    "corpus_vocab_stats",
+    category="llm",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, unnest({_WORDS}) AS term FROM documents
+    ),
+    tf AS (SELECT lang, term, count(*) AS cnt FROM t GROUP BY lang, term)
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(CAST(cnt = 1 AS BIGINT)) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT), 6)
+             AS type_token_ratio
+    FROM tf GROUP BY lang
+    """,
+)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary stats (tokens, types, hapax legomena,
+    type-token ratio) — the Zipf-tail audit that flags template-generated
+    slices before any pairwise dedup."""
+    from mare_spark.operators.analysis import vocab_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return vocab_stats(docs, "text", "lang")
+
+
+@register(
+    "corpus_lang_confusion",
+    category="llm",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang AS lang_label, {_WORDS} AS words FROM documents
+    ),
+    s AS (
+      SELECT lang_label,
+        len(list_intersect(words, ['the','a','of','and','to','is']))      AS score_en,
+        len(list_intersect(words, ['el','la','de','que','y','es']))       AS score_es,
+        len(list_intersect(words, ['der','die','und','das','ist','ein'])) AS score_de,
+        len(list_intersect(words, ['le','la','les','et','des','est']))    AS score_fr
+      FROM t
+    ),
+    p AS (
+      SELECT lang_label,
+        CASE
+          WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+          WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+          WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+          WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+          ELSE 'fr'
+        END AS lang_pred
+      FROM s
+    )
+    SELECT lang_label, lang_pred, count(*) AS n_docs
+    FROM p GROUP BY lang_label, lang_pred
+    """,
+)
+def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-heuristic language agreement matrix — the routing audit
+    showing where the scan-side marker classifier disagrees with upstream
+    metadata (prediction computed in the same scan as the label; no
+    corpus self-join)."""
+    from mare_spark.operators.analysis import lang_confusion_matrix
+
+    docs = read_table(spark, sf_dir, "documents")
+    return lang_confusion_matrix(docs, "text", "lang")

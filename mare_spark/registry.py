@@ -89,7 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_ngram_heavy_hitters", "text_tfidf_keywords",
     "corpus_length_histogram", "dedup_cluster_stats",
     "cross_source_contamination", "embedding_norm_stats",
-    "sample_apply_mixture",
+    "sample_apply_mixture", "corpus_vocab_stats", "corpus_lang_confusion",
     # -- 3. decimal-summation re-checks (oracle SQL changed this round) --
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_revenue_change", "q7_volume_between_nations",

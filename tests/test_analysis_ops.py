@@ -122,3 +122,36 @@ def test_apply_mixture_upweights_low_resource_stratum(spark):
     b = sorted(r.doc_id for r in out.collect())
     assert a == b and len(a) > 0
     assert P.count_broadcast_joins(out) >= 1, P.formatted_plan(out)
+
+
+def test_vocab_stats_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a", "en"), (1, "a c", "en"), (2, "x x", "de")],
+        "doc_id long, text string, lang string",
+    )
+    from mare_spark.operators.analysis import vocab_stats
+
+    out = {r.lang: r for r in vocab_stats(df, "text", "lang").collect()}
+    en = out["en"]
+    assert (en.n_tokens, en.n_types, en.n_hapax) == (5, 3, 2)  # b, c hapax
+    assert en.type_token_ratio == 0.6
+    de = out["de"]
+    assert (de.n_tokens, de.n_types, de.n_hapax) == (2, 1, 0)
+
+
+def test_lang_confusion_single_scan_no_join(spark):
+    from mare_spark import plans as P
+    from mare_spark.operators.analysis import lang_confusion_matrix
+
+    df = spark.createDataFrame(
+        [(0, "the cat is of the mat", "en"), (1, "el que la y es de", "en"),
+         (2, "zz yy xx", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r.lang_label, r.lang_pred): r.n_docs
+           for r in lang_confusion_matrix(df, "text", "lang").collect()}
+    assert out[("en", "en")] == 1
+    assert out[("en", "es")] == 1
+    assert out[("fr", "und")] == 1
+    plan = P.formatted_plan(lang_confusion_matrix(df, "text", "lang"))
+    assert "Join" not in plan, plan  # prediction computed in the label scan
