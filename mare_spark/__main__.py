@@ -1,0 +1,123 @@
+"""Command-line entry point: ``python -m mare_spark <subcommand>``.
+
+The reference is a library only; this CLI is the switching-cost sweetener —
+every registered query, ad-hoc SQL over the fixture catalog, and the bench
+harness are runnable without writing a driver script.
+
+    python -m mare_spark list [--category llm]
+    python -m mare_spark run q1_pricing_summary [--sf-dir D] [--limit N] [--json]
+    python -m mare_spark sql "SELECT count(*) FROM lineitem" [--sf-dir D]
+    python -m mare_spark explain q5_local_supplier_volume [--sf-dir D]
+
+Output rows go to stdout (tab-separated, or JSONL with ``--json``);
+diagnostics go to stderr, so the CLI composes with shell pipelines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from mare_spark.session import DEFAULT_SF_DIR
+
+
+def _spark(app: str):
+    from mare_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def _emit(df, limit: int | None, as_json: bool) -> None:
+    if limit is not None:
+        df = df.limit(limit)
+    cols = df.columns
+    rows = df.collect()
+    if as_json:
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    else:
+        print("\t".join(cols))
+        for r in rows:
+            print("\t".join("" if v is None else str(v) for v in r))
+    print(f"# {len(rows)} rows", file=sys.stderr)
+
+
+def cmd_list(args: argparse.Namespace) -> int:
+    from mare_spark.registry import all_queries
+
+    for name, q in sorted(all_queries().items()):
+        if args.category and q.category != args.category:
+            continue
+        oracle = "oracle" if q.oracle else "rows-only"
+        bench = " bench" if q.bench else ""
+        print(f"{name}\t{q.category}\t{oracle}{bench}")
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from mare_spark.registry import all_queries
+
+    queries = all_queries()
+    if args.name not in queries:
+        print(f"unknown query: {args.name} (see `list`)", file=sys.stderr)
+        return 2
+    spark = _spark(f"mare_spark_run_{args.name}")
+    _emit(queries[args.name].fn(spark, args.sf_dir), args.limit, args.json)
+    return 0
+
+
+def cmd_sql(args: argparse.Namespace) -> int:
+    from mare_spark.engine import Engine
+
+    eng = Engine(_spark("mare_spark_sql"), args.sf_dir)
+    _emit(eng.sql(args.query), args.limit, args.json)
+    return 0
+
+
+def cmd_explain(args: argparse.Namespace) -> int:
+    from mare_spark import plans as P
+    from mare_spark.registry import all_queries
+
+    queries = all_queries()
+    if args.name not in queries:
+        print(f"unknown query: {args.name} (see `list`)", file=sys.stderr)
+        return 2
+    spark = _spark("mare_spark_explain")
+    print(P.formatted_plan(queries[args.name].fn(spark, args.sf_dir)))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m mare_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("list", help="list registered queries")
+    sp.add_argument("--category", default=None)
+    sp.set_defaults(fn=cmd_list)
+
+    sp = sub.add_parser("run", help="run a registered query")
+    sp.add_argument("name")
+    sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sp.add_argument("--limit", type=int, default=None)
+    sp.add_argument("--json", action="store_true")
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("sql", help="run SQL over the fixture catalog")
+    sp.add_argument("query")
+    sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sp.add_argument("--limit", type=int, default=None)
+    sp.add_argument("--json", action="store_true")
+    sp.set_defaults(fn=cmd_sql)
+
+    sp = sub.add_parser("explain", help="print a query's physical plan")
+    sp.add_argument("name")
+    sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sp.set_defaults(fn=cmd_explain)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

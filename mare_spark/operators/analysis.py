@@ -42,11 +42,14 @@ from mare_spark.operators.text import STOPWORDS, tokens
 
 __all__ = [
     "word_ngrams",
+    "ngram_partial_counts",
     "ngram_heavy_hitters",
     "tfidf_keywords",
     "length_histogram",
     "dedup_cluster_stats",
     "cross_source_overlap",
+    "vocab_stats",
+    "lang_confusion_matrix",
     "embedding_norm_stats",
     "LENGTH_BUCKETS",
 ]
