@@ -155,15 +155,17 @@ def tfidf_keywords(
     """
     from pyspark.sql import Window
 
-    stop = F.array([F.lit(w) for w in STOPWORDS])
-    terms = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(
-                tokens(F.col(text_col)),
-                lambda t: (F.length(t) >= min_term_len) & ~F.array_contains(stop, t),
-            )
-        ).alias("term"),
+    # explode first, filter as ROW predicates: the explode generator and
+    # plain length/IN predicates stay inside whole-stage codegen, where an
+    # array-lambda filter (higher-order function) would be interpreted
+    # per document.
+    terms = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.length("term") >= min_term_len)
+        .filter(~F.col("term").isin(list(STOPWORDS)))
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
@@ -310,18 +312,44 @@ def cross_source_overlap(
     documents) catches partial overlap: quoted passages, shared templates,
     re-crawled fragments.
 
-    Shape: distinct (source, gram-hash) -> self-join on the hash with
+    Shape: Arrow-batched per-batch-distinct (source, gram-hash) pairs (the
+    same Python-side map-combine pattern as ``ngram_partial_counts`` —
+    repeated grams collapse inside the task and the exchange carries
+    fixed-width int64 blake2b-8 keys, the hashing contract of
+    ``operators.dedup``) -> global distinct -> self-join on the hash with
     ``source_a < source_b`` (each gram contributes at most sources²/2
     pairs, and sources are a small fixed set) -> one count aggregate.
-    Grams travel as md5 hashes, not strings, so the shuffle carries
-    fixed-width keys. Exact integer counts; deterministic.
+    Exact integer counts; deterministic — the oracle counts the distinct
+    gram STRINGS, which matches as long as the 64-bit hash is injective on
+    the observed gram set (the same collision contract every hashed-
+    shingle join in operators.dedup runs under).
     """
+    import hashlib
+
+    import pandas as pd
+
+    from mare_spark.operators.dedup import _ASCII_WS, _WS_RE
+
+    def gen(batches):
+        for pdf in batches:
+            seen: set = set()
+            for src, t in zip(pdf[source_col], pdf[text_col]):
+                ws = _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
+                for i in range(len(ws) - n + 1):
+                    g = " ".join(ws[i : i + n])
+                    h = int.from_bytes(
+                        hashlib.blake2b(
+                            g.encode("utf-8"), digest_size=8
+                        ).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    seen.add((src, h))
+            yield pd.DataFrame(list(seen), columns=["src", "gram"])
+
     d = (
-        df.select(
-            F.col(source_col).alias("src"),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
-        )
-        .select("src", F.md5(F.col("g")).alias("gram"))
+        df.select(F.col(source_col), F.col(text_col))
+        .mapInPandas(gen, "src string, gram long")
         .distinct()
     )
     a = d.alias("a")

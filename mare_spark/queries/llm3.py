@@ -155,7 +155,7 @@ def dedup_cluster_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS (SELECT source, {_WORDS} AS w FROM documents),
     d AS (
-      SELECT DISTINCT source AS src, md5(g) AS gram
+      SELECT DISTINCT source AS src, g AS gram
       FROM (SELECT source, unnest({_duck_ngrams(5)}) AS g FROM w)
     )
     SELECT a.src AS source_a, b.src AS source_b,
