@@ -1,8 +1,9 @@
 """Corpus-audit queries (LLM family, round 3): heavy-hitter n-grams,
 TF-IDF keywords, length histograms, duplicate-cluster statistics,
-cross-source contamination, and embedding-norm sanity stats — the
-measurement passes a pretraining pipeline runs to understand a corpus
-before (and after) transforming it.
+cross-source contamination, embedding-norm sanity stats, vocabulary
+(Zipf-tail) stats, the language-agreement matrix, and the materialized
+temperature-mixed sample — the measurement passes a pretraining pipeline
+runs to understand a corpus before (and after) transforming it.
 
 Every query carries a DuckDB oracle. Tokenization mirrors
 mare_spark.queries.llm2 (`_NORM`/`_WORDS`) so all LLM-family oracles agree
