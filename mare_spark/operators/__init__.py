@@ -4,6 +4,7 @@ multimodal) — the scale-path extensions beyond the reference's surface."""
 from mare_spark.operators.dedup import (
     exact_dedup,
     embedding_cosine_pairs,
+    minhash_lsh_join,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -35,6 +36,7 @@ __all__ = [
     "exact_dedup",
     "embedding_cosine_pairs",
     "embedding_lsh_pairs",
+    "minhash_lsh_join",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_pairs",

@@ -392,6 +392,51 @@ def _minhash_base_udf(num_perm: int, shingle_n: int, seed: int):
     )
 
 
+def _mh_base(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    shingle_n: int,
+    seed: int,
+) -> DataFrame:
+    """Persisted (doc, shingles, sig) signature table — the shared
+    materialization point of the LSH tiers (see the plan discussion in
+    :func:`minhash_lsh_pairs`)."""
+    return (
+        _fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            _minhash_base_udf(num_perm, shingle_n, seed)(
+                F.col(text_col)
+            ).alias("mh"),
+        )
+        .select(
+            "doc",
+            F.col("mh.shingles").alias("shingles"),
+            F.col("mh.sig").alias("sig"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _mh_buckets(base: DataFrame, bands: int, r: int) -> DataFrame:
+    """(doc, band_idx, band_hash) bucket table.
+
+    Band hash = xxhash64 of the band's signature slice — slice/xxhash64
+    are plain (codegen'd) expressions, no lambdas. Docs with NO shingles
+    (null/empty/shorter-than-n text) all carry the same constant empty
+    signature: they would band-collide with each other and then 0/0 in
+    the Jaccard verify (an ANSI divide-by-zero error, not a null) — by
+    definition they share no content, so they never enter bucketing."""
+    band_cols = [
+        F.xxhash64(F.slice("sig", i * r + 1, r)) for i in range(bands)
+    ]
+    return base.filter(F.size("shingles") > 0).select(
+        "doc", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -435,31 +480,8 @@ def minhash_lsh_pairs(
     # one vectorized op per document. At corpus scale this persist is the
     # standard "signature table" materialization point (disk-backed so it
     # spills instead of OOMing).
-    base = (
-        _fan_out(df)
-        .select(
-            F.col(id_col).alias("doc"),
-            _minhash_base_udf(num_perm, shingle_n, seed)(
-                F.col(text_col)
-            ).alias("mh"),
-        )
-        .select("doc", F.col("mh.shingles").alias("shingles"),
-                F.col("mh.sig").alias("sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    # band hash = xxhash64 of the band's signature slice — slice/xxhash64
-    # are plain (codegen'd) expressions, no lambdas. Docs with NO shingles
-    # (null/empty/shorter-than-n text) all carry the same constant empty
-    # signature: they would band-collide with each other and then 0/0 in
-    # the Jaccard verify (an ANSI divide-by-zero error, not a null) — by
-    # definition they share no content, so they never enter bucketing.
-    band_cols = [
-        F.xxhash64(F.slice("sig", i * r + 1, r)) for i in range(bands)
-    ]
-    buckets = base.filter(F.size("shingles") > 0).select(
-        "doc", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
-    )
+    base = _mh_base(df, text_col, id_col, num_perm, shingle_n, seed)
+    buckets = _mh_buckets(base, bands, r)
 
     cand = (
         buckets.alias("x")
@@ -490,6 +512,92 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return attach_caches(verified, base, cand)
+
+
+def minhash_lsh_join(
+    df_left: DataFrame,
+    df_right: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora — the incremental-ingest
+    dedup: find which documents of a NEW crawl (left) near-duplicate an
+    EXISTING corpus (right) without recomputing anything pairwise inside
+    either side and without concatenating them into one table.
+
+    Same recipe as :func:`minhash_lsh_pairs` (identical UDF, permutations,
+    and banding — same ``seed`` makes signatures comparable across calls),
+    but the bucket join is left-buckets x right-buckets on
+    (band_idx, band_hash): candidates are only cross-corpus collisions, so
+    within-corpus duplicates are never generated, and the verify stage
+    fetches each side's shingles from its own signature table. Returns
+    (id_left, id_right, jaccard >= threshold).
+
+    At 100 TB the right side's signature/bucket tables are the "index":
+    persist or write them once per corpus epoch and only the (smaller) new
+    crawl pays signature compute per ingest.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+
+    base_l = _mh_base(df_left, text_col, id_col, num_perm, shingle_n, seed)
+    base_r = _mh_base(df_right, text_col, id_col, num_perm, shingle_n, seed)
+    cand = (
+        _mh_buckets(base_l, bands, r)
+        .alias("x")
+        .join(
+            _mh_buckets(base_r, bands, r).alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash")),
+        )
+        .select(
+            F.col("x.doc").alias("id_left"), F.col("y.doc").alias("id_right")
+        )
+        .distinct()
+    )
+    cand = _persisted_candidates(cand)
+    # per-side verify-set restriction (the _candidate_shingles shape, one
+    # side each): semi-join the signature table down to candidate docs so
+    # the pair-joins shuffle only the candidate subset
+    sh_l = (
+        base_l.select("doc", "shingles")
+        .join(
+            cand.select(F.col("id_left").alias("doc")).distinct(),
+            "doc",
+            "left_semi",
+        )
+        .withColumnsRenamed({"doc": "id_left", "shingles": "sh_l"})
+    )
+    sh_r = (
+        base_r.select("doc", "shingles")
+        .join(
+            cand.select(F.col("id_right").alias("doc")).distinct(),
+            "doc",
+            "left_semi",
+        )
+        .withColumnsRenamed({"doc": "id_right", "shingles": "sh_r"})
+    )
+    verified = (
+        cand.join(sh_l, "id_left")
+        .join(sh_r, "id_right")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_l", "sh_r"))
+                / F.size(F.array_union("sh_l", "sh_r")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_left", "id_right", "jaccard")
+    )
+    return attach_caches(verified, base_l, base_r, cand)
 
 
 def simhash64(text_col: Column, shingle_n: int = 2) -> Column:

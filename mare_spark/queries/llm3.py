@@ -302,3 +302,27 @@ def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return lang_confusion_matrix(docs, "text", "lang")
+
+
+@register("dedup_crawl_vs_index", category="llm", oracle=None)
+def dedup_crawl_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup join: even-id documents play the new
+    crawl, odd-id documents the existing index; MinHash signatures built
+    with the same seed on both sides, banded buckets joined ACROSS corpora
+    only (within-corpus pairs are never generated), exact-Jaccard
+    verified. Rows-only driver check (blake2b signatures are not
+    SQL-expressible); pytest proves the result equals the union-corpus LSH
+    pair set restricted to cross pairs."""
+    from mare_spark.operators.dedup import minhash_lsh_join
+    from pyspark.sql import functions as FF
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_join(
+        docs.filter(FF.col("doc_id") % 2 == 0),
+        docs.filter(FF.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        num_perm=64,
+        bands=16,
+        threshold=0.5,
+    )

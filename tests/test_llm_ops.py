@@ -615,3 +615,31 @@ def test_write_packed_corpus_shards(spark, tmp_path):
     from mare_spark import plans as P
     assert "PartitionFilters" in P.formatted_plan(one)
     assert one.count() > 0
+
+
+def test_minhash_lsh_join_equals_cross_restricted_pairs(spark):
+    """Cross-corpus LSH join == the union-corpus LSH pair set restricted to
+    cross pairs (same seed → comparable signatures), and it generates no
+    within-corpus pairs by construction."""
+    from mare_spark.operators.dedup import minhash_lsh_join
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+
+    joined = _pair_set(
+        minhash_lsh_join(
+            left, right, "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+        )
+    )
+    union_pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+    )
+    cross = {
+        (a, b) if a % 2 == 0 else (b, a)
+        for a, b in _pair_set(union_pairs)
+        if a % 2 != b % 2
+    }
+    assert joined == cross
+    assert cross, "fixture should contain cross-parity near-dups"
+    assert all(a % 2 == 0 and b % 2 == 1 for a, b in joined)
