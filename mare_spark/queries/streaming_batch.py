@@ -169,3 +169,82 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         dsum("value", VALUE4).alias("total"),
     )
+
+
+@register(
+    "events_user_anomalies",
+    category="relational",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sv,
+             CAST(sum(CAST(value AS DECIMAL(18,4))
+                      * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sq,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    ),
+    z AS (
+      SELECT user_id, n, sv / n AS mean,
+             CASE WHEN n > 1 AND (sq - sv * sv / n) / (n - 1) > 0
+                  THEN (value - sv / n)
+                       / sqrt((sq - sv * sv / n) / (n - 1))
+             END AS zscore
+      FROM s
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(mean, 4) AS mean_value,
+           CAST(sum(CAST(abs(zscore) > 2 AS BIGINT)) AS BIGINT) AS n_anomalies,
+           round(max(abs(zscore)), 4) AS max_abs_z
+    FROM z GROUP BY user_id, n, mean
+    """,
+)
+def events_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly report: event count, mean value, events beyond 2
+    sample standard deviations, and the largest |z| — the batch form of a
+    streaming outlier monitor.
+
+    Hash-stable variance: the sums feeding mean/variance are DECIMAL
+    (exact, order-independent — the _decimal.py convention applied to
+    second moments: value is a 4dp fixture column, so value² is exact at
+    8dp), cast to double only for the final arithmetic, which is then the
+    identical IEEE expression on both engines. Degenerate cases are
+    guarded explicitly (n = 1, zero variance → z undefined/NULL) because
+    the engines disagree on NaN ordering (DuckDB sorts NaN above all
+    numbers; Spark comparisons return false) — a 0/0 must never reach a
+    comparison.
+
+    One shuffle: the per-user window hash-partitions on user_id and the
+    final groupBy reuses that partitioning (no second exchange).
+    """
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v4 = F.col("value").cast("decimal(18,4)")
+    sv = F.sum(v4).over(w).cast("double")
+    sq = F.sum(v4 * v4).over(w).cast("double")
+    n = F.count("*").over(w)
+    mean = sv / n
+    var = (sq - sv * sv / n) / (n - 1)
+    z = F.when((n > 1) & (var > 0), (F.col("value") - mean) / F.sqrt(var))
+    scored = e.select(
+        "user_id",
+        n.alias("n"),
+        mean.alias("mean"),
+        z.alias("zscore"),
+    )
+    return (
+        scored.groupBy("user_id", "n", "mean")
+        .agg(
+            F.sum((F.abs("zscore") > 2).cast("bigint")).alias("n_anomalies"),
+            F.round(F.max(F.abs("zscore")), 4).alias("max_abs_z"),
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.round("mean", 4).alias("mean_value"),
+            "n_anomalies",
+            "max_abs_z",
+        )
+    )

@@ -280,3 +280,13 @@ def test_tfidf_scalar_broadcast_and_topk_pushdown(spark):
     plan = P.formatted_plan(text_tfidf_keywords(spark, SF_ORACLE))
     assert plan.count("SinglePartition") <= 1, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_user_anomalies_single_shuffle(spark):
+    """The per-user window hash-partitions on user_id; the final groupBy
+    (user_id + derived keys) must reuse that partitioning — exactly one
+    exchange end-to-end."""
+    from mare_spark.queries.streaming_batch import events_user_anomalies
+
+    df = events_user_anomalies(spark, SF_ORACLE)
+    assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
