@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from mare_spark.operators.dedup import normalize_text
 from mare_spark.operators.text import STOPWORDS, tokens
+from mare_spark.numeric import fround
 
 __all__ = [
     "word_ngrams",
@@ -175,7 +176,7 @@ def tfidf_keywords(
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(
+            fround(
                 (F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq"),
                 6,
             ),
@@ -239,7 +240,7 @@ def length_histogram(
     w = Window.partitionBy("grp")
     return per_bucket.withColumn(
         "share_of_group",
-        F.round(
+        fround(
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
         ),
     ).select(
@@ -396,7 +397,7 @@ def vocab_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
         )
         .withColumn(
             "type_token_ratio",
-            F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6),
+            fround(F.col("n_types").cast("double") / F.col("n_tokens"), 6),
         )
         .select(
             F.col("grp").alias(group_col),
@@ -459,13 +460,13 @@ def embedding_norm_stats(
         F.lit(0.0),
         lambda acc, x: acc + x * x,
     )
-    norm = F.round(F.sqrt(sq), 6)
+    norm = fround(F.sqrt(sq), 6)
     return (
         df.select(F.col(label_col).alias("label"), norm.alias("norm"))
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(
+            fround(
                 F.sum(F.col("norm").cast("decimal(18,6)")).cast("double")
                 / F.count("*"),
                 6,

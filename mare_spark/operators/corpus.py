@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mare_spark.operators.text import tokens
+from mare_spark.numeric import fround
 
 __all__ = [
     "repetition_stats",
@@ -72,13 +73,13 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return d.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        F.round(F.col("_s.nd") / F.greatest(n, F.lit(1)), 6).alias(
+        fround(F.col("_s.nd") / F.greatest(n, F.lit(1)), 6).alias(
             "distinct_word_ratio"
         ),
-        F.round(F.col("_s.top") / F.greatest(n, F.lit(1)), 6).alias(
+        fround(F.col("_s.top") / F.greatest(n, F.lit(1)), 6).alias(
             "top_word_frac"
         ),
-        F.round(
+        fround(
             (nbg - F.col("_s.nbgd")) / F.greatest(nbg, F.lit(1)).cast("double"),
             6,
         ).alias("dup_bigram_frac"),
@@ -310,9 +311,21 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.broadcast(freq.withColumn("_logp", F.log(F.col("_cnt") / F.col("_total")))),
         "_w",
     )
-    return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_tokens"),
-        F.round(F.avg("_logp"), 6).alias("avg_logprob"),
+    # avg of raw doubles is partition-order-dependent; snap each token's
+    # logp onto the 6dp grid (fround — engine-identical since ln of the
+    # same double agrees), sum exactly as DECIMAL, divide once, snap again.
+    lp6 = fround("_logp", 6).cast("decimal(28,6)")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(lp6).cast("double").alias("_lpsum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            fround(F.col("_lpsum") / F.col("n_tokens"), 6).alias("avg_logprob"),
+        )
     )
 
 
@@ -339,9 +352,9 @@ def temperature_rates(
     return g.select(
         F.col(strata_col),
         F.col("n"),
-        F.round(nat, 6).alias("natural_share"),
-        F.round(temp, 6).alias("temperature_share"),
-        F.round(temp / nat, 6).alias("boost"),
+        fround(nat, 6).alias("natural_share"),
+        fround(temp, 6).alias("temperature_share"),
+        fround(temp / nat, 6).alias("boost"),
     )
 
 

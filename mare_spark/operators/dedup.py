@@ -41,6 +41,8 @@ from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from mare_spark.numeric import fround
+
 # Mersenne prime 2^31 - 1 — the MinHash permutation modulus. It must match
 # the 31-bit base-hash universe: with a modulus far above the universe
 # (2^61-1 was used initially), a*h+b wraps at most once, so for every
@@ -280,7 +282,7 @@ def ngram_jaccard_pairs(
         .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
+            fround(
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")),
                 6,
@@ -502,7 +504,7 @@ def minhash_lsh_pairs(
         .join(sh.withColumnsRenamed({"doc": "doc_b", "shingles": "sh_b"}), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
+            fround(
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b")),
                 6,
@@ -884,7 +886,7 @@ def embedding_cosine_pairs(
     b = base.withColumnsRenamed({"vid": "id_b", "v": "v_b"})
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn("cosine", fround(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

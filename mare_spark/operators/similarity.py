@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mare_spark.numeric import fround
+
 from mare_spark.operators.dedup import attach_caches
 
 
@@ -124,7 +126,7 @@ def brute_force_topk(
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine_to_query(F.col(vec_col), query_vec), 6).alias(
+            fround(cosine_to_query(F.col(vec_col), query_vec), 6).alias(
                 "cosine"
             ),
         )
@@ -237,7 +239,7 @@ def embedding_lsh_pairs(
         cand.join(v.withColumnsRenamed({"vid": "id_a", "v": "v_a"}), "id_a")
         .join(v.withColumnsRenamed({"vid": "id_b", "v": "v_b"}), "id_b")
         .withColumn(
-            "cosine", F.round(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6)
+            "cosine", fround(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6)
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -361,7 +363,7 @@ def ivf_topk(
         .filter(F.col("ivf_cell").isin([int(c) for c in probe_cells]))
         .select(
             F.col(id_col),
-            F.round(cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
+            fround(cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -414,7 +416,7 @@ def ivf_topk_indexed(
         .filter(F.col(cell_col).isin([int(c) for c in probe_cells]))
         .select(
             F.col(id_col),
-            F.round(cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
+            fround(cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -461,7 +463,7 @@ def ann_lsh_topk(
         )
         .select(
             F.col(id_col),
-            F.round(cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
+            fround(cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -535,7 +537,7 @@ def semantic_dedup_pairs(
         cand.join(v.withColumnsRenamed({"vid": "id_a", "v": "v_a"}), "id_a")
         .join(v.withColumnsRenamed({"vid": "id_b", "v": "v_b"}), "id_b")
         .withColumn(
-            "cosine", F.round(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6)
+            "cosine", fround(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6)
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

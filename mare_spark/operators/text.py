@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mare_spark.operators.dedup import normalize_text
+from mare_spark.numeric import fround
 
 # Marker stopwords per language for the n-gram/stopword-overlap heuristic.
 # Deliberately tiny: language ID at corpus scale is a scan-side heuristic,
@@ -65,16 +66,16 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # raw ratios feed the composite; rounding happens only at output
     punct_ratio_raw = n_punct / F.greatest(n_chars, F.lit(1))
     stopword_ratio_raw = stop_hits / F.greatest(n_tokens, F.lit(1))
-    punct_ratio = F.round(punct_ratio_raw, 6)
-    stopword_ratio = F.round(stopword_ratio_raw, 6)
-    avg_token_len = F.round(
+    punct_ratio = fround(punct_ratio_raw, 6)
+    stopword_ratio = fround(stopword_ratio_raw, 6)
+    avg_token_len = fround(
         (F.length(F.regexp_replace(normalize_text(F.col(text_col)), " ", "")))
         / F.greatest(n_tokens, F.lit(1)),
         6,
     )
     # composite: reward length (saturating) + stopword presence, punish punct
     length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-    quality = F.round(
+    quality = fround(
         F.greatest(
             F.least(
                 0.5 * length_score + 0.5 * F.least(stopword_ratio_raw * 5, F.lit(1.0))
@@ -164,7 +165,7 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         words.alias("n_words"),
         pieces.alias("n_bpe_ish_tokens"),
-        F.round(pieces / F.greatest(words, F.lit(1)), 6).alias("fertility"),
+        fround(pieces / F.greatest(words, F.lit(1)), 6).alias("fertility"),
     )
 
 

@@ -1,92 +1,26 @@
-"""Hash-stable money-aggregation convention (registry-wide).
+"""Back-compat shim — the hash-stable numeric conventions moved to
+:mod:`mare_spark.numeric` so OPERATOR modules can import them without
+touching the queries package (importing ``mare_spark.queries.<anything>``
+runs the package __init__, which imports every query module, which imports
+the operators — a cycle that only detonates on executors unpickling UDFs,
+where the operator module is the import root)."""
 
-``round(sum(double), 2)`` is order-dependent: Spark's partitioned partial
-sums and DuckDB's sequential scan accumulate float error differently, so a
-sum landing within a few ulp of a half-cent boundary can round to different
-cents on the two engines (this flipped ``q10_returned_item_reporting`` by
-one cent in round 2 — see VERDICT.md r2 "What's wrong" #2/#3).
-
-The registry-wide fix (both the Spark builder AND its DuckDB oracle):
-
-1. Recover the *exact* decimal value of the summand before aggregating.
-   Fixture money columns are exact 2dp values (events.value is 4dp), so a
-   product of k such factors has an exact decimal value of scale <= 2k.
-   Casting the double product to ``DECIMAL(18, s)`` with s = the exact
-   scale is deterministic and tie-free: the double sits within ~1e-10 of a
-   scale-s grid point, and a grid point is never at a half of 10^-s.
-2. Sum the decimals — exact integer arithmetic, order-independent.
-3. ``round(sum, 2)`` — both engines round decimals half-away-from-zero
-   (verified empirically: 2.0050 -> 2.01, -2.0050 -> -2.01 on both).
-4. Cast the result to DOUBLE — both engines produce the nearest double.
-
-For averages/ratios, divide the exact decimal sums *after* casting to
-double: the quotient is then the same IEEE double on both engines, and
-both engines round identical doubles identically (verified on the
-2.675/0.125 hazard values).
-
-``tests/test_queries_oracle.py::test_oracle_dtype_and_exact_value_parity``
-enforces the convention: every oracle query must match DuckDB with ZERO
-float tolerance and identical dtype kinds, which is what the driver's
-value hash requires.
-"""
-
-from __future__ import annotations
-
-from pyspark.sql import Column
-from pyspark.sql import functions as F
-
-#: exact decimal type for a bare 2dp money column (price, balance, quantity)
-MONEY = "decimal(18,2)"
-#: exact decimal type for a 2dp x 2dp product (price * (1 +/- rate))
-MONEY4 = "decimal(18,4)"
-#: exact decimal type for a 2dp x 2dp x 2dp product (price * disc * tax)
-MONEY6 = "decimal(18,6)"
-#: exact decimal type for events.value (4dp fixture column)
-VALUE4 = "decimal(18,4)"
-
-
-def _c(col: Column | str) -> Column:
-    return F.col(col) if isinstance(col, str) else col
-
-
-def dec(col: Column | str, dtype: str = MONEY) -> Column:
-    """Exact-decimal view of a money column/expression (step 1 above)."""
-    return _c(col).cast(dtype)
-
-
-def dsum(col: Column | str, dtype: str = MONEY, scale: int = 2) -> Column:
-    """Order-independent money sum -> rounded double (steps 1-4 above)."""
-    return F.round(F.sum(dec(col, dtype)), scale).cast("double")
-
-
-def dsum_raw(col: Column | str, dtype: str = MONEY) -> Column:
-    """Exact decimal sum cast straight to double (no extra rounding) —
-    building block for ratios/averages computed in double afterwards."""
-    return F.sum(dec(col, dtype)).cast("double")
-
-
-def davg(col: Column | str, dtype: str = MONEY, scale: int = 4) -> Column:
-    """Order-independent average: exact decimal sum / non-null count,
-    divided in double, rounded. Matches the oracle form
-    ``round(CAST(sum(CAST(x AS DECIMAL)) AS DOUBLE) / count(x), scale)``."""
-    return F.round(dsum_raw(col, dtype) / F.count(_c(col)), scale).cast("double")
-
-
-# --- SQL-side mirrors (used to build oracle f-strings) ---------------------
-
-SQL_MONEY = "DECIMAL(18,2)"
-SQL_MONEY4 = "DECIMAL(18,4)"
-SQL_MONEY6 = "DECIMAL(18,6)"
-SQL_VALUE4 = "DECIMAL(18,4)"
-
-
-def sql_dsum(expr: str, dtype: str = SQL_MONEY, scale: int = 2) -> str:
-    return f"CAST(round(sum(CAST({expr} AS {dtype})), {scale}) AS DOUBLE)"
-
-
-def sql_dsum_raw(expr: str, dtype: str = SQL_MONEY) -> str:
-    return f"CAST(sum(CAST({expr} AS {dtype})) AS DOUBLE)"
-
-
-def sql_davg(expr: str, dtype: str = SQL_MONEY, scale: int = 4) -> str:
-    return f"round({sql_dsum_raw(expr, dtype)} / count({expr}), {scale})"
+from mare_spark.numeric import (  # noqa: F401
+    MONEY,
+    MONEY4,
+    MONEY6,
+    SQL_MONEY,
+    SQL_MONEY4,
+    SQL_MONEY6,
+    SQL_VALUE4,
+    VALUE4,
+    davg,
+    dec,
+    dsum,
+    dsum_raw,
+    fround,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_raw,
+    sql_fround,
+)

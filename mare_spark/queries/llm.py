@@ -90,7 +90,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
     )
-    SELECT doc_a, doc_b, round(common / (na + nb - common), 6) AS jaccard
+    SELECT doc_a, doc_b,
+           (floor(common / (na + nb - common) * 1000000.0 + 0.5)
+            / 1000000.0) AS jaccard
     FROM pairs
     WHERE common / (na + nb - common) >= 0.8
     """,
@@ -129,10 +131,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(
+           (floor(
              list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
              / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cosine
+                * sqrt(list_sum(list_transform(b.v, x -> x*x))))
+             * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
           / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
@@ -221,10 +224,11 @@ WITH e AS (
 ),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
 SELECT vec_id,
-       round(
+       (floor(
          list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
          / (sqrt(list_sum(list_transform(v, x -> x*x)))
-            * sqrt(list_sum(list_transform(qv, x -> x*x)))), 6) AS cosine
+            * sqrt(list_sum(list_transform(qv, x -> x*x))))
+         * 1000000.0 + 0.5) / 1000000.0) AS cosine
 FROM e, q
 ORDER BY cosine DESC, vec_id
 LIMIT 10
@@ -257,10 +261,11 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id = 0
     )
     SELECT vec_id,
-           round(
+           (floor(
              list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
              / (sqrt(list_sum(list_transform(v, x -> x*x)))
-                * sqrt(list_sum(list_transform(qv, x -> x*x)))), 6) AS cosine
+                * sqrt(list_sum(list_transform(qv, x -> x*x))))
+             * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM e, q
     ORDER BY cosine DESC, vec_id
     LIMIT 10
@@ -332,14 +337,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            n_tokens,
            n_chars,
-           round(alpha_chars / greatest(n_tokens, 1), 6)  AS avg_token_len,
-           round(n_punct / greatest(n_chars, 1), 6)       AS punct_ratio,
-           round(stop_hits / greatest(n_tokens, 1), 6)    AS stopword_ratio,
+           (floor(alpha_chars / greatest(n_tokens, 1)
+                  * 1000000.0 + 0.5) / 1000000.0)         AS avg_token_len,
+           (floor(n_punct / greatest(n_chars, 1)
+                  * 1000000.0 + 0.5) / 1000000.0)         AS punct_ratio,
+           (floor(stop_hits / greatest(n_tokens, 1)
+                  * 1000000.0 + 0.5) / 1000000.0)         AS stopword_ratio,
            n_marker                                       AS n_marker_words,
-           round(greatest(least(
+           (floor(greatest(least(
              0.5 * least(n_tokens / 100.0, 1.0)
              + 0.5 * least((stop_hits / greatest(n_tokens, 1)) * 5, 1.0)
-             - n_punct / greatest(n_chars, 1), 1.0), 0.0), 6) AS quality
+             - n_punct / greatest(n_chars, 1), 1.0), 0.0)
+             * 1000000.0 + 0.5) / 1000000.0) AS quality
     FROM s
     """,
 )
@@ -420,7 +429,8 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_words, n_bpe_ish_tokens,
-           round(n_bpe_ish_tokens / greatest(n_words, 1), 6) AS fertility
+           (floor(n_bpe_ish_tokens / greatest(n_words, 1)
+                  * 1000000.0 + 0.5) / 1000000.0) AS fertility
     FROM t
     """,
 )

@@ -22,6 +22,7 @@ from mare_spark.operators.corpus import (
     repetition_stats,
 )
 from mare_spark.operators.text import STOPWORDS, tokens
+from mare_spark.queries._decimal import fround
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -61,9 +62,12 @@ _TOP_WORD = (
       FROM w
     )
     SELECT doc_id, n AS n_tokens,
-           round(nd / greatest(n, 1), 6) AS distinct_word_ratio,
-           round(top / greatest(n, 1), 6) AS top_word_frac,
-           round((len(bg) - len(list_distinct(bg))) / greatest(len(bg), 1), 6)
+           (floor(nd / greatest(n, 1) * 1000000.0 + 0.5) / 1000000.0)
+             AS distinct_word_ratio,
+           (floor(top / greatest(n, 1) * 1000000.0 + 0.5) / 1000000.0)
+             AS top_word_frac,
+           (floor((len(bg) - len(list_distinct(bg))) / greatest(len(bg), 1)
+                  * 1000000.0 + 0.5) / 1000000.0)
              AS dup_bigram_frac
     FROM s
     """,
@@ -223,7 +227,8 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t GROUP BY lang, source
     )
     SELECT lang, source, n_docs, n_tokens,
-           round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share
+           (floor(n_tokens / sum(n_tokens) OVER () * 1000000.0 + 0.5)
+            / 1000000.0) AS token_share
     FROM g
     """,
 )
@@ -245,7 +250,7 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.sum("n_tokens").over(Window.partitionBy())
     return g.select(
         "lang", "source", "n_docs", "n_tokens",
-        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        fround(F.col("n_tokens") / total, 6).alias("token_share"),
     )
 
 
@@ -257,7 +262,10 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
     tot AS (SELECT sum(cnt) AS total FROM freq)
     SELECT tok.doc_id, count(*) AS n_tokens,
-           round(avg(ln(freq.cnt / tot.total)), 6) AS avg_logprob
+           (floor(CAST(sum(CAST(
+                    (floor(ln(freq.cnt / tot.total) * 1000000.0 + 0.5)
+                     / 1000000.0) AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*) * 1000000.0 + 0.5) / 1000000.0) AS avg_logprob
     FROM tok, freq, tot
     WHERE tok.w = freq.w
     GROUP BY tok.doc_id
@@ -338,9 +346,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 AS (SELECT lang, n, n / sum(n) OVER () AS nat FROM g),
     n2 AS (SELECT lang, n, nat, pow(nat, 0.7) AS p FROM n1),
     n3 AS (SELECT lang, n, nat, p / sum(p) OVER () AS temp FROM n2)
-    SELECT lang, n, round(nat, 6) AS natural_share,
-           round(temp, 6) AS temperature_share,
-           round(temp / nat, 6) AS boost
+    SELECT lang, n,
+           (floor(nat * 1000000.0 + 0.5) / 1000000.0) AS natural_share,
+           (floor(temp * 1000000.0 + 0.5) / 1000000.0) AS temperature_share,
+           (floor(temp / nat * 1000000.0 + 0.5) / 1000000.0) AS boost
     FROM n3
     """,
 )

@@ -66,7 +66,8 @@ def corpus_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
-             round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.doc_freq, 6)
+             (floor(CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.doc_freq
+                    * 1000000.0 + 0.5) / 1000000.0)
                AS tfidf
       FROM tf JOIN dfq USING (term) CROSS JOIN n
     )
@@ -100,8 +101,9 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, length_bucket, count(*) AS n_docs,
            CAST(sum(n) AS BIGINT) AS total_tokens,
-           round(CAST(count(*) AS DOUBLE) /
-                 CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE), 6)
+           (floor(CAST(count(*) AS DOUBLE) /
+                  CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0)
              AS share_of_group
     FROM b GROUP BY lang, length_bucket
     """,
@@ -179,13 +181,14 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH n AS (
       SELECT label,
-             round(sqrt(list_sum(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+             (floor(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * 1000000.0 + 0.5) / 1000000.0) AS norm
       FROM embeddings
     )
     SELECT label, count(*) AS n_vecs,
-           round(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS avg_norm,
+           (floor(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*) * 1000000.0 + 0.5) / 1000000.0) AS avg_norm,
            min(norm) AS min_norm, max(norm) AS max_norm
     FROM n GROUP BY label
     """,
@@ -208,7 +211,8 @@ def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 AS (SELECT lang, n, n / sum(n) OVER () AS nat FROM g),
     n2 AS (SELECT lang, n, nat, pow(nat, 0.7) AS p FROM n1),
     n3 AS (
-      SELECT lang, round((p / sum(p) OVER ()) / nat, 6) AS boost FROM n2
+      SELECT lang, (floor((p / sum(p) OVER ()) / nat * 1000000.0 + 0.5)
+                   / 1000000.0) AS boost FROM n2
     ),
     r AS (SELECT lang, least(boost * 0.5, 1.0) AS rate FROM n3),
     u AS (
@@ -248,7 +252,8 @@ def sample_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(cnt) AS BIGINT) AS n_tokens,
            count(*) AS n_types,
            CAST(sum(CAST(cnt = 1 AS BIGINT)) AS BIGINT) AS n_hapax,
-           round(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT), 6)
+           (floor(CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT)
+                  * 1000000.0 + 0.5) / 1000000.0)
              AS type_token_ratio
     FROM tf GROUP BY lang
     """,

@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mare_spark.queries._decimal import MONEY4, MONEY6, davg, dsum, dsum_raw
+from mare_spark.queries._decimal import (
+    MONEY4,
+    MONEY6,
+    davg,
+    dsum,
+    dsum_raw,
+    fround,
+)
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -45,12 +52,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                           AS DECIMAL(18,4))), 2) AS DOUBLE)                  AS sum_disc_price,
       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                           AS DECIMAL(18,6))), 2) AS DOUBLE)                  AS sum_charge,
-      round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-            / count(l_quantity), 4)                                          AS avg_qty,
-      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-            / count(l_extendedprice), 4)                                     AS avg_price,
-      round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-            / count(l_discount), 6)                                          AS avg_disc,
+      (floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_quantity) * 10000.0 + 0.5) / 10000.0)                 AS avg_qty,
+      (floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_extendedprice) * 10000.0 + 0.5) / 10000.0)            AS avg_price,
+      (floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_discount) * 1000000.0 + 0.5) / 1000000.0)             AS avg_disc,
       count(*)                                                               AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -316,8 +323,8 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_range_band",
     oracle="""
     SELECT b.band, count(*) AS n_parts,
-           round(CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(p.p_retailprice), 4) AS avg_price
+           (floor(CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(p.p_retailprice) * 10000.0 + 0.5) / 10000.0) AS avg_price
     FROM part p
     JOIN (VALUES ('budget', 900.0, 935.0),
                  ('mid',    935.0, 970.0),
@@ -358,25 +365,62 @@ def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_stats",
     oracle="""
-    SELECT l_returnflag,
-           round(min(l_extendedprice), 2)          AS min_price,
-           round(max(l_extendedprice), 2)          AS max_price,
-           round(stddev_samp(l_extendedprice), 4)  AS std_price,
-           round(var_samp(l_quantity), 4)          AS var_qty,
-           count(*)                                AS n
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH s AS (
+      SELECT l_returnflag,
+             round(min(l_extendedprice), 2) AS min_price,
+             round(max(l_extendedprice), 2) AS max_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS pv,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS pq,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qv,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qq,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, min_price, max_price,
+           (floor(sqrt((pq - pv * pv / n) / (n - 1)) * 10000.0 + 0.5)
+            / 10000.0) AS std_price,
+           (floor((qq - qv * qv / n) / (n - 1) * 10000.0 + 0.5)
+            / 10000.0) AS var_qty,
+           n
+    FROM s
     """,
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates per group."""
+    """Statistical aggregates per group (sample stddev/variance).
+
+    Hash-stable moments: the native stddev_samp/var_samp fold doubles in
+    partition order — Spark and DuckDB accumulate different float error,
+    so a rounded result can flip. Instead both engines compute the exact
+    DECIMAL first and second moments (2dp fixture columns square exactly
+    at 4dp), derive variance from identical doubles, and grid-snap with
+    fround — the same convention as events_user_anomalies."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    p2 = F.col("l_extendedprice").cast("decimal(18,2)")
+    q2 = F.col("l_quantity").cast("decimal(18,2)")
+    g = li.groupBy("l_returnflag").agg(
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.sum(p2).cast("double").alias("pv"),
+        F.sum(p2 * p2).cast("double").alias("pq"),
+        F.sum(q2).cast("double").alias("qv"),
+        F.sum(q2 * q2).cast("double").alias("qq"),
         F.count("*").alias("n"),
+    )
+    nn = F.col("n")
+    return g.select(
+        "l_returnflag",
+        "min_price",
+        "max_price",
+        fround(
+            F.sqrt((F.col("pq") - F.col("pv") * F.col("pv") / nn) / (nn - 1)),
+            4,
+        ).alias("std_price"),
+        fround(
+            (F.col("qq") - F.col("qv") * F.col("qv") / nn) / (nn - 1), 4
+        ).alias("var_qty"),
+        "n",
     )
 
 
@@ -624,13 +668,14 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                  OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                 OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 / count(*) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+           (floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / count(*) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  * 10000.0 + 0.5) / 10000.0) AS moving_avg_3
     FROM orders
     """,
 )
@@ -649,7 +694,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("running_total"),
-        F.round(
+        fround(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .over(w.rowsBetween(-2, W.currentRow))
             .cast("double")
@@ -972,8 +1017,10 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(abs(l_extendedprice - 50000), 2)  AS price_dev,
            CAST(ceil(l_quantity / 7) AS BIGINT)    AS qty_ceil,
            CAST(floor(l_quantity / 7) AS BIGINT)   AS qty_floor,
-           round(pow(l_discount + 1, 2), 6)        AS disc_sq,
-           round(ln(l_extendedprice), 6)           AS log_price,
+           (floor(pow(l_discount + 1, 2) * 1000000.0 + 0.5)
+            / 1000000.0)                           AS disc_sq,
+           (floor(ln(l_extendedprice) * 1000000.0 + 0.5)
+            / 1000000.0)                           AS log_price,
            CASE WHEN l_quantity >= 40 THEN 'bulk'
                 WHEN l_quantity >= 15 THEN 'mid'
                 ELSE 'small' END                   AS qty_class,
@@ -991,8 +1038,8 @@ def q_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("price_dev"),
         F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
         F.floor(F.col("l_quantity") / 7).alias("qty_floor"),
-        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        fround(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
+        fround(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
         F.when(F.col("l_quantity") >= 40, "bulk")
         .when(F.col("l_quantity") >= 15, "mid")
         .otherwise("small")
@@ -1061,7 +1108,8 @@ def q_explode_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*)                                                  AS n,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           (floor(avg(CAST(json_extract_string(props, '$.k') AS INT))
+                  * 10000.0 + 0.5) / 10000.0)                     AS avg_k,
            max(CAST(json_extract_string(props, '$.k') AS INT))       AS max_k
     FROM events
     GROUP BY event_type
@@ -1074,7 +1122,7 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.avg(k), 4).alias("avg_k"),
+        fround(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
 

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mare_spark.operators.asof import asof_join
-from mare_spark.queries._decimal import MONEY4, dsum, dsum_raw
+from mare_spark.queries._decimal import MONEY4, dsum, dsum_raw, fround
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -79,12 +79,12 @@ def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue_share",
     oracle="""
-    SELECT round(
+    SELECT (floor(
              100.0 * CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
                               THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE),
-             4) AS promo_share_pct
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0) AS promo_share_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
@@ -103,7 +103,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
+            fround(
                 100.0
                 * F.sum(
                     F.when(
@@ -121,9 +121,12 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentiles_exact",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
-           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
-           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+           (floor(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5)
+            / 10000.0)  AS p50,
+           (floor(quantile_cont(l_extendedprice, 0.95) * 10000.0 + 0.5)
+            / 10000.0) AS p95,
+           (floor(quantile_cont(l_extendedprice, 0.99) * 10000.0 + 0.5)
+            / 10000.0) AS p99
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -133,9 +136,9 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_cont``)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        fround(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        fround(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        fround(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
     )
 
 
@@ -235,7 +238,8 @@ def _charge_pudf(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series
     "q_udf_pandas_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+           (floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                  * 100.0 + 0.5) / 100.0) AS charge
     FROM lineitem
     WHERE l_orderkey % 100 = 0
     """,
@@ -246,7 +250,7 @@ def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
+        fround(
             _charge_pudf(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")),
             2,
         ).alias("charge"),
@@ -255,14 +259,29 @@ def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @F.pandas_udf(T.DoubleType())
 def _weighted_avg_pudf(price: pd.Series, qty: pd.Series) -> float:
-    return float((price * qty).sum() / qty.sum())
+    # exact integer-cents arithmetic: numpy's pairwise float sum accumulates
+    # different error than the oracle's sequential sum, so the quotient is
+    # built from exact integers (2dp fixture columns -> cents), cast to
+    # double only for the single final division — engine-identical.
+    import numpy as np
+
+    pc = np.rint(np.asarray(price, dtype=np.float64) * 100).astype(np.int64)
+    qc = np.rint(np.asarray(qty, dtype=np.float64) * 100).astype(np.int64)
+    num = int(np.multiply(pc, qc, dtype=np.int64).sum())
+    den = int(qc.sum())
+    return float(num) / (float(den) * 100.0)
 
 
 @register(
     "q_udf_grouped_agg",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+           (floor(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * CAST(l_quantity AS DECIMAL(18,2))) * 10000
+                       AS HUGEINT) AS DOUBLE)
+                  / (CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100
+                          AS HUGEINT) AS DOUBLE) * 100.0)
+                  * 10000.0 + 0.5) / 10000.0)
              AS weighted_avg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -272,7 +291,7 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (quantity-weighted mean price)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(
+        fround(
             _weighted_avg_pudf(F.col("l_extendedprice"), F.col("l_quantity")), 4
         ).alias("weighted_avg_price")
     )

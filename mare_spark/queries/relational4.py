@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mare_spark.queries._decimal import MONEY4, dsum, dsum_raw
+from mare_spark.queries._decimal import MONEY4, dsum, dsum_raw, fround
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -45,9 +45,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                           ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
              AS nation_volume,
            CAST(round(sum(volume), 2) AS DOUBLE) AS total_volume,
-           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+           (floor(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+                  / CAST(sum(volume) AS DOUBLE) * 1000000.0 + 0.5)
+            / 1000000.0) AS mkt_share
     FROM all_volumes
     GROUP BY yr
     """,
@@ -86,7 +87,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum(nation_vol), 2).cast("double").alias("nation_volume"),
             F.round(F.sum(volume), 2).cast("double").alias("total_volume"),
-            F.round(
+            fround(
                 F.sum(nation_vol).cast("double") / F.sum(volume).cast("double"), 6
             ).alias("mkt_share"),
         )
@@ -261,7 +262,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / count(l_quantity)) AS qty_threshold
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+    SELECT (floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / 7.0 * 100.0 + 0.5) / 100.0)
              AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -288,7 +290,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .join(pa, l.l_partkey == pa.pa_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(dsum_raw("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(fround(dsum_raw("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 
 

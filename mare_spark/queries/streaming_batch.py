@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mare_spark.queries._decimal import VALUE4, davg, dsum
+from mare_spark.queries._decimal import VALUE4, davg, dsum, fround
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -54,7 +54,8 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT b0 - INTERVAL '5 minutes' AS window_start, event_type, value FROM shifted
     )
     SELECT window_start, event_type,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 4)
+           (floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(value) * 10000.0 + 0.5) / 10000.0)
              AS avg_value,
            count(*) AS n
     FROM assigned
@@ -193,9 +194,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_events,
-           round(mean, 4) AS mean_value,
+           (floor(mean * 10000.0 + 0.5) / 10000.0) AS mean_value,
            CAST(sum(CAST(abs(zscore) > 2 AS BIGINT)) AS BIGINT) AS n_anomalies,
-           round(max(abs(zscore)), 4) AS max_abs_z
+           (floor(max(abs(zscore)) * 10000.0 + 0.5) / 10000.0) AS max_abs_z
     FROM z GROUP BY user_id, n, mean
     """,
 )
@@ -238,12 +239,12 @@ def events_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("user_id", "n", "mean")
         .agg(
             F.sum((F.abs("zscore") > 2).cast("bigint")).alias("n_anomalies"),
-            F.round(F.max(F.abs("zscore")), 4).alias("max_abs_z"),
+            fround(F.max(F.abs("zscore")), 4).alias("max_abs_z"),
         )
         .select(
             "user_id",
             F.col("n").alias("n_events"),
-            F.round("mean", 4).alias("mean_value"),
+            fround("mean", 4).alias("mean_value"),
             "n_anomalies",
             "max_abs_z",
         )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from mare_spark.queries._decimal import VALUE4, davg, dsum
+from mare_spark.numeric import VALUE4, davg, dsum
 
 def read_events_stream(
     spark: SparkSession,

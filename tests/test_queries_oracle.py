@@ -67,3 +67,31 @@ def test_driver_priority_consistent():
     unknown = [n for n in DRIVER_PRIORITY if n not in QUERIES]
     assert not unknown, f"DRIVER_PRIORITY names not in registry: {unknown}"
     assert list(QUERIES)[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
+
+
+def test_fround_is_engine_portable_where_round_is_not(spark):
+    """Documents the bug class behind the fround convention: Spark and
+    DuckDB round the SAME double differently near half boundaries (Spark
+    rounds the exact decimal expansion; DuckDB scales-then-rounds in
+    float), so round(quotient) outputs can flip a value hash whenever a
+    regenerated fixture lands near a boundary. fround — floor(x*10^s+0.5)
+    — is pure IEEE arithmetic and must agree on every engine."""
+    import duckdb
+
+    from mare_spark.numeric import fround, sql_fround
+    from pyspark.sql import functions as F
+
+    hazard = 3118.29 / 56  # = 55.683749999999996 (one ulp below the half)
+    con = duckdb.connect()
+    duck_round = con.execute(f"SELECT round(CAST({hazard!r} AS DOUBLE), 4)").fetchone()[0]
+    spark_round = (
+        spark.range(1).select(F.round(F.lit(hazard), 4).alias("r")).head().r
+    )
+    assert spark_round != duck_round  # the divergence fround exists to avoid
+
+    duck_f = con.execute(
+        f"SELECT {sql_fround(f'CAST({hazard!r} AS DOUBLE)', 4)}"
+    ).fetchone()[0]
+    spark_f = spark.range(1).select(fround(F.lit(hazard), 4).alias("r")).head().r
+    assert spark_f == duck_f == 55.6838
+    con.close()
