@@ -97,11 +97,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q11_important_suppliers", "q14_promo_revenue_share", "q15_top_supplier",
     "q17_small_quantity_revenue", "q19_disjunctive_brackets",
     "q22_idle_wealthy_customers",
-    "q_join_left_outer", "q_join_range_band", "q_rollup", "q_cube",
+    "q_join_left_outer", "q_join_range_band",
     "q_grouping_sets", "q_having", "q_pivot", "q_window_running",
     "q_sql_returned_items", "q_subquery_above_avg",
     "events_tumbling_window", "events_sliding_window", "events_session_window",
-    # -- 4. anchors + remaining budget --
+    # -- 3b. logic REWRITES under the fround/decimal-moment hardening
+    #        (native stddev/var -> decimal second moments; pandas pairwise
+    #        sum -> exact integer cents; round -> fround on the charge) —
+    #        the highest-risk changed rows, ahead of stale-green anchors --
+    "q_agg_stats", "q_udf_grouped_agg", "q_udf_pandas_scalar",
+    # -- 4. anchors + remaining budget (q_rollup/q_cube dropped to here:
+    #       their oracle change is decimal-round-only — the exact class —
+    #       and both were hash-green in r1) --
+    "q_rollup", "q_cube",
     "pipeline_clean_corpus", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "sim_topk_cosine", "multimodal_decode",
     "text_repetition_stats", "text_quality_gates", "decontaminate_vs_eval",
