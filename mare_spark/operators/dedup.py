@@ -590,7 +590,7 @@ def minhash_lsh_join(
         .join(sh_r, "id_right")
         .withColumn(
             "jaccard",
-            F.round(
+            fround(
                 F.size(F.array_intersect("sh_l", "sh_r"))
                 / F.size(F.array_union("sh_l", "sh_r")),
                 6,
