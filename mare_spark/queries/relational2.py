@@ -263,12 +263,19 @@ def _weighted_avg_pudf(price: pd.Series, qty: pd.Series) -> float:
     # different error than the oracle's sequential sum, so the quotient is
     # built from exact integers (2dp fixture columns -> cents), cast to
     # double only for the single final division — engine-identical.
+    # Chunked accumulation into arbitrary-precision Python ints: a single
+    # int64 product-sum over a whole group would overflow around 1e8 rows
+    # (cents x cents ~ 5e10/row vs 9.2e18); per-1M-row chunk sums stay
+    # below 1e17, and the chunk total is exact.
     import numpy as np
 
     pc = np.rint(np.asarray(price, dtype=np.float64) * 100).astype(np.int64)
     qc = np.rint(np.asarray(qty, dtype=np.float64) * 100).astype(np.int64)
-    num = int(np.multiply(pc, qc, dtype=np.int64).sum())
-    den = int(qc.sum())
+    num, den = 0, 0
+    for i in range(0, len(pc), 1_000_000):
+        num += int(np.multiply(pc[i:i+1_000_000], qc[i:i+1_000_000],
+                               dtype=np.int64).sum())
+        den += int(qc[i:i+1_000_000].sum())
     return float(num) / (float(den) * 100.0)
 
 
