@@ -69,8 +69,11 @@ def davg(col: Column | str, dtype: str = MONEY, scale: int = 4) -> Column:
     """Order-independent average: exact decimal sum / non-null count,
     divided in double, grid-snapped with :func:`fround` (a rounded
     QUOTIENT is the half-boundary hazard — see the fround comment).
-    Matches the oracle form :func:`sql_davg`."""
-    return fround(dsum_raw(col, dtype) / F.count(_c(col)), scale)
+    NULL for all-NULL groups — under Spark 4's default ANSI mode an
+    unguarded /count would raise DIVIDE_BY_ZERO (verified), where the old
+    F.avg and the DuckDB mirror return NULL. Matches :func:`sql_davg`."""
+    n = F.count(_c(col))
+    return F.when(n > 0, fround(dsum_raw(col, dtype) / n, scale))
 
 
 # --- SQL-side mirrors (used to build oracle f-strings) ---------------------
@@ -90,7 +93,8 @@ def sql_dsum_raw(expr: str, dtype: str = SQL_MONEY) -> str:
 
 
 def sql_davg(expr: str, dtype: str = SQL_MONEY, scale: int = 4) -> str:
-    return f"{sql_fround(f'{sql_dsum_raw(expr, dtype)} / count({expr})', scale)}"
+    inner = sql_fround(f"{sql_dsum_raw(expr, dtype)} / count({expr})", scale)
+    return f"(CASE WHEN count({expr}) > 0 THEN {inner} END)"
 
 
 # --- deterministic grid snap for engine-identical doubles -------------------

@@ -93,13 +93,13 @@ def ngram_partial_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
 
     import pandas as pd
 
-    from mare_spark.operators.dedup import _ASCII_WS, _WS_RE
+    from mare_spark.operators.dedup import py_tokens
 
     def gen(batches):
         for pdf in batches:
             c: Counter = Counter()
             for t in pdf[text_col]:
-                ws = _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
+                ws = py_tokens(t)
                 for i in range(len(ws) - n + 1):
                     c[" ".join(ws[i : i + n])] += 1
             yield pd.DataFrame(
@@ -211,7 +211,7 @@ def _length_bucket(n_tokens: Column) -> Column:
 
 
 def length_histogram(
-    df: DataFrame, text_col: str, id_col: str, group_col: str
+    df: DataFrame, text_col: str, group_col: str
 ) -> DataFrame:
     """Token-length histogram per group: doc counts, token totals, and each
     bucket's share of its group — the packing-efficiency / curriculum audit
@@ -287,11 +287,16 @@ def dedup_cluster_stats(
     size) rows.
     """
     w = tokens(F.col(text_col))
+    # NULL text must stay NULL at BOTH granularities: concat_ws maps a
+    # NULL token array to '' (merging NULL docs with genuinely-empty
+    # ones), while the exact digest and the DuckDB oracle's
+    # array_to_string(NULL, ...) both propagate NULL.
     keyed = df.select(
         F.md5(normalize_text(F.col(text_col))).alias("exact_digest"),
-        F.md5(F.concat_ws(" ", F.slice(w, 1, prefix_words))).alias(
-            "prefix_digest"
-        ),
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.md5(F.concat_ws(" ", F.slice(w, 1, prefix_words))),
+        ).alias("prefix_digest"),
     )
     exact = _cluster_histogram(
         keyed.select(F.col("exact_digest").alias("digest")), "exact"
@@ -329,13 +334,13 @@ def cross_source_overlap(
 
     import pandas as pd
 
-    from mare_spark.operators.dedup import _ASCII_WS, _WS_RE
+    from mare_spark.operators.dedup import py_tokens
 
     def gen(batches):
         for pdf in batches:
             seen: set = set()
             for src, t in zip(pdf[source_col], pdf[text_col]):
-                ws = _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
+                ws = py_tokens(t)
                 for i in range(len(ws) - n + 1):
                     g = " ".join(ws[i : i + n])
                     h = int.from_bytes(

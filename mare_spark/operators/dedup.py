@@ -52,6 +52,15 @@ from mare_spark.numeric import fround
 _MERSENNE31 = (1 << 31) - 1
 
 
+def py_tokens(t):
+    """THE Python-side tokenizer — the single implementation every
+    UDF-tier consumer must call (shingle hashing, MinHash, token stats,
+    n-gram counting). Mirrors :func:`normalize_text` byte-for-byte:
+    ASCII-whitespace collapse + strip + lower + split on single spaces,
+    so UDF-tier counts hash-match the ``string_split`` SQL oracles."""
+    return _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread expression-heavy per-row work across all cores when the scan
     produced fewer partitions than the cluster has slots (small files →
@@ -177,7 +186,7 @@ def hashed_word_shingles(text_col: Column, n: int = 3) -> Column:
     def shingle_batch(texts):
         out = []
         for t in texts:
-            ws = _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
+            ws = py_tokens(t)
             # contentless docs normalize to [''] — no shingles at ANY n
             # (without this, every empty doc shares one phantom 1-gram)
             grams = (
@@ -362,7 +371,7 @@ def _minhash_base_udf(num_perm: int, shingle_n: int, seed: int):
     def mh_batch(texts):
         shingles_out, sig_out = [], []
         for t in texts:
-            ws = _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
+            ws = py_tokens(t)
             grams = (
                 set()
                 if ws == [""]

@@ -171,6 +171,15 @@ def hyperplane_signature(
     )
 
 
+def with_dim_metadata(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Tag an embedding column with its element count in column metadata
+    (``{"dim": n}``) so downstream LSH candidate generation can derive the
+    dimension from the SCHEMA — zero Spark jobs, no driver-side probe.
+    Call once where the corpus is produced/loaded; metadata survives
+    selects and joins."""
+    return df.withMetadata(vec_col, {"dim": dim})
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -199,10 +208,11 @@ def embedding_lsh_pairs(
     import numpy as np
 
     if dim is None:
-        # schema-derived, zero Spark jobs: a fixed-dim corpus advertises the
-        # element count in column metadata when written by write_ivf_index /
-        # typed writers; otherwise require the caller to pass `dim` rather
-        # than silently running a driver-side head() probe (VERDICT r2 #5).
+        # schema-derived, zero Spark jobs: honored when the caller tagged
+        # the column via :func:`with_dim_metadata` (ArrayType itself
+        # carries no length); otherwise `dim` must be passed explicitly
+        # rather than silently running a driver-side head() probe
+        # (VERDICT r2 #5).
         meta = df.schema[vec_col].metadata or {}
         dim = meta.get("dim")
     if dim is None:

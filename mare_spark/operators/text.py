@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mare_spark.operators.dedup import normalize_text
+from mare_spark.operators.dedup import normalize_text, py_tokens
 from mare_spark.numeric import fround
 
 # Marker stopwords per language for the n-gram/stopword-overlap heuristic.
@@ -279,16 +279,12 @@ def doc_token_stats_udf():
 
     import pandas as pd
 
-    # single source of truth for the ASCII tokenization contract — the
-    # same constants every UDF-tier tokenizer uses (operators.dedup)
-    from mare_spark.operators.dedup import _ASCII_WS, _WS_RE
-
     stop = frozenset(STOPWORDS)
 
     def stats(texts):
         rows = []
         for t in texts:
-            ws = _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
+            ws = py_tokens(t)
             counts = Counter(ws)
             n = len(ws)
             bigrams = {(ws[i], ws[i + 1]) for i in range(n - 1)}

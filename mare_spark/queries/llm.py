@@ -32,28 +32,30 @@ _SHINGLES3 = (
 )
 
 
-def duck_rolling_fp(keep: int) -> str:
-    """DuckDB replay of ``operators.text.rolling_hash_fingerprint``
-    (window 8): HUGEINT Horner with raw 257^7..257^0 constants, one mod
-    2^31-1 (congruent to the UDF's per-step mod), distinct-sorted, keep the
-    ``keep`` smallest. Expects a bound CTE with columns ``n`` (char count)
-    and ``cs`` (per-character HUGEINT code list); ASCII-gate the corpus
-    (``length(text) = octet_length(CAST(text AS BLOB))``) so SQL codepoints
-    equal the UDF's UTF-8 bytes."""
+def duck_rolling_fp(keep: int, window: int = 8) -> str:
+    """DuckDB replay of ``operators.text.rolling_hash_fingerprint``:
+    HUGEINT Horner over a ``window``-char slide with GENERATED raw
+    257^(window-1)..257^0 constants (a hand-typed 20+-digit constant
+    breaking hash parity silently is exactly the failure mode this
+    avoids), one mod 2^31-1 (congruent to the UDF's per-step mod),
+    distinct-sorted, keep the ``keep`` smallest. Sum bound: window 12 ->
+    ~1e30, well inside HUGEINT. Expects a bound CTE with columns ``n``
+    (char count) and ``cs`` (per-character HUGEINT code list); ASCII-gate
+    the corpus (``length(text) = octet_length(CAST(text AS BLOB))``) so
+    SQL codepoints equal the UDF's UTF-8 bytes."""
+    terms = "\n                       + ".join(
+        f"cs[CAST(i AS INT)+{j}] * {257 ** (window - 1 - j)}"
+        if 257 ** (window - 1 - j) != 1
+        else f"cs[CAST(i AS INT)+{j}]"
+        for j in range(window)
+    )
     return f"""
         CASE
           WHEN n = 0 THEN [CAST(0 AS BIGINT)]
-          WHEN n < 8 THEN [CAST(list_sum(cs) AS BIGINT)]
+          WHEN n < {window} THEN [CAST(list_sum(cs) AS BIGINT)]
           ELSE list_transform(
-                 list_sort(list_distinct(list_transform(range(1, n - 6),
-                   i -> (cs[CAST(i AS INT)]   * 74051159531521793
-                       + cs[CAST(i AS INT)+1] * 288136807515649
-                       + cs[CAST(i AS INT)+2] * 1121154893057
-                       + cs[CAST(i AS INT)+3] * 4362470401
-                       + cs[CAST(i AS INT)+4] * 16974593
-                       + cs[CAST(i AS INT)+5] * 66049
-                       + cs[CAST(i AS INT)+6] * 257
-                       + cs[CAST(i AS INT)+7]) % 2147483647
+                 list_sort(list_distinct(list_transform(range(1, n - {window - 2}),
+                   i -> ({terms}) % 2147483647
                  )))[1:{keep}],
                  x -> CAST(x AS BIGINT))
         END"""
@@ -596,27 +598,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     ),
     fp AS (
-      SELECT doc_id,
-        CASE
-          WHEN n = 0 THEN [CAST(0 AS BIGINT)]
-          WHEN n < 12 THEN [CAST(list_sum(cs) AS BIGINT)]
-          ELSE list_transform(
-                 list_sort(list_distinct(list_transform(range(1, n - 10),
-                   i -> (cs[CAST(i AS INT)]    * 323045991615992848448948993
-                       + cs[CAST(i AS INT)+1]  * 1256988294225653106805249
-                       + cs[CAST(i AS INT)+2]  * 4891005035897482905857
-                       + cs[CAST(i AS INT)+3]  * 19031147999601100801
-                       + cs[CAST(i AS INT)+4]  * 74051159531521793
-                       + cs[CAST(i AS INT)+5]  * 288136807515649
-                       + cs[CAST(i AS INT)+6]  * 1121154893057
-                       + cs[CAST(i AS INT)+7]  * 4362470401
-                       + cs[CAST(i AS INT)+8]  * 16974593
-                       + cs[CAST(i AS INT)+9]  * 66049
-                       + cs[CAST(i AS INT)+10] * 257
-                       + cs[CAST(i AS INT)+11]) % 2147483647
-                 )))[1:8],
-                 x -> CAST(x AS BIGINT))
-        END AS picks
+      SELECT doc_id, {duck_rolling_fp(8, window=12)} AS picks
       FROM c
     ),
     finv AS (

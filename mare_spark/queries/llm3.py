@@ -113,7 +113,7 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact, unlike a log2/floor bucketing) with each bucket's share
     of its language; the packing-efficiency / curriculum audit."""
     docs = read_table(spark, sf_dir, "documents")
-    return length_histogram(docs, "text", "doc_id", "lang")
+    return length_histogram(docs, "text", "lang")
 
 
 @register(

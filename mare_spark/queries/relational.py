@@ -379,10 +379,12 @@ def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, min_price, max_price,
-           (floor(sqrt((pq - pv * pv / n) / (n - 1)) * 10000.0 + 0.5)
-            / 10000.0) AS std_price,
-           (floor((qq - qv * qv / n) / (n - 1) * 10000.0 + 0.5)
-            / 10000.0) AS var_qty,
+           (CASE WHEN n > 1 THEN
+             (floor(sqrt((pq - pv * pv / n) / (n - 1)) * 10000.0 + 0.5)
+              / 10000.0) END) AS std_price,
+           (CASE WHEN n > 1 THEN
+             (floor((qq - qv * qv / n) / (n - 1) * 10000.0 + 0.5)
+              / 10000.0) END) AS var_qty,
            n
     FROM s
     """,
@@ -413,12 +415,18 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "min_price",
         "max_price",
-        fround(
-            F.sqrt((F.col("pq") - F.col("pv") * F.col("pv") / nn) / (nn - 1)),
-            4,
+        F.when(
+            nn > 1,
+            fround(
+                F.sqrt(
+                    (F.col("pq") - F.col("pv") * F.col("pv") / nn) / (nn - 1)
+                ),
+                4,
+            ),
         ).alias("std_price"),
-        fround(
-            (F.col("qq") - F.col("qv") * F.col("qv") / nn) / (nn - 1), 4
+        F.when(
+            nn > 1,
+            fround((F.col("qq") - F.col("qv") * F.col("qv") / nn) / (nn - 1), 4),
         ).alias("var_qty"),
         "n",
     )

@@ -97,9 +97,18 @@ def compare(
                     )
         else:
             ga, wa = g.tolist(), w.tolist()
+
+            def _cell_eq(a, b):
+                # pd.isna of a tuple returns an elementwise ndarray whose
+                # bool() raises — canonicalized array cells must compare
+                # by equality only, scalars also by NaN-vs-NaN
+                if isinstance(a, tuple) or isinstance(b, tuple):
+                    return a == b
+                return bool(a == b) or (pd.isna(a) and pd.isna(b))
+
             mism = [
                 (i, a, b)
                 for i, (a, b) in enumerate(zip(ga, wa))
-                if not (a == b or (pd.isna(a) and pd.isna(b)))
+                if not _cell_eq(a, b)
             ]
             assert not mism, f"{c}: first mismatches {mism[:5]}"

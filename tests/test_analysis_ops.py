@@ -59,7 +59,7 @@ def test_tfidf_rare_term_outranks_common(spark):
 def test_length_histogram_shares_sum_to_one(spark):
     rows = [(i, " ".join(["w"] * (10 + 40 * (i % 3))), "s") for i in range(30)]
     df = _docs(spark, rows).withColumn("lang", F.lit("en"))
-    out = length_histogram(df, "text", "doc_id", "lang")
+    out = length_histogram(df, "text", "lang")
     agg = out.agg(
         F.round(F.sum("share_of_group"), 4).alias("s"),
         F.sum("n_docs").alias("n"),
@@ -155,3 +155,22 @@ def test_lang_confusion_single_scan_no_join(spark):
     assert out[("fr", "und")] == 1
     plan = P.formatted_plan(lang_confusion_matrix(df, "text", "lang"))
     assert "Join" not in plan, plan  # prediction computed in the label scan
+
+
+def test_cluster_stats_null_text_stays_null_at_both_granularities(spark):
+    """NULL text must produce NULL digests at BOTH granularities (the
+    DuckDB oracle propagates NULL through array_to_string; concat_ws
+    would have silently merged NULL docs with empty docs)."""
+    from mare_spark.operators.analysis import dedup_cluster_stats
+
+    df = spark.createDataFrame(
+        [(0, None, "s"), (1, "", "s"), (2, "real text here", "s")],
+        "doc_id long, text string, src string",
+    )
+    # with a NULL doc and an empty doc, merging them would make one
+    # prefix cluster of size 2
+    out = dedup_cluster_stats(df, "text").collect()
+    prefix = [r for r in out if r.key_kind == "prefix8"]
+    # NULL digest groups alone; '' and 'real text' each group alone:
+    # 3 singleton clusters, never a size-2 cluster
+    assert {(r.cluster_size, r.n_clusters) for r in prefix} == {(1, 3)}

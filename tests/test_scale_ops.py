@@ -215,3 +215,20 @@ def test_vectorized_similarity_udfs_realistic_dim(spark):
         assert r.sigs == want_sigs
         assert r.cq == round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 8)
         assert r.cp == round(float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w))), 8)
+
+
+def test_embedding_lsh_dim_from_column_metadata(spark):
+    """with_dim_metadata makes the schema-derived dim branch real: no
+    explicit dim parameter, no driver-side probe job."""
+    from mare_spark.operators.similarity import (
+        embedding_lsh_pairs,
+        with_dim_metadata,
+    )
+    from mare_spark.tables import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = with_dim_metadata(
+        read_table(spark, SF_SMOKE, "embeddings"), "embedding", 64
+    )
+    df = embedding_lsh_pairs(emb, "embedding", "vec_id", threshold=0.5)
+    assert df.count() >= 0  # plan builds and runs without dim=
