@@ -127,5 +127,13 @@ def fround(col: Column | str, scale: int) -> Column:
 
 
 def sql_fround(expr: str, scale: int) -> str:
+    """DuckDB mirror of :func:`fround`.
+
+    Parity holds on the COLUMN evaluation path (what every oracle uses):
+    DuckDB's constant-folder multiplies LITERAL doubles in extended
+    precision (97.30614999999999 * 10000.0 folds to 973061.5 where the
+    IEEE product is ...4999999999 — found by the adversarial parity fuzz
+    in tests/test_queries_oracle.py), so never validate fround with
+    constant-only SQL."""
     m = 10**scale
     return f"(floor(({expr}) * {m}.0 + 0.5) / {m}.0)"

@@ -95,3 +95,55 @@ def test_fround_is_engine_portable_where_round_is_not(spark):
     spark_f = spark.range(1).select(fround(F.lit(hazard), 4).alias("r")).head().r
     assert spark_f == duck_f == 55.6838
     con.close()
+
+
+def test_fround_parity_on_adversarial_boundary_values(spark):
+    """Fuzz the fround grid snap on doubles engineered to sit AT and
+    within a few ulp around 4dp half boundaries (the region where round()
+    diverges between engines), plus random quotients of exact integers:
+    Spark and DuckDB must agree exactly on every value.
+
+    The DuckDB side MUST evaluate over a COLUMN (a registered frame): its
+    constant-folder multiplies literals in extended precision
+    (97.30614999999999 * 10000.0 folds to 973061.5 where the IEEE product
+    is ...4999999999), while the vectorized column path is correctly
+    rounded — and every real oracle computes over columns."""
+    import math
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from mare_spark.numeric import fround, sql_fround
+
+    rng = random.Random(7)
+    vals = []
+    for _ in range(120):
+        k = rng.randrange(1, 10_000_000)
+        base = k / 10_000 + 0.00005  # a 4dp half boundary
+        for bump in (0, 1, -1, 2, -2):
+            vals.append(math.nextafter(base, math.inf if bump >= 0 else -math.inf)
+                        if bump else base)
+    for _ in range(200):
+        vals.append(rng.randrange(1, 10**9) / rng.randrange(1, 10**6))
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        (r.a, r.b)
+        for r in df.select(
+            fround("x", 4).alias("a"), fround("x", 6).alias("b")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("vals_t", pd.DataFrame({"x": vals}))
+    want = [
+        tuple(r)
+        for r in con.execute(
+            f"SELECT {sql_fround('x', 4)}, {sql_fround('x', 6)} FROM vals_t"
+        ).fetchall()
+    ]
+    con.close()
+    mism = [
+        (v, g, w) for v, g, w in zip(vals, got, want) if g != w
+    ]
+    assert not mism, f"fround divergence: {mism[:5]}"
