@@ -81,18 +81,29 @@ def test_fround_is_engine_portable_where_round_is_not(spark):
     from mare_spark.numeric import fround, sql_fround
     from pyspark.sql import functions as F
 
+    import pandas as pd
+
     hazard = 3118.29 / 56  # = 55.683749999999996 (one ulp below the half)
     con = duckdb.connect()
-    duck_round = con.execute(f"SELECT round(CAST({hazard!r} AS DOUBLE), 4)").fetchone()[0]
+    # evaluate over a COLUMN on both engines (DuckDB's constant-folder
+    # uses extended precision for literal arithmetic — see sql_fround)
+    con.register("hz", pd.DataFrame({"x": [hazard]}))
+    duck_round = con.execute("SELECT round(x, 4) FROM hz").fetchone()[0]
     spark_round = (
-        spark.range(1).select(F.round(F.lit(hazard), 4).alias("r")).head().r
+        spark.createDataFrame([(hazard,)], "x double")
+        .select(F.round("x", 4).alias("r"))
+        .head()
+        .r
     )
     assert spark_round != duck_round  # the divergence fround exists to avoid
 
-    duck_f = con.execute(
-        f"SELECT {sql_fround(f'CAST({hazard!r} AS DOUBLE)', 4)}"
-    ).fetchone()[0]
-    spark_f = spark.range(1).select(fround(F.lit(hazard), 4).alias("r")).head().r
+    duck_f = con.execute(f"SELECT {sql_fround('x', 4)} FROM hz").fetchone()[0]
+    spark_f = (
+        spark.createDataFrame([(hazard,)], "x double")
+        .select(fround("x", 4).alias("r"))
+        .head()
+        .r
+    )
     assert spark_f == duck_f == 55.6838
     con.close()
 
