@@ -46,6 +46,8 @@ __all__ = [
     "unigram_logprob",
     "temperature_rates",
     "apply_mixture_sampling",
+    "repeated_chunk_scrub",
+    "hashed_quality_classifier",
     "PII_PATTERNS",
 ]
 
@@ -429,3 +431,135 @@ def write_packed_corpus(
                 text_col)
     )
     out.write.mode("overwrite").partitionBy(*keys, "shard").parquet(path)
+
+
+def repeated_chunk_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_words: int = 8,
+    max_freq: int = 2,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Corpus-level boilerplate removal, the chunk analog of CCNet /
+    RefinedWeb line-wise dedup: split every document into non-overlapping
+    ``chunk_words``-word chunks, count each chunk's corpus-wide frequency
+    (by md5 — fixed-width keys, never chunk text), drop every chunk that
+    appears more than ``max_freq`` times anywhere in the corpus, and
+    reassemble the surviving chunks in document order.
+
+    This removes the *shared* boilerplate (cookie banners, license
+    headers, navigation chrome) that document-level near-dup passes keep:
+    two documents that each embed the same banner are not near-duplicates
+    of each other, but the banner chunk itself is corpus-frequent.
+
+    Returns one row per input document (documents whose every chunk is
+    boilerplate survive with ``clean_text = ''``):
+    ``(id, *keep_cols, clean_text, n_chunks, n_chunks_removed)``.
+
+    Scale: explode is a narrow flatMap; the frequency count is one
+    map-side-combinable hash aggregate on the 128-bit digest (uniform
+    keys, no skew); the frequency join is a shuffle join co-partitioned
+    with that aggregate on the same key (one exchange reused); reassembly
+    is one groupBy on the document id. No text comparison ever happens —
+    chunk equality is digest equality, exactly like exact_dedup. At
+    100 TB the chunk-frequency table is large but fixed-width, and every
+    stage is a standard keyed shuffle; nothing is collected.
+
+    Documents with NULL text tokenize to NULL and drop on both engines
+    (same contract as the digest/fingerprint ops).
+    """
+    w = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, i * chunk_words + 1, chunk_words)
+        ),
+    )
+    # size(w) >= 1 always for non-NULL text (split('') = ['']), so the
+    # sequence never runs start > stop (which would count DOWN and
+    # fabricate phantom chunks — same guard rationale as word_ngrams).
+    ex = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    ).withColumn("chunk_h", F.md5("chunk"))
+    freq = ex.groupBy("chunk_h").agg(F.count("*").alias("chunk_freq"))
+    keep = F.col("chunk_freq") <= max_freq
+    return (
+        ex.join(freq, "chunk_h")
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        # collect_list skips NULLs: removed chunks simply
+                        # don't enter the reassembly array.
+                        F.collect_list(
+                            F.when(keep, F.struct("chunk_idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").alias("n_chunks"),
+            F.sum((~keep).cast("long")).alias("n_chunks_removed"),
+        )
+    )
+
+
+def hashed_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    keep_cols: tuple[str, ...] = (),
+    buckets: int = 4096,
+    weight_scale: int = 1000,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Model-based quality scoring: a hashed bag-of-words linear
+    classifier — the fastText-style stand-in that completes the quality
+    triad (rule gates = quality_gates, LM score = unigram_logprob,
+    classifier = this). A real deployment broadcasts trained weights; the
+    container has no model artifacts, so weights come from a deterministic
+    integer hash of the bucket id — the *plumbing* (hash → bucket →
+    weight lookup → mean → gate) is the production shape, and the scoring
+    is engine-exact so the oracle can replay it.
+
+    Per token: ``bucket = md5_32(token) % buckets`` (the established
+    md5→int parity pattern, see text.stratified_sample), ``weight =
+    (bucket * 2654435761) % (2*scale+1) - scale`` — integers in
+    [-scale, scale], Knuth-multiplicative so neighboring buckets get
+    uncorrelated signs. Document score = integer weight sum / (scale ·
+    n_tokens) as ONE double division, 6dp grid-snapped (fround) —
+    order-independent and hash-stable. ``keep_flag`` = score >= threshold
+    (0/1 int).
+
+    Scale: pure scan-side expression code — zero shuffle, zero Python;
+    at 100 TB this is a single pass fused into whatever scan precedes it.
+    The weight sum is a left fold (F.aggregate) in exact int64: |sum| <=
+    scale · n_tokens, overflow needs a 9-petatoken document.
+    """
+    w = tokens(F.col(text_col))
+    modulus = 2 * weight_scale + 1
+
+    def weight(tok: Column) -> Column:
+        b = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % buckets
+        return (b * F.lit(2654435761)) % modulus - weight_scale
+
+    score_int = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, t: acc + weight(t)
+    )
+    n = F.size(w)
+    score = fround(
+        score_int.cast("double") / (F.lit(float(weight_scale)) * n), 6
+    )
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        n.alias("n_tokens"),
+        score.alias("quality_score"),
+        (score >= threshold).cast("int").alias("keep_flag"),
+    )

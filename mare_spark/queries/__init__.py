@@ -11,6 +11,7 @@ from mare_spark.queries import (  # noqa: F401
     llm,
     llm2,
     llm3,
+    llm4,
     pipe,
     relational,
     relational2,

@@ -1,0 +1,111 @@
+"""Round-3 corpus-cleaning additions (LLM family, continued):
+chunk-level boilerplate removal (the CCNet / RefinedWeb line-dedup analog)
+and model-based quality scoring (a hashed-linear fastText stand-in) — the
+two passes that complete the cleaning story between rule gates and
+document-level near-dup.
+
+Both carry full DuckDB oracles. Tokenization mirrors queries/llm2
+(`_NORM`/`_WORDS`); hashing uses the established md5→int parity pattern
+(Spark ``conv(substring(md5(x),1,8),16,10)`` ≡ DuckDB
+``CAST('0x'||substring(md5(x),1,8) AS BIGINT)``); float outputs follow the
+hash-stable conventions of queries/_decimal.py (single-division doubles on
+a 6dp fround grid).
+
+No reference counterpart: MaRe (see /root/reference, README.md:21-25) has
+no text analytics; this extends the engine's declared LLM-pipeline family
+(SURVEY §2B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mare_spark.numeric import sql_fround
+from mare_spark.operators.corpus import (
+    hashed_quality_classifier,
+    repeated_chunk_scrub,
+)
+from mare_spark.queries.llm2 import _WORDS
+from mare_spark.registry import register
+from mare_spark.tables import read_table
+
+_CHUNK_WORDS = 8
+_MAX_FREQ = 2
+
+# weight(bucket) for the hashed classifier, as SQL (see
+# operators.corpus.hashed_quality_classifier for the derivation)
+_BUCKETS = 4096
+_WSCALE = 1000
+_SQL_WEIGHT = (
+    f"((CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % {_BUCKETS})"
+    f" * 2654435761) % {2 * _WSCALE + 1} - {_WSCALE}"
+)
+
+
+@register(
+    "text_chunk_dedup",
+    category="llm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
+    c AS (
+      SELECT doc_id, lang, CAST(i AS INT) AS chunk_idx,
+             array_to_string(
+               w[(i*{_CHUNK_WORDS}+1):((i+1)*{_CHUNK_WORDS})], ' ') AS chunk
+      FROM w,
+           unnest(range(CAST(ceil(len(w) / {_CHUNK_WORDS}.0) AS BIGINT)))
+             AS t(i)
+    ),
+    f AS (SELECT md5(chunk) AS h, count(*) AS freq FROM c GROUP BY 1)
+    SELECT doc_id, lang,
+           coalesce(
+             string_agg(chunk, ' ' ORDER BY chunk_idx)
+               FILTER (freq <= {_MAX_FREQ}), '') AS clean_text,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN freq > {_MAX_FREQ} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_chunks_removed
+    FROM c JOIN f ON md5(c.chunk) = f.h
+    GROUP BY doc_id, lang
+    """,
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate removal over the documents table: drop
+    every non-overlapping 8-word chunk that occurs more than twice
+    corpus-wide, reassemble survivors in order. The chunk analog of
+    CCNet/RefinedWeb line-wise dedup — catches shared banners two
+    documents embed without being near-duplicates of each other."""
+    docs = read_table(spark, sf_dir, "documents")
+    return repeated_chunk_scrub(
+        docs, "text", "doc_id",
+        chunk_words=_CHUNK_WORDS, max_freq=_MAX_FREQ, keep_cols=("lang",),
+    )
+
+
+@register(
+    "text_quality_classifier",
+    category="llm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, lang, len(w) AS n_tokens,
+             CAST(list_sum(list_transform(w, t -> {_SQL_WEIGHT}))
+                  AS BIGINT) AS score_int
+      FROM w
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+           {sql_fround(f"CAST(score_int AS DOUBLE) / ({_WSCALE}.0 * n_tokens)", 6)}
+             AS quality_score,
+           CASE WHEN {sql_fround(f"CAST(score_int AS DOUBLE) / ({_WSCALE}.0 * n_tokens)", 6)}
+                     >= 0.0 THEN 1 ELSE 0 END AS keep_flag
+    FROM s
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear quality score per document (fastText
+    stand-in): md5-bucketed tokens, deterministic integer weights, mean
+    weight as one grid-snapped double, keep gate at 0. Scan-side only —
+    zero shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return hashed_quality_classifier(
+        docs, "text", "doc_id", keep_cols=("lang",),
+        buckets=_BUCKETS, weight_scale=_WSCALE, threshold=0.0,
+    )

@@ -169,3 +169,124 @@ def test_minhash_subset_and_recall_property(spark, base_docs):
             assert pair in lsh, (pair, j)
     for pair, j in lsh.items():
         assert j == exact[pair]
+
+
+# --- chunk-level boilerplate scrub (repeated_chunk_scrub) -------------------
+
+
+def _chunk_model(docs, k=8, max_freq=2):
+    """Pure-Python model of repeated_chunk_scrub: aligned k-word chunks,
+    corpus-wide frequency, drop chunks with freq > max_freq, reassemble."""
+    from collections import Counter
+
+    chunks_per_doc = []
+    for d in docs:
+        ws = _norm_words(d)
+        chunks_per_doc.append(
+            [" ".join(ws[i : i + k]) for i in range(0, len(ws), k)]
+        )
+    freq = Counter(c for cs in chunks_per_doc for c in cs)
+    out = {}
+    for i, cs in enumerate(chunks_per_doc):
+        kept = [c for c in cs if freq[c] <= max_freq]
+        out[i] = (" ".join(kept), len(cs), len(cs) - len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_doc.filter(bool), min_size=1, max_size=10))
+def test_repeated_chunk_scrub_property(spark, docs):
+    """For any corpus the Spark scrub equals the pure-Python model:
+    same surviving text, same chunk totals, same removed counts."""
+    from mare_spark.operators.corpus import repeated_chunk_scrub
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_chunks_removed)
+        for r in repeated_chunk_scrub(
+            df, "text", "doc_id", chunk_words=3, max_freq=1
+        ).collect()
+    }
+    assert got == _chunk_model(docs, k=3, max_freq=1)
+
+
+def test_repeated_chunk_scrub_removes_planted_banner(spark):
+    """A banner chunk shared by 3 docs is scrubbed everywhere; unique
+    tails survive; a doc that is ONLY banner survives with empty text."""
+    from mare_spark.operators.corpus import repeated_chunk_scrub
+
+    banner = "this site uses cookies accept to continue ok"  # 8 words
+    rows = [
+        (0, banner + " unique tail zero"),
+        (1, banner + " other tail one"),
+        (2, banner),
+        (3, "entirely unique document three with its own words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in repeated_chunk_scrub(
+            df, "text", "doc_id", chunk_words=8, max_freq=2
+        ).collect()
+    }
+    assert got[0].clean_text == "unique tail zero"
+    assert got[1].clean_text == "other tail one"
+    assert got[2].clean_text == "" and got[2].n_chunks_removed == 1
+    assert got[3].n_chunks_removed == 0
+    assert all(banner not in got[i].clean_text for i in got)
+
+
+# --- hashed linear quality classifier ---------------------------------------
+
+
+def _classifier_model(docs, buckets=4096, scale=1000):
+    import hashlib
+    import math
+
+    out = {}
+    for i, d in enumerate(docs):
+        ws = _norm_words(d)
+        s = 0
+        for t in ws:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % buckets
+            s += (b * 2654435761) % (2 * scale + 1) - scale
+        score = math.floor(s / (scale * len(ws)) * 1e6 + 0.5) / 1e6
+        out[i] = (len(ws), score, 1 if score >= 0.0 else 0)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_doc.filter(bool), min_size=1, max_size=10))
+def test_hashed_quality_classifier_property(spark, docs):
+    """Spark scores equal the pure-Python md5-arithmetic model exactly
+    (token count, 6dp-snapped score, keep gate)."""
+    from mare_spark.operators.corpus import hashed_quality_classifier
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.quality_score, r.keep_flag)
+        for r in hashed_quality_classifier(df, "text", "doc_id").collect()
+    }
+    assert got == _classifier_model(docs)
+
+
+def test_hashed_quality_classifier_score_bounds(spark):
+    """Scores are means of weights in [-1, 1] and deterministic across
+    invocations (a re-run scores byte-identically)."""
+    from mare_spark.operators.corpus import hashed_quality_classifier
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("tok"), F.col("id").cast("string"),
+            F.lit("alpha beta gamma"),
+        ).alias("text"),
+    )
+    a = sorted(hashed_quality_classifier(df, "text", "doc_id").collect())
+    b = sorted(hashed_quality_classifier(df, "text", "doc_id").collect())
+    assert a == b
+    assert all(-1.0 <= r.quality_score <= 1.0 for r in a)

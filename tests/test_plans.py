@@ -290,3 +290,26 @@ def test_user_anomalies_single_shuffle(spark):
 
     df = events_user_anomalies(spark, SF_ORACLE)
     assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
+
+
+def test_quality_classifier_is_scan_side_codegen(spark):
+    """The hashed linear classifier is a pure scan-side expression pass:
+    zero exchanges, whole-stage codegen — at 100 TB it fuses into
+    whatever scan precedes it."""
+    from mare_spark.operators.corpus import hashed_quality_classifier
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    df = hashed_quality_classifier(docs, "text", "doc_id")
+    assert P.count_shuffle_exchanges(df) == 0, P.formatted_plan(df)
+    assert P.has_whole_stage_codegen(df)
+
+
+def test_repeated_chunk_scrub_shuffle_budget(spark):
+    """Chunk scrub is at most 3 keyed exchanges (chunk-hash aggregate,
+    frequency join, doc-id reassembly — the first two share the chunk_h
+    partitioning so Catalyst may reuse one) and never a cartesian."""
+    from mare_spark.operators.corpus import repeated_chunk_scrub
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    df = repeated_chunk_scrub(docs, "text", "doc_id")
+    assert P.count_shuffle_exchanges(df) <= 3, P.formatted_plan(df)
