@@ -48,6 +48,8 @@ __all__ = [
     "apply_mixture_sampling",
     "repeated_chunk_scrub",
     "hashed_quality_classifier",
+    "group_fixed_k_sample",
+    "token_budget_sample",
     "PII_PATTERNS",
 ]
 
@@ -562,4 +564,82 @@ def hashed_quality_classifier(
         n.alias("n_tokens"),
         score.alias("quality_score"),
         (score >= threshold).cast("int").alias("keep_flag"),
+    )
+
+
+def group_fixed_k_sample(
+    df: DataFrame,
+    id_col: str,
+    *,
+    group_col: str,
+    k: int,
+    salt: str = "",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic fixed-size sample: exactly min(k, group size) rows
+    per group, chosen by md5 order of the key — the eval-subset /
+    per-language-probe primitive. Unlike rate-based sampling
+    (stratified_sample) the output SIZE is exact, and unlike
+    ``df.sample`` the membership is a pure function of (key, salt):
+    reproducible across runs, clusters, and engines.
+
+    Scale: one shuffle on the group key + a per-group top-k window; rank
+    order is the md5 hex string (unique keys → tie-free), so both
+    engines agree on the exact row set.
+    """
+    from pyspark.sql import Window
+
+    ordkey = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(ordkey)
+    return (
+        df.select(
+            id_col, group_col, *keep_cols,
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    group_col: str,
+    budget_tokens: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exact-budget subset builder: walk each group's documents in
+    deterministic md5 order, accumulating token counts, and keep every
+    document that STARTS before the budget is exhausted — the "give me a
+    10B-token mix at these proportions" primitive behind every
+    pretraining data recipe. The kept set is deterministic, join-stable,
+    and slightly overshoots the budget by at most one document per group
+    (the standard contract — trainers truncate the tape, samplers
+    shouldn't split documents).
+
+    Returns ``(id, group, n_tokens, cum_tokens)`` for kept documents,
+    where ``cum_tokens`` is the running total INCLUDING the row.
+
+    Scale: one shuffle on the group key + one windowed cumulative sum —
+    identical cost to pack_sequences; parallelism = number of groups, so
+    shard hot groups via a composite group column when one dominates.
+    """
+    from pyspark.sql import Window
+
+    from mare_spark.operators.text import token_count
+
+    ordkey = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(ordkey)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = df.select(
+        id_col, group_col,
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_tokens)
     )

@@ -1,10 +1,11 @@
 """Round-3 corpus-cleaning additions (LLM family, continued):
-chunk-level boilerplate removal (the CCNet / RefinedWeb line-dedup analog)
-and model-based quality scoring (a hashed-linear fastText stand-in) — the
-two passes that complete the cleaning story between rule gates and
-document-level near-dup.
+chunk-level boilerplate removal (the CCNet / RefinedWeb line-dedup
+analog), model-based quality scoring (a hashed-linear fastText stand-in),
+and the deterministic samplers (exact fixed-k per group, exact token-budget
+subsets) — the passes that complete the cleaning-and-recipe story between
+rule gates, document-level near-dup, and mixture construction.
 
-Both carry full DuckDB oracles. Tokenization mirrors queries/llm2
+All carry full DuckDB oracles. Tokenization mirrors queries/llm2
 (`_NORM`/`_WORDS`); hashing uses the established md5→int parity pattern
 (Spark ``conv(substring(md5(x),1,8),16,10)`` ≡ DuckDB
 ``CAST('0x'||substring(md5(x),1,8) AS BIGINT)``); float outputs follow the
@@ -22,8 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mare_spark.numeric import sql_fround
 from mare_spark.operators.corpus import (
+    group_fixed_k_sample,
     hashed_quality_classifier,
     repeated_chunk_scrub,
+    token_budget_sample,
 )
 from mare_spark.queries.llm2 import _WORDS
 from mare_spark.registry import register
@@ -108,4 +111,64 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_quality_classifier(
         docs, "text", "doc_id", keep_cols=("lang",),
         buckets=_BUCKETS, weight_scale=_WSCALE, threshold=0.0,
+    )
+
+
+_SAMPLE_K = 20
+_BUDGET = 2000
+
+
+@register(
+    "sample_fixed_k_per_lang",
+    category="llm",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= {_SAMPLE_K}
+    """,
+)
+def sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(20, group size) documents per language, membership a
+    pure md5 function of doc_id — the deterministic eval-subset /
+    per-language-probe sampler (rate-based sampling can't promise exact
+    sizes; df.sample can't promise reproducibility)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return group_fixed_k_sample(
+        docs, "doc_id", group_col="lang", k=_SAMPLE_K
+    )
+
+
+@register(
+    "sample_token_budget",
+    category="llm",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_WORDS}) AS INT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY ord
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < {_BUDGET}
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget subset: walk each language's documents in md5 order,
+    keep every document that starts before a 2000-token budget is
+    exhausted — the "give me an N-token mix at these proportions"
+    primitive behind pretraining data recipes. Overshoots by at most one
+    document per group (documents are never split)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, "text", "doc_id", group_col="lang", budget_tokens=_BUDGET
     )

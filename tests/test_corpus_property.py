@@ -290,3 +290,64 @@ def test_hashed_quality_classifier_score_bounds(spark):
     b = sorted(hashed_quality_classifier(df, "text", "doc_id").collect())
     assert a == b
     assert all(-1.0 <= r.quality_score <= 1.0 for r in a)
+
+
+# --- deterministic samplers (fixed-k, token-budget) -------------------------
+
+
+def _md5_order(ids, salt=""):
+    import hashlib
+
+    return sorted(ids, key=lambda i: hashlib.md5(f"{i}{salt}".encode()).hexdigest())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from("ab"), _doc.filter(bool)),
+             min_size=1, max_size=14),
+    st.integers(min_value=1, max_value=30),
+)
+def test_token_budget_sample_property(spark, rows, budget):
+    """For any corpus: kept set equals the Python walk (md5 order,
+    keep docs starting before the budget), cum_tokens is the inclusive
+    running total, and every group overshoots by at most one document."""
+    from mare_spark.operators.corpus import token_budget_sample
+
+    data = [(i, g, d) for i, (g, d) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, grp string, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens)
+        for r in token_budget_sample(
+            df, "text", "doc_id", group_col="grp", budget_tokens=budget
+        ).collect()
+    }
+    want = {}
+    for g in {g for _, g, _ in data}:
+        cum = 0
+        for i in _md5_order([i for i, gg, _ in data if gg == g]):
+            n = len(_norm_words(dict((i, d) for i, _, d in data)[i]))
+            if cum < budget:
+                want[i] = (n, cum + n)
+            cum += n
+    assert got == want
+
+
+def test_group_fixed_k_sample_exact_sizes(spark):
+    """Each group yields exactly min(k, |group|) rows, ranks are 1..k,
+    and membership is stable across runs but changes with the salt."""
+    from mare_spark.operators.corpus import group_fixed_k_sample
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(45)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = group_fixed_k_sample(df, "doc_id", group_col="grp", k=10).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r.sample_rank)
+    assert sorted(by_grp["big"]) == list(range(1, 11))
+    assert sorted(by_grp["small"]) == list(range(1, 6))
+    again = group_fixed_k_sample(df, "doc_id", group_col="grp", k=10).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+    salted = group_fixed_k_sample(
+        df, "doc_id", group_col="grp", k=10, salt="x"
+    ).collect()
+    assert sorted(r.doc_id for r in salted) != sorted(r.doc_id for r in out)

@@ -313,3 +313,20 @@ def test_repeated_chunk_scrub_shuffle_budget(spark):
     docs = read_table(spark, SF_ORACLE, "documents")
     df = repeated_chunk_scrub(docs, "text", "doc_id")
     assert P.count_shuffle_exchanges(df) <= 3, P.formatted_plan(df)
+
+
+def test_samplers_single_shuffle(spark):
+    """Both deterministic samplers cost exactly one keyed exchange (the
+    per-group window) — same budget as pack_sequences."""
+    from mare_spark.operators.corpus import (
+        group_fixed_k_sample,
+        token_budget_sample,
+    )
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    k = group_fixed_k_sample(docs, "doc_id", group_col="lang", k=5)
+    b = token_budget_sample(
+        docs, "text", "doc_id", group_col="lang", budget_tokens=1000
+    )
+    assert P.count_shuffle_exchanges(k) == 1, P.formatted_plan(k)
+    assert P.count_shuffle_exchanges(b) == 1, P.formatted_plan(b)
