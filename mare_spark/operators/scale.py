@@ -64,3 +64,81 @@ def bucketed_table(
 def join_bucketed(spark: SparkSession, left_name: str, right_name: str, key: str) -> DataFrame:
     """Join two same-bucketed tables on their bucket key (exchange-free)."""
     return spark.table(left_name).join(spark.table(right_name), key)
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    *,
+    num_files: int | None = None,
+) -> None:
+    """Write a range-partitioned, within-file-sorted parquet layout:
+    ``repartitionByRange(sort_cols)`` gives every output file a DISJOINT
+    value range, and ``sortWithinPartitions`` orders rows inside each, so
+    parquet row-group min/max statistics become surgical — a reader
+    filtering on the leading sort column skips whole files, not just row
+    groups. The single-dimension cousin of Z-ordering, and the cheapest
+    layout win available to a plain-parquet lakehouse.
+
+    At 100 TB: one range exchange (Spark samples range bounds, so skewed
+    sort keys still split evenly across ``num_files``), then embarrassingly
+    parallel sorted writes. Downstream range scans and merge joins on the
+    sort key read pre-clustered data.
+    """
+    parted = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> tuple[int, int]:
+    """Small-file compaction for a parquet directory — the maintenance op
+    every long-lived ingest (especially streaming foreachBatch sinks, which
+    land one file per micro-batch per partition) eventually needs: many
+    KB-sized files turn a 100 TB scan into a listing-and-open storm and
+    starve the scheduler with million-task stages.
+
+    Rewrites the directory at ``ceil(total_bytes / target_file_bytes)``
+    files (coalesce — a narrow, shuffle-free repartition down) via a
+    temporary sibling directory so a crash mid-rewrite never leaves the
+    source half-deleted. Returns (files_before, files_after).
+
+    Sizing uses the filesystem listing, not a data scan — compaction
+    should cost one read + one write of the data, nothing more.
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(min_files, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(
+        tmp
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    after = sum(
+        1
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return len(files), after

@@ -48,6 +48,7 @@ _SQL_WEIGHT = (
 @register(
     "text_chunk_dedup",
     category="llm",
+    bench=True,
     oracle=f"""
     WITH w AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
     c AS (
@@ -86,6 +87,7 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_classifier",
     category="llm",
+    bench=True,
     oracle=f"""
     WITH w AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
     s AS (

@@ -232,3 +232,56 @@ def test_embedding_lsh_dim_from_column_metadata(spark):
     )
     df = embedding_lsh_pairs(emb, "embedding", "vec_id", threshold=0.5)
     assert df.count() >= 0  # plan builds and runs without dim=
+
+
+def test_write_sorted_layout_disjoint_file_ranges(spark, tmp_path):
+    """Range-partitioned sorted writes give every file a disjoint key
+    range and sorted rows inside — the property that makes parquet
+    min/max pruning surgical on the sort column."""
+    import os
+
+    from mare_spark.operators.scale import write_sorted_layout
+
+    li = read_table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted_layout(li, out, ["l_orderkey"], num_files=4)
+
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    ranges, total = [], 0
+    for f in files:
+        rows = [r.l_orderkey for r in spark.read.parquet(f).collect()]
+        assert rows == sorted(rows)  # sorted within the file
+        ranges.append((min(rows), max(rows)))
+        total += len(rows)
+    assert total == li.count()
+    for (_, hi), (lo, _) in zip(
+        sorted(ranges), sorted(ranges)[1:]
+    ):  # disjoint across files
+        assert hi <= lo
+
+
+def test_compact_small_files_preserves_data(spark, tmp_path):
+    """Compaction collapses a many-small-files directory to the sized
+    file count without changing a single row."""
+    import os
+
+    from mare_spark.operators.scale import compact_small_files
+
+    path = str(tmp_path / "many")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(20).write.parquet(path)
+    before_rows = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    n_before, n_after = compact_small_files(
+        spark, path, target_file_bytes=1 << 30
+    )
+    assert n_before == 20 and n_after == 1
+    assert not os.path.exists(path + "._compact_tmp")
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == before_rows
+    assert after.filter(F.col("v") != F.col("id") * 2).count() == 0
