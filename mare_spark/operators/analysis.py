@@ -52,6 +52,7 @@ __all__ = [
     "vocab_stats",
     "lang_confusion_matrix",
     "embedding_norm_stats",
+    "ngram_novelty",
     "LENGTH_BUCKETS",
 ]
 
@@ -480,4 +481,56 @@ def embedding_norm_stats(
             F.max("norm").alias("max_norm"),
         )
         .orderBy("label")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document originality score: the fraction of a document's
+    DISTINCT word ``n``-grams that appear in no other document. Novelty 1
+    = wholly original content; low novelty without being anyone's
+    near-duplicate = quilt-of-boilerplate — the doc-level signal that
+    chunk-level scrubbing acts on, useful for ranking docs by how much
+    unique information they contribute to the corpus.
+
+    Returns ``(id, *keep_cols, n_distinct_ngrams, n_novel_ngrams,
+    novelty)`` for documents with at least ``n`` words (shorter docs have
+    no n-grams and drop, on both engines).
+
+    Scale: grams travel as 128-bit md5 digests; per-doc distinct is a
+    scan-side ``array_distinct`` (no cross-row state); the document
+    frequency is one map-side-combinable aggregate; the rejoin is keyed
+    on the digest, co-partitioned with that aggregate; the per-doc ratio
+    is one groupBy on the id. Integer counts until a single division →
+    6dp fround, so the score is hash-stable.
+    """
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    ex = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.explode(grams).alias("gram"),
+    ).withColumn("gh", F.md5("gram")).drop("gram")
+    docfreq = ex.groupBy("gh").agg(F.count("*").alias("gram_df"))
+    per_doc = (
+        ex.join(docfreq, "gh")
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.count("*").alias("n_distinct_ngrams"),
+            F.sum((F.col("gram_df") == 1).cast("long")).alias(
+                "n_novel_ngrams"
+            ),
+        )
+    )
+    return per_doc.withColumn(
+        "novelty",
+        fround(
+            F.col("n_novel_ngrams")
+            / F.col("n_distinct_ngrams").cast("double"),
+            6,
+        ),
     )

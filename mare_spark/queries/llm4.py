@@ -28,7 +28,8 @@ from mare_spark.operators.corpus import (
     repeated_chunk_scrub,
     token_budget_sample,
 )
-from mare_spark.queries.llm2 import _WORDS
+from mare_spark.operators.analysis import ngram_novelty
+from mare_spark.queries.llm2 import _duck_ngrams, _WORDS
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -173,4 +174,42 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return token_budget_sample(
         docs, "text", "doc_id", group_col="lang", budget_tokens=_BUDGET
+    )
+
+
+_NOVELTY_N = 8
+
+
+@register(
+    "text_ngram_novelty",
+    category="llm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
+    g AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct({_duck_ngrams(_NOVELTY_N)})) AS gram
+      FROM w
+    ),
+    d AS (SELECT md5(gram) AS gh, count(*) AS gram_df FROM g GROUP BY 1),
+    p AS (
+      SELECT doc_id, lang, count(*) AS n_distinct_ngrams,
+             CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel_ngrams
+      FROM g JOIN d ON md5(g.gram) = d.gh
+      GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_distinct_ngrams, n_novel_ngrams,
+           {sql_fround("CAST(n_novel_ngrams AS DOUBLE) / n_distinct_ngrams", 6)}
+             AS novelty
+    FROM p
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document originality: fraction of the doc's distinct 8-grams
+    that no other document contains. Low novelty without near-duplicates
+    = quilt-of-boilerplate; the ranking signal for how much unique
+    information each document adds to the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs, "text", "doc_id", n=_NOVELTY_N, keep_cols=("lang",)
     )

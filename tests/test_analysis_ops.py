@@ -174,3 +174,24 @@ def test_cluster_stats_null_text_stays_null_at_both_granularities(spark):
     # NULL digest groups alone; '' and 'real text' each group alone:
     # 3 singleton clusters, never a size-2 cluster
     assert {(r.cluster_size, r.n_clusters) for r in prefix} == {(1, 3)}
+
+
+def test_ngram_novelty_planted_overlap(spark):
+    """A doc of wholly unique grams scores 1.0; two docs sharing their
+    entire text score 0.0; a half-shared doc lands strictly between."""
+    from mare_spark.operators.analysis import ngram_novelty
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (0, shared),
+        (1, shared),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, shared + " unique tail of several more words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_novelty(df, "text", "doc_id", n=8).collect()}
+    assert got[0].novelty == 0.0 and got[1].novelty == 0.0
+    assert got[2].novelty == 1.0
+    assert 0.0 < got[3].novelty < 1.0
+    # doc 3 shares exactly one 8-gram (the aligned `shared` prefix)
+    assert got[3].n_novel_ngrams == got[3].n_distinct_ngrams - 1
