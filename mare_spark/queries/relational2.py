@@ -379,3 +379,75 @@ def q_udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         return "debt" if bal < 0 else ("ok" if bal < 5000 else "rich")
 
     return s.select("s_suppkey", "s_name", classify("s_acctbal").alias("bal_class"))
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (SQL-surface depth: EXISTS / per-row scalar)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+)
+def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS pair — customers with at least one
+    urgent order and no finished order. Catalyst rewrites the pair to a
+    semi-join plus an anti-join on o_custkey (decorrelation), so the
+    correlated form costs the same two hash joins the manual rewrite
+    would."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+@register(
+    "q_correlated_scalar",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand,
+           CAST(round(CAST(p.p_retailprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+             AS price,
+      (SELECT CAST(count(*) AS BIGINT) FROM part p2
+        WHERE p2.p_brand = p.p_brand
+          AND p2.p_retailprice > p.p_retailprice) AS n_pricier_in_brand
+    FROM part p
+    WHERE p.p_size <= 5
+    """,
+)
+def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the SELECT list — for each small
+    part, how many same-brand parts are pricier. Catalyst decorrelates to
+    a left outer aggregate join on p_brand; the per-row subquery never
+    executes per row."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand,
+               CAST(round(CAST(p.p_retailprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+                 AS price,
+          (SELECT count(*) FROM part p2
+            WHERE p2.p_brand = p.p_brand
+              AND p2.p_retailprice > p.p_retailprice) AS n_pricier_in_brand
+        FROM part p
+        WHERE p.p_size <= 5
+        """
+    )
