@@ -249,3 +249,119 @@ def events_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_z",
         )
     )
+
+
+@register(
+    "events_funnel",
+    category="streaming",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'step1_view' AS step, count(*) AS n_users FROM v
+    UNION ALL SELECT 'step2_click_after_view', count(*) FROM c
+    UNION ALL SELECT 'step3_purchase_after_click', count(*) FROM p
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    advances a step only with a LATER event of the next type — the
+    classic product-analytics sequence query. Each step is one keyed
+    aggregate joined to the previous step's first-reach time; counts are
+    integers, so the result is trivially hash-stable.
+
+    Scale: three filtered aggregates on user_id, each join co-keyed on
+    the same column — one partitioning reused end-to-end; step tables
+    only shrink."""
+    e = read_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        step(v, "step1_view")
+        .unionAll(step(c, "step2_click_after_view"))
+        .unionAll(step(p, "step3_purchase_after_click"))
+    )
+
+
+@register(
+    "events_cohort_retention",
+    category="streaming",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+             AS week_offset,
+           count(*) AS n_active_users
+    FROM a JOIN f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event, counted in each subsequent week they were active — the
+    engagement-decay triangle. Week arithmetic is exact integer day
+    differences over Monday-truncated timestamps (both engines truncate
+    weeks to Monday midnight), so every output cell is an integer.
+
+    Scale: one aggregate for first-touch, one distinct on (user, week),
+    one join co-keyed on user_id, one final aggregate — all standard
+    keyed shuffles on uniform keys."""
+    e = read_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )
