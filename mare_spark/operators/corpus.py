@@ -47,6 +47,7 @@ __all__ = [
     "temperature_rates",
     "apply_mixture_sampling",
     "repeated_chunk_scrub",
+    "repeated_chunk_scrub_cms",
     "hashed_quality_classifier",
     "group_fixed_k_sample",
     "token_budget_sample",
@@ -472,6 +473,22 @@ def repeated_chunk_scrub(
     Documents with NULL text tokenize to NULL and drop on both engines
     (same contract as the digest/fingerprint ops).
     """
+    ex = _chunk_explode(df, text_col, id_col, chunk_words, keep_cols)
+    ex = ex.withColumn("chunk_h", F.md5("chunk"))
+    freq = ex.groupBy("chunk_h").agg(F.count("*").alias("chunk_freq"))
+    keep = F.col("chunk_freq") <= max_freq
+    return _chunk_reassemble(ex.join(freq, "chunk_h"), id_col, keep_cols, keep)
+
+
+def _chunk_explode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int,
+    keep_cols: tuple[str, ...],
+) -> DataFrame:
+    """(id, *keep_cols, chunk_idx, chunk) — non-overlapping aligned
+    ``chunk_words``-word chunks, shared by both scrub tiers."""
     w = tokens(F.col(text_col))
     n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
     chunks = F.transform(
@@ -483,33 +500,77 @@ def repeated_chunk_scrub(
     # size(w) >= 1 always for non-NULL text (split('') = ['']), so the
     # sequence never runs start > stop (which would count DOWN and
     # fabricate phantom chunks — same guard rationale as word_ngrams).
-    ex = df.select(
+    return df.select(
         F.col(id_col), *[F.col(c) for c in keep_cols],
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
-    ).withColumn("chunk_h", F.md5("chunk"))
-    freq = ex.groupBy("chunk_h").agg(F.count("*").alias("chunk_freq"))
-    keep = F.col("chunk_freq") <= max_freq
-    return (
-        ex.join(freq, "chunk_h")
-        .groupBy(id_col, *keep_cols)
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        # collect_list skips NULLs: removed chunks simply
-                        # don't enter the reassembly array.
-                        F.collect_list(
-                            F.when(keep, F.struct("chunk_idx", "chunk"))
-                        )
-                    ),
-                    lambda s: s["chunk"],
-                ),
-            ).alias("clean_text"),
-            F.count("*").alias("n_chunks"),
-            F.sum((~keep).cast("long")).alias("n_chunks_removed"),
-        )
     )
+
+
+def _chunk_reassemble(
+    flagged: DataFrame,
+    id_col: str,
+    keep_cols: tuple[str, ...],
+    keep: Column,
+) -> DataFrame:
+    """Reassemble surviving chunks in document order; one groupBy on the
+    document id (shared by both scrub tiers)."""
+    return flagged.groupBy(id_col, *keep_cols).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    # collect_list skips NULLs: removed chunks simply
+                    # don't enter the reassembly array.
+                    F.collect_list(
+                        F.when(keep, F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_chunks"),
+        F.sum((~keep).cast("long")).alias("n_chunks_removed"),
+    )
+
+
+def repeated_chunk_scrub_cms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_words: int = 8,
+    max_freq: int = 2,
+    width_bits: int = 16,
+    depth: int = 4,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sketch-tier boilerplate scrub — :func:`repeated_chunk_scrub` with
+    the chunk-frequency question answered by a count-min sketch instead
+    of an aggregate + join. The exact tier's frequency table is as large
+    as the corpus' distinct-chunk set and costs two keyed exchanges; this
+    tier's frequency state is a fixed (depth × 2^width_bits) counter
+    table built with ZERO shuffles (per-partition partials merged on the
+    driver, broadcast back for an Arrow-batched probe), so the only
+    remaining exchange is the per-document reassembly.
+
+    Semantics: CMS estimates never underestimate, so a corpus-frequent
+    chunk can NEVER survive; a rare chunk may (with probability
+    ≈ (1/2)^depth at adequate width) collide upward and be scrubbed too
+    eagerly. Removals are therefore a superset of the exact tier's —
+    equal whenever the sketch is wide relative to the distinct-chunk
+    count. Size the width at ~2× expected distinct chunks per 1 count of
+    acceptable error (see operators.sketches).
+    """
+    from mare_spark.operators.sketches import build_cms, cms_probe_expr
+
+    ex = _chunk_explode(df, text_col, id_col, chunk_words, keep_cols)
+    ex = ex.withColumn("chunk_h", F.xxhash64("chunk"))
+    sketch = build_cms(ex, "chunk_h", width_bits=width_bits, depth=depth)
+    flagged = ex.withColumn(
+        "chunk_freq_est", cms_probe_expr(F.col("chunk_h"), sketch)
+    )
+    keep = F.col("chunk_freq_est") <= max_freq
+    return _chunk_reassemble(flagged, id_col, keep_cols, keep)
 
 
 def hashed_quality_classifier(

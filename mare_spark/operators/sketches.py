@@ -1,0 +1,156 @@
+"""Mergeable frequency sketches — the shuffle-free scale tier for
+corpus-wide frequency questions.
+
+The exact chunk/gram frequency pattern (aggregate on the digest, join the
+counts back) is two keyed exchanges over a table as large as the corpus'
+distinct-chunk set. At 100 TB that is often fine — but when the ONLY
+question is "does this key occur more than k times?", a count-min sketch
+answers it with ZERO data shuffles: every partition folds its keys into a
+fixed (depth × width) counter table, the per-partition tables (a few
+hundred KB each, one per partition regardless of corpus size) merge on
+the driver by elementwise sum, and the merged table broadcasts back for
+an Arrow-batched probe. Total movement: partitions × sketch-size bytes,
+independent of row count.
+
+Guarantee: the classic one-sided CMS bound — estimates never
+UNDERestimate; overestimates happen with probability ≈ (1/2)^depth per
+key at width ≥ 2·distinct/ε. For boilerplate scrubbing that one-sidedness
+is exactly the safe direction: a frequent chunk can never sneak through;
+a rare chunk is (rarely) scrubbed too eagerly.
+
+Hash family: multiply-shift (Dietzfelbinger) — ``h_r(v) = (a_r·v + b_r
+mod 2^64) >> (64 - width_bits)`` with fixed odd ``a_r``. Builder and
+probe share the same vectorized numpy implementation, so parity is by
+construction (no cross-engine replay needed — the sketch is engine-local
+state, not a query result).
+
+No reference counterpart: MaRe (/root/reference) has no sketch surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["CountMinSketch", "build_cms", "cms_probe_expr"]
+
+# fixed odd multipliers / offsets per sketch row (splitmix64 outputs of
+# seeds 1..8, forced odd) — deterministic across builds and probes
+_A = np.array(
+    [
+        0x9E3779B97F4A7C15 | 1,
+        0xBF58476D1CE4E5B9 | 1,
+        0x94D049BB133111EB | 1,
+        0xD6E8FEB86659FD93 | 1,
+        0xA5A3B1C9C03DF3B1 | 1,
+        0xC2B2AE3D27D4EB4F | 1,
+        0x165667B19E3779F9 | 1,
+        0x27D4EB2F165667C5 | 1,
+    ],
+    dtype=np.uint64,
+)
+_B = np.array(
+    [
+        0x85EBCA6B,
+        0xC2B2AE35,
+        0x27D4EB2F,
+        0x165667B1,
+        0xD3A2646C,
+        0xFD7046C5,
+        0xB55A4F09,
+        0x8F462907,
+    ],
+    dtype=np.uint64,
+)
+
+
+class CountMinSketch:
+    """Driver-side merged sketch: a (depth × 2^width_bits) uint64 counter
+    table with vectorized add/estimate."""
+
+    def __init__(self, width_bits: int = 16, depth: int = 4):
+        if depth > len(_A):
+            raise ValueError(f"depth <= {len(_A)}")
+        self.width_bits = width_bits
+        self.depth = depth
+        self.table = np.zeros((depth, 1 << width_bits), dtype=np.uint64)
+
+    def _cols(self, vals: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices for int64/uint64 ``vals``."""
+        v = vals.astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            h = _A[: self.depth, None] * v[None, :] + _B[: self.depth, None]
+        return (h >> np.uint64(64 - self.width_bits)).astype(np.int64)
+
+    def add(self, vals: np.ndarray) -> None:
+        cols = self._cols(vals)
+        for r in range(self.depth):
+            np.add.at(self.table[r], cols[r], 1)
+
+    def estimate(self, vals: np.ndarray) -> np.ndarray:
+        """Point estimates (uint64, never below the true count)."""
+        cols = self._cols(vals)
+        return np.min(
+            np.stack([self.table[r][cols[r]] for r in range(self.depth)]),
+            axis=0,
+        )
+
+    def merge_bytes(self, raw: bytes) -> None:
+        self.table += np.frombuffer(raw, dtype=np.uint64).reshape(
+            self.table.shape
+        )
+
+
+def build_cms(
+    df: DataFrame, col: str, *, width_bits: int = 16, depth: int = 4
+) -> CountMinSketch:
+    """Build a corpus-wide CMS over an int64 key column with zero
+    shuffles: one partial sketch per PARTITION (the mapInPandas generator
+    folds every Arrow batch of its partition before yielding), partials
+    collected and summed on the driver. Driver traffic = partitions ×
+    depth·2^width_bits·8 bytes — e.g. 1000 partitions × 2 MB at the
+    defaults — bounded by cluster width, not data size."""
+    wb, d = width_bits, depth
+
+    def gen(batches):
+        import pandas as pd
+
+        local = CountMinSketch(wb, d)
+        seen = False
+        for pdf in batches:
+            vals = pdf[col].to_numpy(dtype=np.int64, na_value=0)
+            if len(vals):
+                local.add(vals)
+                seen = True
+        if seen:
+            yield pd.DataFrame({"sketch": [local.table.tobytes()]})
+
+    parts = df.select(col).mapInPandas(gen, "sketch binary").collect()
+    merged = CountMinSketch(wb, d)
+    for row in parts:
+        merged.merge_bytes(row.sketch)
+    return merged
+
+
+def cms_probe_expr(df_or_col, sketch: CountMinSketch, spark=None) -> Column:
+    """Arrow-batched probe: ``cms_probe_expr(F.col("key_h"), sketch)``
+    returns the estimated count (long) per row. The counter table ships
+    once per executor as a SparkContext broadcast, not per task."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(
+        (sketch.table, sketch.width_bits, sketch.depth)
+    )
+
+    @F.pandas_udf("long")
+    def probe(s: pd.Series) -> pd.Series:
+        table, wb, d = bc.value
+        sk = CountMinSketch(wb, d)
+        sk.table = table
+        est = sk.estimate(s.to_numpy(dtype=np.int64, na_value=0))
+        return pd.Series(est.astype(np.int64))
+
+    return probe(df_or_col)

@@ -213,3 +213,22 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(
         docs, "text", "doc_id", n=_NOVELTY_N, keep_cols=("lang",)
     )
+
+
+@register("text_chunk_dedup_cms", category="llm", oracle=None)
+def text_chunk_dedup_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier boilerplate scrub: same semantics as text_chunk_dedup
+    with the chunk-frequency question answered by a count-min sketch —
+    zero shuffles for frequency (per-partition partials merged on the
+    driver, broadcast probe), one for reassembly. Rows-only here like the
+    other probabilistic tiers (MinHash/SimHash/LSH); the sketch-vs-exact
+    contract (never under, equal when wide) is pinned by
+    tests/test_sketches.py."""
+    from mare_spark.operators.corpus import repeated_chunk_scrub_cms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repeated_chunk_scrub_cms(
+        docs, "text", "doc_id",
+        chunk_words=_CHUNK_WORDS, max_freq=_MAX_FREQ, width_bits=18,
+        keep_cols=("lang",),
+    )

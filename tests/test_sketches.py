@@ -1,0 +1,86 @@
+"""Count-min sketch tier: one-sided estimate guarantee, exact-tier
+equivalence at adequate width, conservative (superset) scrubbing under
+deliberate collision pressure, and the zero-shuffle plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mare_spark import plans as P
+from mare_spark.operators.corpus import (
+    repeated_chunk_scrub,
+    repeated_chunk_scrub_cms,
+)
+from mare_spark.operators.sketches import CountMinSketch, build_cms
+from mare_spark.tables import read_table
+from tests.conftest import SF_ORACLE
+
+
+def test_cms_never_underestimates(spark):
+    """CMS point estimates are >= true counts for every key — even at a
+    width narrow enough to force collisions — and exact when wide."""
+    df = spark.range(0, 3000).selectExpr("CAST(id % 700 AS LONG) AS k")
+    vals = np.arange(700, dtype=np.int64)
+    true = np.array([len(range(v, 3000, 700)) for v in range(700)])
+
+    narrow = build_cms(df, "k", width_bits=6, depth=4)
+    assert (narrow.estimate(vals) >= true).all()
+
+    wide = build_cms(df, "k", width_bits=13, depth=4)
+    assert (wide.estimate(vals) == true).all()
+
+
+def test_cms_local_matches_distributed_build(spark):
+    """The distributed per-partition build merges to exactly the sketch a
+    single local add produces (mergeability is the scale argument)."""
+    df = spark.range(0, 5000).selectExpr("CAST(id % 321 AS LONG) AS k")
+    dist = build_cms(df.repartition(8), "k", width_bits=10, depth=3)
+    local = CountMinSketch(width_bits=10, depth=3)
+    local.add(np.arange(5000, dtype=np.int64) % 321)
+    assert (dist.table == local.table).all()
+
+
+def test_cms_scrub_equals_exact_tier_when_wide(spark):
+    """At width >> distinct chunks the sketch tier reproduces the exact
+    tier byte-for-byte."""
+    docs = read_table(spark, SF_ORACLE, "documents")
+    a = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_chunks_removed)
+        for r in repeated_chunk_scrub(docs, "text", "doc_id").collect()
+    }
+    b = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_chunks_removed)
+        for r in repeated_chunk_scrub_cms(
+            docs, "text", "doc_id", width_bits=18
+        ).collect()
+    }
+    assert a == b
+
+
+def test_cms_scrub_is_conservative_under_collisions(spark):
+    """At a deliberately tiny width (2^4 cells) collisions inflate
+    estimates: the sketch tier may scrub MORE than the exact tier, never
+    less — a corpus-frequent chunk can never survive."""
+    docs = read_table(spark, SF_ORACLE, "documents")
+    exact = {
+        r.doc_id: r.n_chunks_removed
+        for r in repeated_chunk_scrub(docs, "text", "doc_id").collect()
+    }
+    cms = {
+        r.doc_id: r.n_chunks_removed
+        for r in repeated_chunk_scrub_cms(
+            docs, "text", "doc_id", width_bits=4
+        ).collect()
+    }
+    assert set(cms) == set(exact)  # every document still present
+    assert all(cms[d] >= exact[d] for d in exact)
+    assert sum(cms.values()) > sum(exact.values())  # pressure actually bites
+
+
+def test_cms_scrub_single_shuffle(spark):
+    """The sketch tier's only exchange is the per-document reassembly —
+    the frequency question costs zero shuffles (partition partials merged
+    on the driver, broadcast probe)."""
+    docs = read_table(spark, SF_ORACLE, "documents")
+    df = repeated_chunk_scrub_cms(docs, "text", "doc_id", width_bits=14)
+    assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
