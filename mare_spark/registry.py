@@ -62,6 +62,16 @@ def register(
 # rows for the FIRST 50 registry entries (dict order), so this list decides
 # which queries gain driver evidence each round.
 #
+# ROUND-4 ROTATION NOTE (the 50-row budget is full this round with the
+# never-checked + repaired + decimal-recheck sets below): front-load the
+# queries registered late in round 3 that therefore have no driver row yet —
+#   dedup_crawl_vs_index, events_user_anomalies, text_chunk_dedup,
+#   text_quality_classifier, sample_fixed_k_per_lang, sample_token_budget,
+#   text_ngram_novelty, q_correlated_exists, q_correlated_scalar,
+#   events_funnel, events_cohort_retention, text_chunk_dedup_cms
+# (all are green against their DuckDB oracles at sf0.001/0.01/0.1 locally,
+# or carry differential tests where no oracle exists by design).
+#
 # ROUND-3 ROTATION (executes the plan VERDICT r2 confirmed): front-load
 #   1. the 9 queries with no driver row in r1 OR r2 (CORRECTNESS_r0{1,2}
 #      covered 98 of 107 registered queries between them);
