@@ -383,3 +383,51 @@ def clean_corpus_stream(
         .dropDuplicatesWithinWatermark(["digest"])
         .select(id_col, "digest", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming frequency sketch: CMS accumulated across micro-batches
+# ---------------------------------------------------------------------------
+
+
+def run_cms_over_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    checkpoint_dir: str,
+    *,
+    width_bits: int = 16,
+    depth: int = 4,
+):
+    """Accumulate a count-min sketch over a stream of int64 keys — the
+    streaming form of :func:`mare_spark.operators.sketches.build_cms`,
+    for "is this chunk/gram/url corpus-frequent so far?" questions during
+    continuous ingestion, without ever keying state by the (unbounded)
+    key set itself.
+
+    Each micro-batch folds into one per-batch sketch on the executors
+    (the same zero-shuffle partial build as batch) and merges into a
+    driver-held running sketch inside ``foreachBatch`` — sketch size is
+    fixed by (width, depth), so state is O(1) in stream length, the
+    property that makes frequency tracking viable on an unbounded
+    stream where exact per-key state would grow without limit. CMS
+    merge is associative/commutative, so batch boundaries don't change
+    the result — pinned by the stream-equals-batch test.
+
+    Returns ``(query, sketch)``: the running sketch object updates in
+    place as epochs commit; call ``query.processAllAvailable()`` (tests)
+    or poll it live.
+    """
+    from mare_spark.operators.sketches import CountMinSketch, build_cms
+
+    sketch = CountMinSketch(width_bits, depth)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        part = build_cms(batch_df, key_col, width_bits=width_bits, depth=depth)
+        sketch.table += part.table
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return q, sketch

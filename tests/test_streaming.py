@@ -312,3 +312,36 @@ def test_clean_corpus_stream_cold_start(spark, tmp_path):
     out = _collect_stream(spark, stream)
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "digest", "n_tokens"]
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """The CMS accumulated across micro-batches (two landing files →
+    two epochs) equals the batch sketch over the union — merge is
+    associative, so batch boundaries don't change the result — and its
+    estimates match exact streaming-side counts at adequate width."""
+    import numpy as np
+
+    from mare_spark.operators.sketches import build_cms
+
+    d = tmp_path / "keys_landing"
+    d.mkdir()
+    a = spark.range(0, 4000).selectExpr("CAST(id % 500 AS LONG) AS k")
+    b = spark.range(0, 2000).selectExpr("CAST(id % 250 AS LONG) AS k")
+    a.write.parquet(str(d / "f0.parquet"))
+
+    stream = spark.readStream.schema("k long").parquet(str(d) + "/*")
+    q, sketch = S.run_cms_over_stream(
+        stream, "k", str(tmp_path / "ckpt"), width_bits=12, depth=4
+    )
+    try:
+        q.processAllAvailable()
+        b.write.parquet(str(d / "f1.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = build_cms(a.unionAll(b), "k", width_bits=12, depth=4)
+    assert (sketch.table == batch.table).all()
+    vals = np.arange(500, dtype=np.int64)
+    true = np.array([8 + (8 if v < 250 else 0) for v in range(500)])
+    assert (sketch.estimate(vals) == true).all()
