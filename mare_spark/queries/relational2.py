@@ -451,3 +451,34 @@ def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.p_size <= 5
         """
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS k_total,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` ingests the raw JSON once into the binary variant
+    encoding, ``variant_get`` extracts typed paths without re-parsing —
+    the modern replacement for per-path get_json_object string scans
+    (which re-tokenize the JSON per extraction). Aggregates are integer,
+    so the result is trivially hash-stable."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("k_total"),
+        F.max("k").alias("k_max"),
+    )
