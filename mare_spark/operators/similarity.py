@@ -553,3 +553,52 @@ def semantic_dedup_pairs(
         .select("id_a", "id_b", "cosine")
     )
     return attach_caches(pairs, base)
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """Deterministic nearest-centroid assignment: every vector gets the
+    closest of the first ``k`` vectors (by id order) as its cluster — the
+    single-assignment pass shared by k-means iterations, IVF probing and
+    topic-mix reporting, isolated here with DETERMINISTIC seed centroids
+    so the assignment itself is oracle-checkable (iterative training is
+    not; see train_ivf_centroids for the trained tier).
+
+    Returns ``(id, cluster_id, dist2)`` — squared L2 distance to the
+    winning centroid, ties broken by centroid index.
+
+    Scale: the k seed vectors are a bounded driver fetch (k rows — the
+    same contract as the LSH plane literals); distances are scan-side
+    ``zip_with`` + left-fold expression code over one array literal per
+    centroid, so the whole pass is zero-shuffle and fuses into the
+    preceding scan. The argmin is an ``array_min`` over (dist, idx)
+    structs — no join, no window.
+
+    Determinism: each fold runs in element order on engine-identical
+    doubles (float32→double is exact), so dist2 is the same IEEE double
+    on every engine; struct comparison breaks exact ties by index.
+    """
+    cents = [
+        list(r[0]) for r in df.orderBy(id_col).select(vec_col).head(k)
+    ]
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cands = []
+    for i, c in enumerate(cents):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(dv, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    best = F.array_min(F.array(*cands))
+    return df.select(
+        F.col(id_col),
+        best["i"].alias("cluster_id"),
+        fround(best["d"], 6).alias("dist2"),
+    )

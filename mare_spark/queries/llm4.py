@@ -232,3 +232,47 @@ def text_chunk_dedup_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_words=_CHUNK_WORDS, max_freq=_MAX_FREQ, width_bits=18,
         keep_cols=("lang",),
     )
+
+
+_KMEANS_K = 8
+
+
+@register(
+    "embedding_cluster_assign",
+    category="llm",
+    oracle=f"""
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
+             embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {_KMEANS_K})
+    ),
+    d AS (
+      SELECT e.vec_id, c.c_idx,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE)
+                     - CAST(c.cvec[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE)
+                     - CAST(c.cvec[i] AS DOUBLE)))) AS d2
+      FROM embeddings e CROSS JOIN c
+    ),
+    r AS (
+      SELECT vec_id, c_idx, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_idx)
+               AS rn
+      FROM d
+    )
+    SELECT vec_id, CAST(c_idx AS INT) AS cluster_id,
+           {sql_fround("d2", 6)} AS dist2
+    FROM r WHERE rn = 1
+    """,
+)
+def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment over the embeddings table with the
+    first 8 vectors (by vec_id) as deterministic seed centroids — the
+    oracle-checkable single assignment pass that k-means/IVF iterate;
+    zero-shuffle scan-side fold, ties broken by centroid index."""
+    from mare_spark.operators.similarity import assign_to_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return assign_to_centroids(emb, "embedding", "vec_id", k=_KMEANS_K)

@@ -285,3 +285,26 @@ def test_compact_small_files_preserves_data(spark, tmp_path):
     after = spark.read.parquet(path)
     assert sorted(r.id for r in after.collect()) == before_rows
     assert after.filter(F.col("v") != F.col("id") * 2).count() == 0
+
+
+def test_assign_to_centroids_matches_numpy_argmin(spark):
+    """Every vector's assignment equals the numpy argmin over the same
+    seed centroids (ties impossible in the fixture; dist2 within fp
+    tolerance of numpy's)."""
+    import numpy as np
+
+    from mare_spark.operators.similarity import assign_to_centroids
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    cents = np.array([r.embedding for r in rows[:8]], dtype=np.float64)
+    got = {
+        r.vec_id: (r.cluster_id, r.dist2)
+        for r in assign_to_centroids(emb, "embedding", "vec_id", k=8).collect()
+    }
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        d2 = ((v[None, :] - cents) ** 2).sum(axis=1)
+        assert got[r.vec_id][0] == int(np.argmin(d2))
+        assert abs(got[r.vec_id][1] - d2.min()) < 1e-6
