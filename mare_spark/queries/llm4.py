@@ -276,3 +276,31 @@ def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return assign_to_centroids(emb, "embedding", "vec_id", k=_KMEANS_K)
+
+
+@register("embedding_kmeans_refined", category="llm", oracle=None)
+def embedding_kmeans_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size report after 2 distributed Lloyd iterations from the
+    deterministic seed centroids — the iterative tier (k-means is not
+    SQL-expressible; rows-only here like the other iterative ops, with
+    the SSE-descent invariant pinned in tests/test_scale_ops.py)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_refine,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    seed = np.array(
+        [list(r.embedding) for r in emb.orderBy("vec_id").head(_KMEANS_K)],
+        dtype=np.float64,
+    )
+    refined = kmeans_refine(emb, "embedding", seed, iters=2)
+    return (
+        assign_to_centroids(emb, "embedding", "vec_id", centroids=refined)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vecs"))
+    )

@@ -308,3 +308,35 @@ def test_assign_to_centroids_matches_numpy_argmin(spark):
         d2 = ((v[None, :] - cents) ** 2).sum(axis=1)
         assert got[r.vec_id][0] == int(np.argmin(d2))
         assert abs(got[r.vec_id][1] - d2.min()) < 1e-6
+
+
+def test_kmeans_refine_descends_sse(spark):
+    """Distributed Lloyd refinement never increases within-cluster SSE
+    (the Lloyd invariant), improves visibly on the seed centroids, and
+    preserves shape."""
+    import numpy as np
+
+    from mare_spark.operators.similarity import kmeans_refine
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    seed = np.array(
+        [list(r.embedding) for r in emb.orderBy("vec_id").head(6)],
+        dtype=np.float64,
+    )
+    X = np.array(
+        [list(r.embedding) for r in emb.collect()], dtype=np.float64
+    )
+
+    def sse(c):
+        d = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    prev, c = sse(seed), seed
+    for _ in range(3):
+        c = kmeans_refine(emb, "embedding", c, iters=1)
+        cur = sse(c)
+        assert cur <= prev + 1e-6
+        prev = cur
+    assert c.shape == seed.shape
+    assert sse(c) < sse(seed)
