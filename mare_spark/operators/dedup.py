@@ -946,3 +946,53 @@ def substring_overlap_candidates(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    prefix_words: int = 8,
+    max_dist: int = 50,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Edit-distance near-dup verification: candidate pairs share their
+    first-``prefix_words`` digest (the prefix-8 granularity
+    dedup_cluster_stats already audits), verified by full Levenshtein
+    distance ≤ ``max_dist`` on the normalized text — the character-level
+    verify kernel for templated/near-identical documents where set-based
+    Jaccard under-weights small ordered edits.
+
+    Candidate contract: prefix-bucket blocking (recall = near-dups that
+    agree on their opening words — the templated-document case this tier
+    targets; swap in an LSH candidate table for general recall). Buckets
+    over ``bucket_cap`` docs are dropped whole — the same frequency-cap
+    guard as the shingle inverted index, so one degenerate prefix (an
+    empty-ish boilerplate opening shared by millions of docs at 100 TB)
+    cannot quadratically explode the join. Join key is the 128-bit
+    digest: fixed-width, uniform, freq-capped — Σ bucket², never
+    all-pairs.
+
+    Returns ``(doc_a, doc_b, edit_dist)``, doc_a < doc_b.
+    """
+    s = normalize_text(F.col(text_col))
+    pk = F.md5(F.concat_ws(" ", F.slice(F.split(s, " "), 1, prefix_words)))
+    t = df.select(F.col(id_col).alias("_id"), s.alias("_s"), pk.alias("_pk"))
+    cap = t.groupBy("_pk").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") <= bucket_cap
+    )
+    t = t.join(cap.select("_pk"), "_pk")
+    a = t.select(
+        F.col("_pk"), F.col("_id").alias("doc_a"), F.col("_s").alias("_sa")
+    )
+    b = t.select(
+        F.col("_pk"), F.col("_id").alias("doc_b"), F.col("_s").alias("_sb")
+    )
+    return (
+        a.join(b, "_pk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("doc_a", "doc_b", "edit_dist")
+    )

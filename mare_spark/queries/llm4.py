@@ -29,7 +29,7 @@ from mare_spark.operators.corpus import (
     token_budget_sample,
 )
 from mare_spark.operators.analysis import ngram_novelty
-from mare_spark.queries.llm2 import _duck_ngrams, _WORDS
+from mare_spark.queries.llm2 import _duck_ngrams, _NORM, _WORDS
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -303,4 +303,35 @@ def embedding_kmeans_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_to_centroids(emb, "embedding", "vec_id", centroids=refined)
         .groupBy("cluster_id")
         .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+@register(
+    "dedup_edit_distance",
+    category="llm",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_NORM} AS s,
+             md5(array_to_string(({_WORDS})[1:8], ' ')) AS pk
+      FROM documents
+    ),
+    cap AS (SELECT pk FROM t GROUP BY pk HAVING count(*) <= 1000),
+    c AS (SELECT t.* FROM t JOIN cap USING (pk))
+    SELECT a.id AS doc_a, b.id AS doc_b,
+           levenshtein(a.s, b.s) AS edit_dist
+    FROM c a JOIN c b ON a.pk = b.pk AND a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= 50
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verify: prefix-8-digest candidate buckets
+    (freq-capped) + full Levenshtein ≤ 50 on normalized text — catches
+    templated documents whose small ordered edits set-based Jaccard
+    under-weights. Both engines implement classic unit-cost edit
+    distance, so the pair set and distances hash-match."""
+    from mare_spark.operators.dedup import edit_distance_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        docs, "text", "doc_id", prefix_words=8, max_dist=50
     )

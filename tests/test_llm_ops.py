@@ -643,3 +643,27 @@ def test_minhash_lsh_join_equals_cross_restricted_pairs(spark):
     assert joined == cross
     assert cross, "fixture should contain cross-parity near-dups"
     assert all(a % 2 == 0 and b % 2 == 1 for a, b in joined)
+
+
+def test_edit_distance_pairs_planted_near_dup(spark):
+    """Two docs sharing their opening 8 words with a small tail edit are
+    caught with the right distance; an unrelated doc is not paired; a
+    bucket over the cap is dropped whole."""
+    from mare_spark.operators.dedup import edit_distance_pairs
+
+    head = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, head + " common tail here"),
+        (1, head + " common tail there"),  # 1-char insertion after norm
+        (2, "totally different opening words one two three four five"),
+    ] + [(10 + i, "hot bucket " + "x " * 6 + f"tail{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in edit_distance_pairs(
+            df, "text", "doc_id", max_dist=10, bucket_cap=4
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 1
+    assert all(2 not in p for p in got)
+    assert all(a < 10 and b < 10 for a, b in got)  # capped bucket dropped
