@@ -310,3 +310,46 @@ def doc_token_stats_udf():
         "struct<n:int, nd:int, top:int, nbg:int, nbgd:int, "
         "stop_hits:int, alpha_len:int>",
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int = 64,
+    stride: int = 32,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/RAG preparation
+    pass: each document becomes ceil(n_tokens/stride) chunks of up to
+    ``window`` tokens starting every ``stride`` tokens, each carrying its
+    exact tape position so retrieved chunks can be re-expanded to
+    surrounding context.
+
+    Returns ``(id, *keep_cols, chunk_idx, start_token, chunk_tokens,
+    chunk_text)``; the final chunks shorten toward the document tail
+    (documents are never padded).
+
+    Scale: pure scan-side expression code (sequence + slice + concat_ws)
+    followed by a narrow posexplode — zero shuffles, no text ever leaves
+    its partition. The fan-out is rows × ceil(n/stride), the same narrow
+    flatMap shape as shingling.
+    """
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    n_chunks = F.ceil(n / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * stride + 1, window)),
+    )
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).alias("start_token"),
+        F.size(F.split("chunk_text", " ")).alias("chunk_tokens"),
+        "chunk_text",
+    )

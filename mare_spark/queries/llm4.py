@@ -335,3 +335,40 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(
         docs, "text", "doc_id", prefix_words=8, max_dist=50
     )
+
+
+_RAG_WINDOW, _RAG_STRIDE = 64, 32
+
+
+@register(
+    "text_sliding_chunks",
+    category="llm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
+    c AS (
+      SELECT doc_id, lang, CAST(i AS INT) AS chunk_idx,
+             CAST(i * {_RAG_STRIDE} AS INT) AS start_token,
+             array_to_string(
+               w[(i*{_RAG_STRIDE}+1):(i*{_RAG_STRIDE}+{_RAG_WINDOW})], ' ')
+               AS chunk_text
+      FROM w,
+           unnest(range(CAST(ceil(len(w) / {_RAG_STRIDE}.0) AS BIGINT)))
+             AS t(i)
+    )
+    SELECT doc_id, lang, chunk_idx, start_token,
+           CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_tokens,
+           chunk_text
+    FROM c
+    """,
+)
+def text_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: 64-token windows every 32 tokens with exact
+    tape offsets — scan-side expression code plus one narrow posexplode,
+    zero shuffles."""
+    from mare_spark.operators.text import sliding_chunks
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sliding_chunks(
+        docs, "text", "doc_id",
+        window=_RAG_WINDOW, stride=_RAG_STRIDE, keep_cols=("lang",),
+    )

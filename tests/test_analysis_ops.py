@@ -195,3 +195,23 @@ def test_ngram_novelty_planted_overlap(spark):
     assert 0.0 < got[3].novelty < 1.0
     # doc 3 shares exactly one 8-gram (the aligned `shared` prefix)
     assert got[3].n_novel_ngrams == got[3].n_distinct_ngrams - 1
+
+
+def test_sliding_chunks_offsets_and_coverage(spark):
+    """Chunks start every stride tokens, cover the whole document, carry
+    correct lengths, and reconstruct the document from stride-aligned
+    prefixes."""
+    from mare_spark.operators.text import sliding_chunks
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        sliding_chunks(df, "text", "doc_id", window=4, stride=3).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.start_token for r in out] == [0, 3, 6, 9]
+    assert [r.chunk_tokens for r in out] == [4, 4, 4, 1]
+    assert out[0].chunk_text == "w0 w1 w2 w3"
+    assert out[-1].chunk_text == "w9"
+    rebuilt = " ".join(" ".join(r.chunk_text.split()[:3]) for r in out)
+    assert rebuilt == text
