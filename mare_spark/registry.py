@@ -68,7 +68,9 @@ def register(
 #   dedup_crawl_vs_index, events_user_anomalies, text_chunk_dedup,
 #   text_quality_classifier, sample_fixed_k_per_lang, sample_token_budget,
 #   text_ngram_novelty, q_correlated_exists, q_correlated_scalar,
-#   events_funnel, events_cohort_retention, text_chunk_dedup_cms
+#   events_funnel, events_cohort_retention, text_chunk_dedup_cms,
+#   q_variant_json, embedding_cluster_assign, embedding_kmeans_refined,
+#   dedup_edit_distance, text_sliding_chunks
 # (all are green against their DuckDB oracles at sf0.001/0.01/0.1 locally,
 # or carry differential tests where no oracle exists by design).
 #
