@@ -51,6 +51,7 @@ __all__ = [
     "hashed_quality_classifier",
     "group_fixed_k_sample",
     "token_budget_sample",
+    "snapshot_diff",
     "PII_PATTERNS",
 ]
 
@@ -704,3 +705,40 @@ def token_budget_sample(
     return c.filter(
         F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_tokens)
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Dataset-version diff: classify every document id across two corpus
+    snapshots as ``added`` / ``removed`` / ``changed`` / ``unchanged`` by
+    comparing normalized-text digests — the audit a team runs between
+    iterative dataset builds before retraining ("what actually moved?").
+
+    Returns ``(id, change)``; join back to either snapshot for the
+    payloads of a given class.
+
+    Scale: each side reduces to (id, 128-bit digest) scan-side; the diff
+    is ONE full outer join on the id — fixed-width keys, no text ever
+    shuffles. Compare-by-digest makes the 100 TB diff cost two scans plus
+    one keyed exchange, the same shape as exact_dedup.
+    """
+    from mare_spark.operators.dedup import normalize_text
+
+    o = old_df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("_od")
+    )
+    n = new_df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("_nd")
+    )
+    j = o.join(n, id_col, "full_outer")
+    change = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), change.alias("change"))

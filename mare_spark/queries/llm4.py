@@ -20,6 +20,7 @@ no text analytics; this extends the engine's declared LLM-pipeline family
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mare_spark.numeric import sql_fround
 from mare_spark.operators.corpus import (
@@ -372,3 +373,45 @@ def text_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id",
         window=_RAG_WINDOW, stride=_RAG_STRIDE, keep_cols=("lang",),
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    category="llm",
+    oracle=f"""
+    WITH o AS (
+      SELECT doc_id, md5({_NORM}) AS d FROM documents
+      WHERE doc_id % 7 != 0
+    ),
+    n AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0
+                      THEN {_NORM} || ' amended'
+                      ELSE {_NORM} END) AS d
+      FROM documents
+      WHERE doc_id % 5 != 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.d IS NULL THEN 'added'
+                WHEN n.d IS NULL THEN 'removed'
+                WHEN o.d != n.d THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-based diff between two corpus versions (derived here from
+    the fixture: the 'old' snapshot drops doc_id%7==0, the 'new' drops
+    doc_id%5==0 and amends doc_id%11==0) — added/removed/changed/
+    unchanged per id, one full outer join on fixed-width digests."""
+    from mare_spark.operators.corpus import snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" amended"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "text", "doc_id")

@@ -351,3 +351,24 @@ def test_group_fixed_k_sample_exact_sizes(spark):
         df, "doc_id", group_col="grp", k=10, salt="x"
     ).collect()
     assert sorted(r.doc_id for r in salted) != sorted(r.doc_id for r in out)
+
+
+def test_snapshot_diff_classes(spark):
+    """Added/removed/changed/unchanged classification on a crafted pair
+    of snapshots, including whitespace-only edits counting as unchanged
+    (digests are over normalized text)."""
+    from mare_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept  same")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "gamma delta EDITED"), (3, "KEPT SAME"), (4, "brand new doc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.change
+        for r in snapshot_diff(old, new, "text", "doc_id").collect()
+    }
+    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
