@@ -219,3 +219,45 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "csv", **options) -> 
     shutil.move(part, path)
     shutil.rmtree(staging, ignore_errors=True)
     return path
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "csv",
+    **options,
+):
+    """Malformed-row quarantine for semi-trusted feeds: PERMISSIVE parse
+    with the corrupt-record column captured, split into
+    ``(good_df, quarantine_df)`` — the production contract for 100 TB
+    ingest where one bad row must neither kill the job (FAILFAST) nor
+    vanish silently (DROPMALFORMED). The quarantine side keeps the raw
+    line for replay after the upstream fix.
+
+    The parsed DataFrame is cached before splitting: Spark evaluates the
+    corrupt column during parsing only, so filtering on it alone over a
+    fresh scan is unsupported (raises AnalysisException) — the cache
+    materializes parse results once and both splits read from it.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    corrupt = "_corrupt_record"
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    full = StructType(list(schema.fields)).add(corrupt, StringType())
+    reader = (
+        spark.read.options(**options)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .schema(full)
+    )
+    df = getattr(reader, fmt)(path).cache()
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_record")
+    )
+    return good, bad

@@ -162,3 +162,18 @@ def test_json_sink_round_trip(spark, tmp_path):
     a = {tuple(sorted(r.asDict().items())) for r in df.collect()}
     b = {tuple(sorted(r.asDict().items())) for r in back.collect()}
     assert a == b
+
+
+def test_read_with_quarantine_splits_bad_rows(spark, tmp_path):
+    """Good rows parse; malformed rows land in quarantine with the raw
+    line preserved for replay; nothing is silently dropped."""
+    from mare_spark.sources import read_with_quarantine
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\nbroken line only\n")
+    good, bad = read_with_quarantine(
+        spark, str(p), "id INT, qty INT", fmt="csv", header=True
+    )
+    assert sorted((r.id, r.qty) for r in good.collect()) == [(1, 10), (3, 30)]
+    raws = sorted(r.raw_record for r in bad.collect())
+    assert raws == ["2,notanumber", "broken line only"]
