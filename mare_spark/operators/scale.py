@@ -142,3 +142,43 @@ def compact_small_files(
         if f.endswith(".parquet")
     )
     return len(files), after
+
+
+def merge_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    *,
+    delete_keys: DataFrame | None = None,
+) -> None:
+    """Copy-on-write MERGE against a plain-parquet table — the TPC-H
+    refresh-stream (RF1/RF2) shape without a lakehouse format: matched
+    keys are replaced by their update row, unmatched update rows insert,
+    ``delete_keys`` rows (a 1-column key DataFrame) are removed.
+
+    Plan: one anti-join of the base against (update ∪ delete) keys —
+    update/delete sets are batch-sized, so Catalyst broadcasts them and
+    the base table is scanned, never shuffled — then a union with the
+    updates and an atomic-ish swap through a sibling tmp directory (the
+    same crash contract as compact_small_files: the source is never
+    half-deleted).
+
+    At 100 TB, partition the base (write_packed_corpus-style) and call
+    this per affected partition; the anti-join shape is unchanged. For
+    frequent fine-grained merges, graduate to a table format with real
+    commit logs (sources.external gates Delta/Iceberg) — copy-on-write
+    rewrites everything it touches by design.
+    """
+    import os
+    import shutil
+
+    gone = updates.select(F.col(key))
+    if delete_keys is not None:
+        gone = gone.unionByName(delete_keys.select(F.col(key)))
+    base = spark.read.parquet(path)
+    merged = base.join(gone, key, "left_anti").unionByName(updates)
+    tmp = path.rstrip("/") + "._merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)

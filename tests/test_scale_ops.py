@@ -340,3 +340,27 @@ def test_kmeans_refine_descends_sse(spark):
         prev = cur
     assert c.shape == seed.shape
     assert sse(c) < sse(seed)
+
+
+def test_merge_parquet_upsert_insert_delete(spark, tmp_path):
+    """MERGE semantics on plain parquet: matched keys update, new keys
+    insert, delete keys vanish, untouched rows survive byte-identical,
+    and no tmp directory is left behind."""
+    import os
+
+    from mare_spark.operators.scale import merge_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string"
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "B2"), (5, "E")], "id long, v string"
+    )
+    deletes = spark.createDataFrame([(4,)], "id long")
+    merge_parquet(spark, path, updates, "id", delete_keys=deletes)
+
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 5: "E"}
+    assert not os.path.exists(path + "._merge_tmp")
