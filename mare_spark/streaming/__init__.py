@@ -431,3 +431,75 @@ def run_cms_over_stream(
         .start()
     )
     return q, sketch
+
+
+def run_heavy_hitters_over_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 20,
+    width_bits: int = 16,
+    depth: int = 4,
+    candidates_per_batch: int = 200,
+):
+    """Streaming top-k heavy hitters: the classic CMS + candidate-set
+    construction. Per micro-batch, (a) the batch's keys fold into the
+    running count-min sketch (zero-shuffle partials, O(1) state — see
+    run_cms_over_stream) and (b) the batch's exact top
+    ``candidates_per_batch`` keys (one keyed aggregate + TakeOrdered on
+    batch-sized data) join the candidate set. ``top(k)`` re-estimates
+    every candidate against the full-history sketch.
+
+    Why this shape: a key can only become a GLOBAL heavy hitter by being
+    frequent in at least one batch (a corpus-wide heavy hitter that is
+    never in any batch's top-N needs pathologically many batches), so
+    the candidate set stays bounded at batches × N while counts stay
+    exact-ish (CMS never underestimates). This is how you track
+    boilerplate n-grams / hot URLs on an unbounded crawl without keying
+    state by the unbounded gram set.
+
+    Returns ``(query, tracker)``; ``tracker.top(k)`` gives
+    [(key, est_count)] best-first at any point.
+    """
+    import numpy as np
+
+    from mare_spark.operators.sketches import CountMinSketch, build_cms
+
+    class _Tracker:
+        def __init__(self):
+            self.sketch = CountMinSketch(width_bits, depth)
+            self.candidates: set[int] = set()
+
+        def top(self, n: int = k):
+            if not self.candidates:
+                return []
+            vals = np.fromiter(self.candidates, dtype=np.int64)
+            est = self.sketch.estimate(vals)
+            order = np.argsort(-est.astype(np.int64), kind="stable")
+            return [
+                (int(vals[i]), int(est[i])) for i in order[:n]
+            ]
+
+    tracker = _Tracker()
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        part = build_cms(
+            batch_df, key_col, width_bits=width_bits, depth=depth
+        )
+        tracker.sketch.table += part.table
+        top_rows = (
+            batch_df.groupBy(key_col)
+            .count()
+            .orderBy(F.desc("count"), F.asc(key_col))
+            .limit(candidates_per_batch)
+            .collect()
+        )
+        tracker.candidates.update(int(r[0]) for r in top_rows)
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return q, tracker

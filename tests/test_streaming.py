@@ -345,3 +345,37 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     vals = np.arange(500, dtype=np.int64)
     true = np.array([8 + (8 if v < 250 else 0) for v in range(500)])
     assert (sketch.estimate(vals) == true).all()
+
+
+def test_streaming_heavy_hitters_match_batch_counts(spark, tmp_path):
+    """After two epochs the tracker's top-k equals the exact batch top-k
+    with exact counts (sketch wide, candidates cover the batch tops),
+    in (count desc) order."""
+    from collections import Counter
+
+    d = tmp_path / "hh_landing"
+    d.mkdir()
+    # skewed keys: key i appears (50 - i) times, i in 0..49
+    rows1 = [(i,) for i in range(50) for _ in range(50 - i)]
+    rows2 = [(i,) for i in range(25) for _ in range(10)]  # boost low keys
+    spark.createDataFrame(rows1, "k long").write.parquet(str(d / "f0.parquet"))
+
+    stream = spark.readStream.schema("k long").parquet(str(d) + "/*")
+    q, tracker = S.run_heavy_hitters_over_stream(
+        stream, "k", str(tmp_path / "hh_ckpt"), k=10, width_bits=12
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, "k long").write.parquet(
+            str(d / "f1.parquet")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    truth = Counter()
+    for key, in rows1 + rows2:
+        truth[key] += 1
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = tracker.top(10)
+    assert {k: c for k, c in got} == dict(want)
