@@ -49,6 +49,7 @@ __all__ = [
     "repeated_chunk_scrub",
     "repeated_chunk_scrub_cms",
     "hashed_quality_classifier",
+    "hashed_quality_classifier_udf",
     "group_fixed_k_sample",
     "token_budget_sample",
     "snapshot_diff",
@@ -742,3 +743,68 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(id_col), change.alias("change"))
+
+
+def hashed_quality_classifier_udf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    keep_cols: tuple[str, ...] = (),
+    buckets: int = 4096,
+    weight_scale: int = 1000,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Arrow-batched hot tier of :func:`hashed_quality_classifier` —
+    IDENTICAL scores (same md5 → bucket → weight arithmetic, pinned by a
+    tier-equality test), computed in one Python pass per batch instead of
+    an interpreted per-token higher-order lambda (F.aggregate is
+    CodegenFallback: one expression-tree interpretation per token — the
+    same hot-path class the heavy-hitter counter moved to Arrow, measured
+    18× there). Same zero-shuffle single-scan plan; prefer this tier for
+    full-corpus scoring, the expression tier for SQL-oracle parity."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    modulus = 2 * weight_scale + 1
+
+    def gen(batches):
+        from mare_spark.operators.dedup import py_tokens
+
+        for pdf in batches:
+            ids, keeps, ns, scores, flags = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                ws = py_tokens(getattr(row, text_col))
+                s = 0
+                for t in ws:
+                    b = (
+                        int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                        % buckets
+                    )
+                    s += (b * 2654435761) % modulus - weight_scale
+                n = len(ws)
+                score = (
+                    math.floor(s / (weight_scale * n) * 1e6 + 0.5) / 1e6
+                )
+                ids.append(getattr(row, id_col))
+                keeps.append([getattr(row, c) for c in keep_cols])
+                ns.append(n)
+                scores.append(score)
+                flags.append(1 if score >= threshold else 0)
+            out = {id_col: ids}
+            for j, c in enumerate(keep_cols):
+                out[c] = [kr[j] for kr in keeps]
+            out.update(
+                n_tokens=ns, quality_score=scores, keep_flag=flags
+            )
+            yield pd.DataFrame(out)
+
+    in_cols = [id_col, *keep_cols, text_col]
+    schema = ", ".join(
+        [f"{id_col} long"]
+        + [f"{c} string" for c in keep_cols]
+        + ["n_tokens int", "quality_score double", "keep_flag int"]
+    )
+    return df.select(*in_cols).mapInPandas(gen, schema)

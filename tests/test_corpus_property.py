@@ -372,3 +372,29 @@ def test_snapshot_diff_classes(spark):
         for r in snapshot_diff(old, new, "text", "doc_id").collect()
     }
     assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_classifier_udf_tier_equals_expression_tier(spark):
+    """The Arrow hot tier reproduces the expression tier byte-for-byte
+    on the fixture corpus (same md5→bucket→weight math)."""
+    from mare_spark.operators.corpus import (
+        hashed_quality_classifier,
+        hashed_quality_classifier_udf,
+    )
+    from mare_spark.tables import read_table
+    from tests.conftest import SF_ORACLE
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    a = {
+        r.doc_id: (r.lang, r.n_tokens, r.quality_score, r.keep_flag)
+        for r in hashed_quality_classifier(
+            docs, "text", "doc_id", keep_cols=("lang",)
+        ).collect()
+    }
+    b = {
+        r.doc_id: (r.lang, r.n_tokens, r.quality_score, r.keep_flag)
+        for r in hashed_quality_classifier_udf(
+            docs, "text", "doc_id", keep_cols=("lang",)
+        ).collect()
+    }
+    assert a == b
