@@ -34,7 +34,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["CountMinSketch", "build_cms", "cms_probe_expr"]
+__all__ = ["CountMinSketch", "build_cms", "cms_probe_expr",
+           "distinct_sketch_table", "merge_distinct_estimates"]
 
 # fixed odd multipliers / offsets per sketch row (splitmix64 outputs of
 # seeds 1..8, forced odd) — deterministic across builds and probes
@@ -154,3 +155,37 @@ def cms_probe_expr(df_or_col, sketch: CountMinSketch, spark=None) -> Column:
         return pd.Series(est.astype(np.int64))
 
     return probe(df_or_col)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (Datasketches HLL via Spark built-ins)
+# ---------------------------------------------------------------------------
+
+
+def distinct_sketch_table(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Materializable per-group HLL sketches of ``key_col``'s distinct
+    count (``hll_sketch_agg`` — Datasketches binary, a few KB per group).
+    The incremental-analytics pattern: persist one sketch row per
+    (day, source, ...) partition as it lands, and answer any coarser
+    distinct-count rollup later by MERGING sketches — no re-scan of
+    history, which at 100 TB is the difference between a metadata query
+    and a month-long backfill."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(key_col).alias("distinct_sketch")
+    )
+
+
+def merge_distinct_estimates(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Roll persisted sketches up to ``group_cols`` granularity:
+    ``hll_union_agg`` merges the binaries (associative — batch
+    boundaries can't change the answer), ``hll_sketch_estimate`` reads
+    the count. Input is the sketch table, never the raw data."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("distinct_sketch")
+        ).alias("approx_distinct")
+    )

@@ -84,3 +84,39 @@ def test_cms_scrub_single_shuffle(spark):
     docs = read_table(spark, SF_ORACLE, "documents")
     df = repeated_chunk_scrub_cms(docs, "text", "doc_id", width_bits=14)
     assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
+
+
+def test_hll_sketch_rollup_is_merge_exact(spark):
+    """Per-day HLL sketches unioned to per-type totals give EXACTLY the
+    estimate a direct single-shot sketch gives (merge associativity of
+    Datasketches HLL), and both sit within 2% of the exact count."""
+    from mare_spark.operators.sketches import (
+        distinct_sketch_table,
+        merge_distinct_estimates,
+    )
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, SF_ORACLE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = distinct_sketch_table(e, "user_id", ["event_type", "day"])
+    rolled = {
+        r.event_type: r.approx_distinct
+        for r in merge_distinct_estimates(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r.event_type: r.approx_distinct
+        for r in merge_distinct_estimates(
+            distinct_sketch_table(e, "user_id", ["event_type"]),
+            ["event_type"],
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rolled == direct
+    for t, n in exact.items():
+        assert abs(rolled[t] - n) / n < 0.02
