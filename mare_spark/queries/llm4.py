@@ -1,11 +1,16 @@
 """Round-3 corpus-cleaning additions (LLM family, continued):
-chunk-level boilerplate removal (the CCNet / RefinedWeb line-dedup
-analog), model-based quality scoring (a hashed-linear fastText stand-in),
-and the deterministic samplers (exact fixed-k per group, exact token-budget
-subsets) — the passes that complete the cleaning-and-recipe story between
-rule gates, document-level near-dup, and mixture construction.
+chunk-level boilerplate removal (the CCNet / RefinedWeb line-dedup analog,
+exact + count-min sketch tiers), model-based quality scoring (a
+hashed-linear fastText stand-in), deterministic samplers (exact fixed-k
+per group, exact token-budget subsets), per-document n-gram novelty,
+edit-distance near-dup verification, RAG-prep sliding chunking, corpus
+snapshot diffing, and deterministic/refined embedding clustering — the
+passes that complete the cleaning-and-recipe story between rule gates,
+document-level near-dup, and mixture construction.
 
-All carry full DuckDB oracles. Tokenization mirrors queries/llm2
+All carry full DuckDB oracles except the probabilistic/iterative tiers
+(CMS scrub, refined k-means — rows-only with differential tests, matching
+the MinHash/SimHash convention). Tokenization mirrors queries/llm2
 (`_NORM`/`_WORDS`); hashing uses the established md5→int parity pattern
 (Spark ``conv(substring(md5(x),1,8),16,10)`` ≡ DuckDB
 ``CAST('0x'||substring(md5(x),1,8) AS BIGINT)``); float outputs follow the
