@@ -215,3 +215,34 @@ def test_sliding_chunks_offsets_and_coverage(spark):
     assert out[-1].chunk_text == "w9"
     rebuilt = " ".join(" ".join(r.chunk_text.split()[:3]) for r in out)
     assert rebuilt == text
+
+
+def test_sliding_chunks_property_reconstruction(spark):
+    """For a batch of arbitrary word-soup docs: stride-aligned prefixes
+    of the chunks reconstruct each document exactly, chunk counts equal
+    ceil(n/stride), and every chunk length is min(window, n - start)."""
+    import math
+    import random
+
+    from mare_spark.operators.text import sliding_chunks
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(f"t{rng.randrange(30)}" for _ in range(rng.randrange(1, 40))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {}
+    for r in sliding_chunks(df, "text", "doc_id", window=7, stride=4).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    for i, text in docs:
+        ws = text.split()
+        rows = sorted(out[i], key=lambda r: r.chunk_idx)
+        assert len(rows) == math.ceil(len(ws) / 4)
+        for r in rows:
+            assert r.start_token == r.chunk_idx * 4
+            assert r.chunk_tokens == min(7, len(ws) - r.start_token)
+        rebuilt = " ".join(
+            " ".join(r.chunk_text.split()[:4]) for r in rows
+        )
+        assert rebuilt == text
