@@ -35,7 +35,7 @@ from mare_spark.operators.corpus import (
     token_budget_sample,
 )
 from mare_spark.operators.analysis import ngram_novelty
-from mare_spark.queries.llm2 import _duck_ngrams, _NORM, _WORDS
+from mare_spark.queries.llm2 import _duck_ngrams, _NORM, _STOPLIST, _TOP_WORD, _WORDS
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -420,3 +420,67 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return snapshot_diff(old, new, "text", "doc_id")
+
+
+@register(
+    "corpus_quality_funnel",
+    category="llm",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, text, md5({_NORM}) AS d, {_WORDS} AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, d, len(w) AS n, length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               AS n_punct,
+             length(replace({_NORM}, ' ', '')) / greatest(len(w), 1)
+               AS avg_wl,
+             len(list_filter(w, x -> list_contains({_STOPLIST}, x)))
+               AS stop_hits,
+             {_TOP_WORD} AS top
+      FROM w
+    ),
+    g AS (
+      SELECT source, d,
+             CAST((n BETWEEN 25 AND 100000)
+                  AND (avg_wl BETWEEN 2.0 AND 12.0)
+                  AND (n_punct / greatest(n_chars, 1) <= 0.10)
+                  AND (stop_hits >= 2)
+                  AND (top / greatest(n, 1) <= 0.25) AS INT) AS kept
+      FROM s
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_pass_gates,
+           count(DISTINCT d) AS n_unique,
+           count(DISTINCT CASE WHEN kept = 1 THEN d END) AS n_clean
+    FROM g GROUP BY source
+    """,
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cleaning funnel: raw documents → rule-gate survivors →
+    unique (exact-dedup) documents → unique survivors — the one-page
+    audit of where each source's data dies before training. Composes the
+    quality_gates operator with the shared normalized digest; one keyed
+    aggregate per source with conditional distinct counts."""
+    from mare_spark.operators.corpus import quality_gates
+    from mare_spark.operators.dedup import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    gated = quality_gates(docs, "text", "doc_id").select("doc_id", "kept")
+    base = docs.select(
+        "doc_id", "source", F.md5(normalize_text(F.col("text"))).alias("d")
+    )
+    return (
+        base.join(gated, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_pass_gates"),
+            F.countDistinct("d").alias("n_unique"),
+            F.countDistinct(
+                F.when(F.col("kept") == 1, F.col("d"))
+            ).alias("n_clean"),
+        )
+    )

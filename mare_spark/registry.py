@@ -70,7 +70,8 @@ def register(
 #   text_ngram_novelty, q_correlated_exists, q_correlated_scalar,
 #   events_funnel, events_cohort_retention, text_chunk_dedup_cms,
 #   q_variant_json, embedding_cluster_assign, embedding_kmeans_refined,
-#   dedup_edit_distance, text_sliding_chunks, corpus_snapshot_diff
+#   dedup_edit_distance, text_sliding_chunks, corpus_snapshot_diff,
+#   corpus_quality_funnel
 # (all are green against their DuckDB oracles at sf0.001/0.01/0.1 locally,
 # or carry differential tests where no oracle exists by design).
 #
