@@ -484,3 +484,95 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_clean"),
         )
     )
+
+
+@register(
+    "pipeline_clean_corpus_v3",
+    category="llm",
+    oracle=f"""
+    WITH w0 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    c0 AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             array_to_string(
+               w[(i*{_CHUNK_WORDS}+1):((i+1)*{_CHUNK_WORDS})], ' ') AS chunk
+      FROM w0,
+           unnest(range(CAST(ceil(len(w) / {_CHUNK_WORDS}.0) AS BIGINT)))
+             AS t(i)
+    ),
+    f0 AS (SELECT md5(chunk) AS h, count(*) AS freq FROM c0 GROUP BY 1),
+    scrub AS (
+      SELECT doc_id,
+             coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                        FILTER (freq <= {_MAX_FREQ}), '') AS text
+      FROM c0 JOIN f0 ON md5(c0.chunk) = f0.h
+      GROUP BY doc_id
+    ),
+    docs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_WORDS}) - 2, 0) + 1),
+               i -> array_to_string(({_WORDS})[i:i+2], ' '))) AS sh
+      FROM scrub
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING common / (na + nb - common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    r1 AS (SELECT src AS node, least(src, min(dst)) AS label
+           FROM edges GROUP BY src),
+    r2 AS (
+      SELECT e.src AS node, least(max(r.label), min(l.label)) AS label
+      FROM edges e JOIN r1 r ON r.node = e.src JOIN r1 l ON l.node = e.dst
+      GROUP BY e.src
+    ),
+    q AS (SELECT doc_id, len({_WORDS}) AS n_tokens FROM scrub)
+    SELECT d.doc_id, q.n_tokens
+    FROM scrub d
+    JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN r2 ON r2.node = d.doc_id
+    WHERE q.n_tokens >= 30
+      AND (r2.node IS NULL OR r2.label = d.doc_id)
+    """,
+)
+def pipeline_clean_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v3 — today's full cleaning recipe in one declarative
+    plan: (1) chunk-level boilerplate scrub (corpus-frequent 8-word
+    chunks removed), (2) length gate (≥30 surviving tokens), (3) 3-gram
+    Jaccard near-dup on the SCRUBBED text (boilerplate no longer inflates
+    similarity), (4) cluster resolution keeping the min-id
+    representative. Proves the scrub composes with the near-dup stack —
+    same stages a production pretraining pass chains, with the whole
+    composition replayed in one SQL oracle."""
+    from mare_spark.operators.corpus import repeated_chunk_scrub
+    from mare_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+    from mare_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    scrub = repeated_chunk_scrub(
+        docs, "text", "doc_id",
+        chunk_words=_CHUNK_WORDS, max_freq=_MAX_FREQ,
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    pairs = ngram_jaccard_pairs(scrub, "text", "doc_id", n=3, threshold=0.8)
+    clusters = dedup_clusters(pairs)
+    release_caches(pairs)
+    drop = clusters.filter(F.col("member") != F.col("cluster")).select(
+        F.col("member").alias("doc_id")
+    )
+    return (
+        scrub.withColumn("n_tokens", F.size(tokens(F.col("text"))))
+        .filter(F.col("n_tokens") >= 30)
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens")
+    )
