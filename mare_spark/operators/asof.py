@@ -27,9 +27,14 @@ def asof_join(
     by: str,
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the most recent right row with
-    ``right.on <= left.on`` within the same ``by`` group (backward as-of).
+    ``right.on <= left.on`` within the same ``by`` group (backward as-of,
+    the default), or — ``direction="forward"`` — the EARLIEST right row
+    with ``right.on >= left.on`` (the "next quote/measurement after this
+    event" join). Forward is the same carry plan over the reversed event
+    order: one shuffle, one local sort, no UDF either way.
 
     Plan: tag and union the two inputs, hash-partition by ``by``, order by
     (event time, right-before-left at ties), then carry the latest right ROW
@@ -41,6 +46,8 @@ def asof_join(
     substitute field values from older rows). Left rows then project the
     carried struct's fields. Ties (equal timestamps) match (>= semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
 
@@ -60,9 +67,13 @@ def asof_join(
             rt = rt.withColumn(c, F.lit(None))
 
     unioned = lt.select(lt.columns).unionByName(rt.select(lt.columns))
+    # backward: ascending time, right rows before left at ties (>= match).
+    # forward: DESCENDING time — the carry then holds the nearest LATER
+    # right row; ties still match because right still sorts before left.
+    time_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         W.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(time_order, F.col("_side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(

@@ -482,3 +482,48 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("k_total"),
         F.max("k").alias("k_max"),
     )
+
+
+_ASOF_FWD_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id,
+       p.user_id,
+       p.ts,
+       round(p.value, 2)  AS purchase_value,
+       v.ts               AS view_ts,
+       round(v.value, 2)  AS view_value
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts <= v.ts
+"""
+
+
+@register("q_asof_join_forward", oracle=_ASOF_FWD_ORACLE)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase picks up the EARLIEST later (or
+    simultaneous) view by the same user — the "next measurement after
+    this event" direction, same carry plan over the reversed event
+    order. Oracle: DuckDB native ASOF LEFT JOIN with p.ts <= v.ts."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, views, on="ts", by="user_id",
+        right_cols=["ts", "value"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("purchase_value"),
+        F.col("ts_asof").alias("view_ts"),
+        F.round("value_asof", 2).alias("view_value"),
+    )

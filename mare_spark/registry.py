@@ -71,7 +71,7 @@ def register(
 #   events_funnel, events_cohort_retention, text_chunk_dedup_cms,
 #   q_variant_json, embedding_cluster_assign, embedding_kmeans_refined,
 #   dedup_edit_distance, text_sliding_chunks, corpus_snapshot_diff,
-#   corpus_quality_funnel, pipeline_clean_corpus_v3
+#   corpus_quality_funnel, pipeline_clean_corpus_v3, q_asof_join_forward
 # (all are green against their DuckDB oracles at sf0.001/0.01/0.1 locally,
 # or carry differential tests where no oracle exists by design).
 #
