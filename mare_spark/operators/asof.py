@@ -51,6 +51,11 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
 
+    # NULL event times never match (SQL comparison semantics — DuckDB's
+    # ASOF and pd.merge_asof agree): drop NULL-on right rows so they can
+    # never be carried; NULL-on left rows are ordered BEFORE every right
+    # row (nulls-first both directions) so their carry is NULL.
+    right = right.filter(F.col(on).isNotNull())
     rt = right.select(
         F.col(by),
         F.col(on),
@@ -70,7 +75,11 @@ def asof_join(
     # backward: ascending time, right rows before left at ties (>= match).
     # forward: DESCENDING time — the carry then holds the nearest LATER
     # right row; ties still match because right still sorts before left.
-    time_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    time_order = (
+        F.col(on).asc_nulls_first()
+        if direction == "backward"
+        else F.col(on).desc_nulls_first()
+    )
     w = (
         W.partitionBy(by)
         .orderBy(time_order, F.col("_side").asc())
@@ -117,15 +126,24 @@ def asof_join_pandas(
     )
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        lpdf = lpdf.sort_values(on, kind="mergesort")
+        # NULL keys never match (merge_asof raises on them): merge the
+        # non-NULL left rows, re-append NULL-key rows with a NULL carry.
+        lnull = lpdf[lpdf[on].isna()]
+        lpdf = lpdf[lpdf[on].notna()].sort_values(on, kind="mergesort")
+        rpdf = rpdf[rpdf[on].notna()]
         rpdf = rpdf.sort_values(on, kind="mergesort")[[on] + right_cols].rename(
             columns={c: f"{c}{suffix}" for c in right_cols}
         )
         if rpdf.empty:
+            out = pd.concat([lpdf, lnull])
             for c in right_cols:
-                lpdf[f"{c}{suffix}"] = None
-            return lpdf[out_fields]
+                out[f"{c}{suffix}"] = None
+            return out[out_fields]
         m = pd.merge_asof(lpdf, rpdf, on=on, direction="backward")
+        if not lnull.empty:
+            for c in right_cols:
+                lnull = lnull.assign(**{f"{c}{suffix}": None})
+            m = pd.concat([m, lnull])
         return m[out_fields]
 
     return (

@@ -31,6 +31,22 @@ _SHINGLES3 = (
     f"i -> array_to_string(({_WORDS})[i:i+2], ' ')))"
 )
 
+# EXACT connected components for the cluster/pipeline oracles: a recursive
+# reachability fixpoint over a bound ``edges(src, dst)`` CTE (bidirectional),
+# yielding ``labels(node, label)`` with label = component minimum. The
+# engine's dedup_clusters iterates min-label propagation to convergence, so
+# the oracle must too — a FIXED 2-round propagation (the previous form)
+# silently diverges on any diameter-3 component a regenerated fixture may
+# contain. Components are tiny (near-dup pairs/triples), so the recursion
+# is bounded and cheap. Oracles embedding this must open WITH RECURSIVE.
+DUCK_EXACT_CC = """
+    reach(node, m) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.m FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    labels AS (SELECT node, min(m) AS label FROM reach GROUP BY node)"""
+
 
 def duck_rolling_fp(keep: int, window: int = 8) -> str:
     """DuckDB replay of ``operators.text.rolling_hash_fingerprint``:
@@ -154,7 +170,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters_resolve",
     category="llm",
     oracle=f"""
-    WITH docs AS (
+    WITH RECURSIVE docs AS (
       SELECT doc_id, {_SHINGLES3} AS sh FROM documents
     ),
     inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
@@ -169,21 +185,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
     ),
-    -- the fixture's near-dup components are pairs/triples: two rounds of
-    -- min-label propagation reach the fixpoint (same bound the operator
-    -- converges under)
-    r1 AS (
-      SELECT e.src AS node, least(e.src, min(e.dst)) AS label
-      FROM edges e GROUP BY e.src
-    ),
-    r2 AS (
-      SELECT e.src AS node, least(max(r.label), min(l.label)) AS label
-      FROM edges e
-      JOIN r1 r ON r.node = e.src
-      JOIN r1 l ON l.node = e.dst
-      GROUP BY e.src
-    )
-    SELECT node AS member, label AS cluster FROM r2
+    {DUCK_EXACT_CC}
+    SELECT node AS member, label AS cluster FROM labels
     """,
 )
 def dedup_clusters_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,7 +501,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="llm",
     bench=True,
     oracle=f"""
-    WITH docs AS (
+    WITH RECURSIVE docs AS (
       SELECT doc_id, {_SHINGLES3} AS sh FROM documents
     ),
     inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
@@ -513,12 +516,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
     ),
-    r1 AS (SELECT src AS node, least(src, min(dst)) AS label FROM edges GROUP BY src),
-    r2 AS (
-      SELECT e.src AS node, least(max(r.label), min(l.label)) AS label
-      FROM edges e JOIN r1 r ON r.node = e.src JOIN r1 l ON l.node = e.dst
-      GROUP BY e.src
-    ),
+    {DUCK_EXACT_CC},
     q AS (
       SELECT doc_id,
              len({_WORDS}) AS n_tokens
@@ -527,9 +525,9 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, q.n_tokens
     FROM documents d
     JOIN q ON q.doc_id = d.doc_id
-    LEFT JOIN r2 ON r2.node = d.doc_id
+    LEFT JOIN labels ON labels.node = d.doc_id
     WHERE q.n_tokens >= 30
-      AND (r2.node IS NULL OR r2.label = d.doc_id)
+      AND (labels.node IS NULL OR labels.label = d.doc_id)
     """,
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,7 +562,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_clean_corpus_v2",
     category="llm",
     oracle=f"""
-    WITH base AS (
+    WITH RECURSIVE base AS (
       SELECT doc_id, text, lower(text) AS s
       FROM documents
       WHERE length(text) = octet_length(CAST(text AS BLOB))
@@ -584,12 +582,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
     ),
-    r1 AS (SELECT src AS node, least(src, min(dst)) AS label FROM edges GROUP BY src),
-    r2 AS (
-      SELECT e.src AS node, least(max(r.label), min(l.label)) AS label
-      FROM edges e JOIN r1 r ON r.node = e.src JOIN r1 l ON l.node = e.dst
-      GROUP BY e.src
-    ),
+    {DUCK_EXACT_CC},
     c AS (
       SELECT doc_id, length(s) AS n,
              list_transform(range(1, length(s)+1),
@@ -620,9 +613,9 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, q.n_tokens
     FROM base d
     JOIN q ON q.doc_id = d.doc_id
-    LEFT JOIN r2 ON r2.node = d.doc_id
+    LEFT JOIN labels ON labels.node = d.doc_id
     WHERE q.n_tokens >= 30
-      AND (r2.node IS NULL OR r2.label = d.doc_id)
+      AND (labels.node IS NULL OR labels.label = d.doc_id)
       AND d.doc_id NOT IN (SELECT doc_b FROM sub_pairs)
     """,
 )

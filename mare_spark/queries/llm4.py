@@ -35,6 +35,7 @@ from mare_spark.operators.corpus import (
     token_budget_sample,
 )
 from mare_spark.operators.analysis import ngram_novelty
+from mare_spark.queries.llm import DUCK_EXACT_CC
 from mare_spark.queries.llm2 import _duck_ngrams, _NORM, _STOPLIST, _TOP_WORD, _WORDS
 from mare_spark.registry import register
 from mare_spark.tables import read_table
@@ -490,7 +491,7 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_clean_corpus_v3",
     category="llm",
     oracle=f"""
-    WITH w0 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    WITH RECURSIVE w0 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     c0 AS (
       SELECT doc_id, CAST(i AS INT) AS chunk_idx,
              array_to_string(
@@ -526,20 +527,14 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
     ),
-    r1 AS (SELECT src AS node, least(src, min(dst)) AS label
-           FROM edges GROUP BY src),
-    r2 AS (
-      SELECT e.src AS node, least(max(r.label), min(l.label)) AS label
-      FROM edges e JOIN r1 r ON r.node = e.src JOIN r1 l ON l.node = e.dst
-      GROUP BY e.src
-    ),
+    {DUCK_EXACT_CC},
     q AS (SELECT doc_id, len({_WORDS}) AS n_tokens FROM scrub)
     SELECT d.doc_id, q.n_tokens
     FROM scrub d
     JOIN q ON q.doc_id = d.doc_id
-    LEFT JOIN r2 ON r2.node = d.doc_id
+    LEFT JOIN labels ON labels.node = d.doc_id
     WHERE q.n_tokens >= 30
-      AND (r2.node IS NULL OR r2.label = d.doc_id)
+      AND (labels.node IS NULL OR labels.label = d.doc_id)
     """,
 )
 def pipeline_clean_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,3 +158,73 @@ def test_fround_parity_on_adversarial_boundary_values(spark):
         (v, g, w) for v, g, w in zip(vals, got, want) if g != w
     ]
     assert not mism, f"fround divergence: {mism[:5]}"
+
+
+def test_cluster_oracle_exact_cc_on_diameter3_chain(spark, tmp_path):
+    """Regression for the 2-round-propagation oracle bug class: a chain
+    component of diameter 3 (sliding-window near-dups d0-d1-d2-d3, each
+    consecutive pair at Jaccard >= 0.8, non-consecutive below) must
+    resolve every member to the component MINIMUM on both engines. The
+    previous fixed-2-round oracle labeled d3 with its 2-hop min (1), not
+    the true component min (0)."""
+    import shutil
+
+    import pandas as pd
+
+    from mare_spark.tables import TABLE_NAMES, table_path
+
+    sf = str(tmp_path / "sfchain")
+    (tmp_path / "sfchain").mkdir()
+    for t in TABLE_NAMES:
+        shutil.copy(table_path(SF_ORACLE, t), table_path(sf, t))
+
+    words = [f"w{i:03d}" for i in range(200)]
+    chain = [" ".join(words[i * 8 : i * 8 + 100]) for i in range(4)]
+    docs = chain + ["totally unrelated " + " ".join(f"u{i}" for i in range(40))]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["src0"] * len(docs),
+            "n_chars": [len(d) for d in docs],
+        }
+    ).to_parquet(table_path(sf, "documents"))
+
+    q = QUERIES["dedup_clusters_resolve"]
+    got = {r.member: r.cluster for r in q.fn(spark, sf).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}  # diameter-3 chain, one component
+    compare(q.fn(spark, sf), q.oracle, sf)
+
+    # the composed pipeline agrees end-to-end on the same corpus
+    p = QUERIES["pipeline_clean_corpus"]
+    compare(p.fn(spark, sf), p.oracle, sf)
+
+
+def test_shingle_frequency_far_below_candidate_cap():
+    """Contract canary: ngram_jaccard_pairs drops shingles shared by more
+    than max_shingle_freq=1000 docs from CANDIDATE GENERATION, while the
+    all-pairs SQL oracles do not model the cap. That divergence is
+    unreachable while the corpus' densest 3-gram stays far below the cap
+    — this canary fails LOUDLY (instead of a silent oracle mismatch) if a
+    regenerated fixture ever gets within 4x of the boundary, at which
+    point the oracles must model the cap or the queries must pass
+    max_shingle_freq=None."""
+    import duckdb
+
+    for sf in (SF_ORACLE, "/root/testdata/sf0.1"):
+        (max_df,) = duckdb.sql(
+            f"""
+            WITH w AS (SELECT string_split(lower(trim(regexp_replace(
+                         text, '\\s+', ' ', 'g'))), ' ') AS w
+                       FROM '{sf}/documents.parquet'),
+            d AS (SELECT unnest(list_distinct(list_transform(
+                    range(1, greatest(len(w) - 2, 0) + 1),
+                    i -> array_to_string(w[i:i+2], ' ')))) AS sh FROM w)
+            SELECT max(c) FROM (SELECT count(*) AS c FROM d GROUP BY sh)
+            """
+        ).fetchone()
+        assert max_df <= 250, (
+            f"densest 3-gram in {sf} appears in {max_df} docs — within 4x "
+            "of the 1000-doc candidate cap; align oracle and engine"
+        )

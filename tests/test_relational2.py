@@ -75,3 +75,38 @@ def test_asof_no_prior_right_row_gives_null(spark):
     out = asof_join(left, right, on="t", by="k", right_cols=["v"]).collect()
     assert len(out) == 1
     assert out[0].v_asof is None
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """NULL event times: a NULL-ts left row gets a NULL carry (both
+    directions), and a NULL-ts right row is never carried — matching
+    SQL/DuckDB ASOF and pd.merge_asof semantics."""
+    from mare_spark.operators.asof import asof_join, asof_join_pandas
+
+    left = spark.createDataFrame(
+        [(1, "u", 10.0), (2, "u", None), (3, "u", 30.0)],
+        "id long, k string, t double",
+    )
+    right = spark.createDataFrame(
+        [("u", None, -1.0), ("u", 20.0, 5.0)],
+        "k string, t double, v double",
+    )
+    for direction, want in (
+        ("backward", {1: None, 2: None, 3: 5.0}),
+        ("forward", {1: 5.0, 2: None, 3: None}),
+    ):
+        got = {
+            r.id: r.v_asof
+            for r in asof_join(
+                left, right, on="t", by="k",
+                right_cols=["v"], direction=direction,
+            ).collect()
+        }
+        assert got == want, (direction, got)
+    got_pd = {
+        r.id: r.v_asof
+        for r in asof_join_pandas(
+            left, right, on="t", by="k", right_cols=["v"]
+        ).collect()
+    }
+    assert got_pd == {1: None, 2: None, 3: 5.0}
