@@ -563,16 +563,27 @@ def repeated_chunk_scrub_cms(
     count. Size the width at ~2× expected distinct chunks per 1 count of
     acceptable error (see operators.sketches).
     """
+    from pyspark import StorageLevel
+
+    from mare_spark.operators.dedup import attach_caches
     from mare_spark.operators.sketches import build_cms, cms_probe_expr
 
     ex = _chunk_explode(df, text_col, id_col, chunk_words, keep_cols)
-    ex = ex.withColumn("chunk_h", F.xxhash64("chunk"))
+    ex = ex.withColumn("chunk_h", F.xxhash64("chunk")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # the expansion feeds TWO jobs (sketch build, then probe/reassembly);
+    # without the persist the full tokenize+chunk+hash scan runs twice —
+    # release via release_caches(result) once downstream state is
+    # materialized, the same contract as ngram_jaccard_pairs
     sketch = build_cms(ex, "chunk_h", width_bits=width_bits, depth=depth)
     flagged = ex.withColumn(
         "chunk_freq_est", cms_probe_expr(F.col("chunk_h"), sketch)
     )
     keep = F.col("chunk_freq_est") <= max_freq
-    return _chunk_reassemble(flagged, id_col, keep_cols, keep)
+    return attach_caches(
+        _chunk_reassemble(flagged, id_col, keep_cols, keep), ex
+    )
 
 
 def hashed_quality_classifier(
@@ -729,17 +740,24 @@ def snapshot_diff(
     """
     from mare_spark.operators.dedup import normalize_text
 
+    # presence is decided by ID membership, not digest nullity — a doc with
+    # NULL text (NULL digest) present in both snapshots must classify by
+    # the null-safe digest comparison, not masquerade as added/removed
     o = old_df.select(
-        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("_od")
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("_od"),
+        F.lit(1).alias("_op"),
     )
     n = new_df.select(
-        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("_nd")
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("_nd"),
+        F.lit(1).alias("_np"),
     )
     j = o.join(n, id_col, "full_outer")
     change = (
-        F.when(F.col("_od").isNull(), F.lit("added"))
-        .when(F.col("_nd").isNull(), F.lit("removed"))
-        .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+        F.when(F.col("_op").isNull(), F.lit("added"))
+        .when(F.col("_np").isNull(), F.lit("removed"))
+        .when(~F.col("_od").eqNullSafe(F.col("_nd")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(id_col), change.alias("change"))
@@ -802,9 +820,12 @@ def hashed_quality_classifier_udf(
             yield pd.DataFrame(out)
 
     in_cols = [id_col, *keep_cols, text_col]
+    # carry the INPUT types for id/keep columns (string ids, int metadata
+    # etc. must round-trip the hot tier unchanged — tier equivalence is a
+    # contract, not a fixture accident)
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     schema = ", ".join(
-        [f"{id_col} long"]
-        + [f"{c} string" for c in keep_cols]
+        [f"{c} {in_types[c]}" for c in (id_col, *keep_cols)]
         + ["n_tokens int", "quality_score double", "keep_flag int"]
     )
     return df.select(*in_cols).mapInPandas(gen, schema)

@@ -66,6 +66,20 @@ def join_bucketed(spark: SparkSession, left_name: str, right_name: str, key: str
     return spark.table(left_name).join(spark.table(right_name), key)
 
 
+def _require_local_path(path: str, op: str) -> None:
+    """The directory-maintenance ops walk/delete/rename through the LOCAL
+    filesystem; on a remote URI (s3a://, hdfs://...) os.walk silently sees
+    nothing — sizing the rewrite to one file — and the delete/rename fails
+    AFTER the expensive rewrite ran. Refuse early; remote tables should use
+    a real table format's OPTIMIZE/MERGE (gated Delta/Iceberg connectors).
+    """
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"{op} operates on local filesystem paths only, got {path!r}; "
+            "use a lakehouse table format for remote storage"
+        )
+
+
 def write_sorted_layout(
     df: DataFrame,
     path: str,
@@ -121,6 +135,7 @@ def compact_small_files(
     import os
     import shutil
 
+    _require_local_path(path, "compact_small_files")
     files = [
         os.path.join(dp, f)
         for dp, _, fs in os.walk(path)
@@ -133,8 +148,10 @@ def compact_small_files(
     spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(
         tmp
     )
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     after = sum(
         1
         for dp, _, fs in os.walk(path)
@@ -173,6 +190,7 @@ def merge_parquet(
     import os
     import shutil
 
+    _require_local_path(path, "merge_parquet")
     gone = updates.select(F.col(key))
     if delete_keys is not None:
         gone = gone.unionByName(delete_keys.select(F.col(key)))
@@ -180,5 +198,7 @@ def merge_parquet(
     merged = base.join(gone, key, "left_anti").unionByName(updates)
     tmp = path.rstrip("/") + "._merge_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "._merge_old"
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)

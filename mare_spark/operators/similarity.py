@@ -634,8 +634,12 @@ def kmeans_refine(
     (k × dim) float64 array; Lloyd guarantees within-cluster SSE is
     non-increasing per iteration (pinned by test).
     """
+    init_centroids = np.asarray(init_centroids)
     k, dim = init_centroids.shape
-    cents = init_centroids.copy()
+    # float64 regardless of seed dtype: writing means back into a float32/
+    # int array truncates every iteration and can even break the Lloyd
+    # SSE-descent invariant with integer seeds
+    cents = init_centroids.astype(np.float64, copy=True)
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for _ in range(iters):
         cands = []

@@ -398,9 +398,9 @@ def text_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id % 5 != 0
     )
     SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN o.d IS NULL THEN 'added'
-                WHEN n.d IS NULL THEN 'removed'
-                WHEN o.d != n.d THEN 'changed'
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.d IS DISTINCT FROM n.d THEN 'changed'
                 ELSE 'unchanged' END AS change
     FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     """,

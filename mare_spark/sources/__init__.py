@@ -255,9 +255,14 @@ def read_with_quarantine(
         .option("columnNameOfCorruptRecord", corrupt)
         .schema(full)
     )
+    from mare_spark.operators.dedup import attach_caches
+
     df = getattr(reader, fmt)(path).cache()
     good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
     bad = df.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw_record")
     )
-    return good, bad
+    # the cached parse is recorded on both splits so callers can
+    # release_caches(good_or_bad) once consumed — long sessions otherwise
+    # pin one full-feed cache per call
+    return attach_caches(good, df), attach_caches(bad, df)

@@ -413,17 +413,50 @@ def run_cms_over_stream(
     merge is associative/commutative, so batch boundaries don't change
     the result — pinned by the stream-equals-batch test.
 
+    Restart/retry safety (the sketch must NEVER underestimate):
+    * the running sketch persists to ``<checkpoint_dir>/cms_state.npz``
+      after every epoch (atomic tmp+rename) and reloads at construction,
+      so a restarted query resumes full-history counts instead of
+      silently starting from zeros while Structured Streaming skips the
+      already-committed epochs;
+    * the applied-epoch set persists with it, so a foreachBatch RETRY of
+      an uncommitted epoch is folded exactly once.
+
     Returns ``(query, sketch)``: the running sketch object updates in
     place as epochs commit; call ``query.processAllAvailable()`` (tests)
     or poll it live.
     """
+    import os
+
+    import numpy as np
+
     from mare_spark.operators.sketches import CountMinSketch, build_cms
 
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    state_path = os.path.join(checkpoint_dir, "cms_state.npz")
     sketch = CountMinSketch(width_bits, depth)
+    applied: set[int] = set()
+    if os.path.exists(state_path):
+        st = np.load(state_path)
+        sketch.table = st["table"].copy()
+        applied.update(int(e) for e in st["epochs"])
+
+    def _save() -> None:
+        tmp = state_path + ".tmp"
+        with open(tmp, "wb") as f:  # file handle: savez appends no suffix
+            np.savez(
+                f, table=sketch.table,
+                epochs=np.array(sorted(applied), dtype=np.int64),
+            )
+        os.replace(tmp, state_path)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in applied:
+            return  # epoch retry — already folded
         part = build_cms(batch_df, key_col, width_bits=width_bits, depth=depth)
         sketch.table += part.table
+        applied.add(int(epoch_id))
+        _save()
 
     q = (
         stream_df.writeStream.foreachBatch(fold)
@@ -481,9 +514,31 @@ def run_heavy_hitters_over_stream(
                 (int(vals[i]), int(est[i])) for i in order[:n]
             ]
 
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    state_path = os.path.join(checkpoint_dir, "hh_state.npz")
     tracker = _Tracker()
+    applied: set[int] = set()
+    if os.path.exists(state_path):
+        st = np.load(state_path)
+        tracker.sketch.table = st["table"].copy()
+        tracker.candidates.update(int(c) for c in st["candidates"])
+        applied.update(int(e) for e in st["epochs"])
+
+    def _save() -> None:
+        tmp = state_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(
+                f, table=tracker.sketch.table,
+                candidates=np.array(sorted(tracker.candidates), dtype=np.int64),
+                epochs=np.array(sorted(applied), dtype=np.int64),
+            )
+        os.replace(tmp, state_path)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in applied:
+            return  # epoch retry — already folded
         part = build_cms(
             batch_df, key_col, width_bits=width_bits, depth=depth
         )
@@ -496,6 +551,8 @@ def run_heavy_hitters_over_stream(
             .collect()
         )
         tracker.candidates.update(int(r[0]) for r in top_rows)
+        applied.add(int(epoch_id))
+        _save()
 
     q = (
         stream_df.writeStream.foreachBatch(fold)

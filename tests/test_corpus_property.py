@@ -360,18 +360,24 @@ def test_snapshot_diff_classes(spark):
     from mare_spark.operators.corpus import snapshot_diff
 
     old = spark.createDataFrame(
-        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept  same")],
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept  same"),
+         (5, None), (6, None)],
         "doc_id long, text string",
     )
     new = spark.createDataFrame(
-        [(2, "gamma delta EDITED"), (3, "KEPT SAME"), (4, "brand new doc")],
+        [(2, "gamma delta EDITED"), (3, "KEPT SAME"), (4, "brand new doc"),
+         (5, None), (6, "was null now fixed")],
         "doc_id long, text string",
     )
     got = {
         r.doc_id: r.change
         for r in snapshot_diff(old, new, "text", "doc_id").collect()
     }
-    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+    # NULL-text docs present in both snapshots classify by the null-safe
+    # digest compare (5: NULL==NULL -> unchanged; 6: NULL -> text -> changed),
+    # never as added/removed
+    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added",
+                   5: "unchanged", 6: "changed"}
 
 
 def test_classifier_udf_tier_equals_expression_tier(spark):

@@ -364,3 +364,19 @@ def test_merge_parquet_upsert_insert_delete(spark, tmp_path):
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "B2", 3: "c", 5: "E"}
     assert not os.path.exists(path + "._merge_tmp")
+
+
+def test_maintenance_ops_refuse_remote_paths(spark):
+    """compact/merge walk and rename through the local filesystem; a
+    remote URI must be refused up front, not fail after the rewrite."""
+    import pytest
+
+    from mare_spark.operators.scale import compact_small_files, merge_parquet
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        compact_small_files(spark, "s3a://bucket/tbl")
+    with pytest.raises(ValueError, match="local filesystem"):
+        merge_parquet(
+            spark, "hdfs://nn/tbl",
+            spark.createDataFrame([(1,)], "id long"), "id",
+        )

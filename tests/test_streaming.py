@@ -346,6 +346,23 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     true = np.array([8 + (8 if v < 250 else 0) for v in range(500)])
     assert (sketch.estimate(vals) == true).all()
 
+    # RESTART: a new query on the same checkpoint dir resumes full-history
+    # counts (state persisted per epoch) instead of restarting from zeros
+    c = spark.range(0, 1000).selectExpr("CAST(id % 100 AS LONG) AS k")
+    c.write.parquet(str(d / "f2.parquet"))
+    stream2 = spark.readStream.schema("k long").parquet(str(d) + "/*")
+    q2, sketch2 = S.run_cms_over_stream(
+        stream2, "k", str(tmp_path / "ckpt"), width_bits=12, depth=4
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    batch_all = build_cms(
+        a.unionAll(b).unionAll(c), "k", width_bits=12, depth=4
+    )
+    assert (sketch2.table == batch_all.table).all()
+
 
 def test_streaming_heavy_hitters_match_batch_counts(spark, tmp_path):
     """After two epochs the tracker's top-k equals the exact batch top-k
