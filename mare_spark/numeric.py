@@ -24,10 +24,10 @@ double: the quotient is then the same IEEE double on both engines, and
 both engines round identical doubles identically (verified on the
 2.675/0.125 hazard values).
 
-``tests/test_queries_oracle.py::test_oracle_dtype_and_exact_value_parity``
-enforces the convention: every oracle query must match DuckDB with ZERO
-float tolerance and identical dtype kinds, which is what the driver's
-value hash requires.
+The convention is enforced by ``tests/oracle.py::compare`` (zero float
+tolerance, per-column dtype-kind assert — what the driver's value hash
+requires), exercised for every oracle query by
+``tests/test_queries_oracle.py::test_oracle_match``.
 """
 
 from __future__ import annotations

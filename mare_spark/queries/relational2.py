@@ -276,6 +276,8 @@ def _weighted_avg_pudf(price: pd.Series, qty: pd.Series) -> float:
         num += int(np.multiply(pc[i:i+1_000_000], qc[i:i+1_000_000],
                                dtype=np.int64).sum())
         den += int(qc[i:i+1_000_000].sum())
+    if den == 0:
+        return None  # all-zero weights: NULL, matching DuckDB's x/0 -> NULL
     return float(num) / (float(den) * 100.0)
 
 

@@ -228,3 +228,33 @@ def test_shingle_frequency_far_below_candidate_cap():
             f"densest 3-gram in {sf} appears in {max_df} docs — within 4x "
             "of the 1000-doc candidate cap; align oracle and engine"
         )
+
+
+def test_agg_stats_constant_group_clamps_negative_variance(spark, tmp_path):
+    """Regression: a group whose values are all equal makes the exact-
+    moment variance (pq - pv²/n)/(n-1) a TINY negative through float
+    cancellation (five rows of 0.01 → -1e-19); unclamped, Spark sqrt
+    NaNs and DuckDB hard-errors. Both engines must clamp to 0.0 and
+    hash-match."""
+    import shutil
+
+    import pandas as pd
+
+    from mare_spark.tables import TABLE_NAMES, table_path
+
+    sf = str(tmp_path / "sfconst")
+    (tmp_path / "sfconst").mkdir()
+    for t in TABLE_NAMES:
+        shutil.copy(table_path(SF_ORACLE, t), table_path(sf, t))
+    li = pd.read_parquet(table_path(sf, "lineitem"))
+    mask = li["l_returnflag"] == li["l_returnflag"].iloc[0]
+    li.loc[mask, "l_extendedprice"] = 0.01
+    li.loc[mask, "l_quantity"] = 5.0
+    li.to_parquet(table_path(sf, "lineitem"))
+
+    q = QUERIES["q_agg_stats"]
+    rows = {r.l_returnflag: r for r in q.fn(spark, sf).collect()}
+    const_flag = li["l_returnflag"].iloc[0]
+    assert rows[const_flag].std_price == 0.0
+    assert rows[const_flag].var_qty == 0.0
+    compare(q.fn(spark, sf), q.oracle, sf)
