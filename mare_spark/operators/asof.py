@@ -102,9 +102,15 @@ def asof_join_pandas(
     by: str,
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """``pd.merge_asof`` per key via cogrouped applyInPandas (backward,
-    inclusive) — the slow-path variant kept for tolerance/nearest options."""
+    """``pd.merge_asof`` per key via cogrouped applyInPandas — the tier
+    that carries the options the window composition doesn't:
+    ``direction`` in backward/forward/NEAREST, and ``tolerance`` (maximum
+    |left.on - right.on|, e.g. ``pd.Timedelta("10min")`` for timestamps
+    or a number for numeric keys — beyond it, no match). Inclusive ties
+    both directions, matching merge_asof defaults."""
     import pandas as pd
 
     if right_cols is None:
@@ -139,7 +145,9 @@ def asof_join_pandas(
             for c in right_cols:
                 out[f"{c}{suffix}"] = None
             return out[out_fields]
-        m = pd.merge_asof(lpdf, rpdf, on=on, direction="backward")
+        m = pd.merge_asof(
+            lpdf, rpdf, on=on, direction=direction, tolerance=tolerance
+        )
         if not lnull.empty:
             for c in right_cols:
                 lnull = lnull.assign(**{f"{c}{suffix}": None})

@@ -110,3 +110,37 @@ def test_asof_join_null_timestamps_never_match(spark):
         ).collect()
     }
     assert got_pd == {1: None, 2: None, 3: 5.0}
+
+
+def test_asof_pandas_nearest_and_tolerance(spark):
+    """The pandas tier's extra options: direction='nearest' picks the
+    closer of prior/next (ties -> prior, merge_asof semantics), and a
+    tolerance bound drops matches farther than the window."""
+    from mare_spark.operators.asof import asof_join_pandas
+
+    left = spark.createDataFrame(
+        [(1, "u", 10.0), (2, "u", 18.0), (3, "u", 100.0)],
+        "id long, k string, t double",
+    )
+    right = spark.createDataFrame(
+        [("u", 8.0, 1.0), ("u", 21.0, 2.0)],
+        "k string, t double, v double",
+    )
+    nearest = {
+        r.id: r.v_asof
+        for r in asof_join_pandas(
+            left, right, on="t", by="k", right_cols=["v"],
+            direction="nearest",
+        ).collect()
+    }
+    # 10 -> 8 (d=2) over 21 (d=11); 18 -> 21 (d=3) over 8 (d=10); 100 -> 21
+    assert nearest == {1: 1.0, 2: 2.0, 3: 2.0}
+
+    tol = {
+        r.id: r.v_asof
+        for r in asof_join_pandas(
+            left, right, on="t", by="k", right_cols=["v"],
+            direction="nearest", tolerance=5.0,
+        ).collect()
+    }
+    assert tol == {1: 1.0, 2: 2.0, 3: None}  # 100 is 79 away: out of window
