@@ -8,6 +8,7 @@ harness are runnable without writing a driver script.
     python -m mare_spark run q1_pricing_summary [--sf-dir D] [--limit N] [--json]
     python -m mare_spark sql "SELECT count(*) FROM lineitem" [--sf-dir D]
     python -m mare_spark explain q5_local_supplier_volume [--sf-dir D]
+    python -m mare_spark report [--sf-dir D]
 
 Output rows go to stdout (tab-separated, or JSONL with ``--json``);
 diagnostics go to stderr, so the CLI composes with shell pipelines.
@@ -88,6 +89,26 @@ def cmd_explain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_report(args: argparse.Namespace) -> int:
+    """One-page corpus dataset card: mix, quality funnel, dedup clusters,
+    length histogram — the audit queries a team runs before training,
+    composed into a single readout."""
+    from mare_spark.registry import all_queries
+
+    queries = all_queries()
+    spark = _spark("mare_spark_report")
+    sections = [
+        ("corpus mix (per lang x source)", "corpus_mix_report"),
+        ("quality funnel (per source)", "corpus_quality_funnel"),
+        ("duplicate clusters", "dedup_cluster_stats"),
+        ("length histogram", "corpus_length_histogram"),
+    ]
+    for title, name in sections:
+        print(f"\n== {title} [{name}] ==")
+        _emit(queries[name].fn(spark, args.sf_dir), args.limit, args.json)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m mare_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,6 +135,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("name")
     sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     sp.set_defaults(fn=cmd_explain)
+
+    sp = sub.add_parser("report", help="print the corpus dataset card")
+    sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sp.add_argument("--limit", type=int, default=40)
+    sp.add_argument("--json", action="store_true")
+    sp.set_defaults(fn=cmd_report)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -52,3 +52,16 @@ def test_cli_sql_tsv_with_limit(spark, capsys):
 def test_cli_explain_prints_plan(spark, capsys):
     assert main(["explain", "q1_pricing_summary", "--sf-dir", SF_SMOKE]) == 0
     assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_cli_report(capsys):
+    """The dataset-card command prints all four audit sections."""
+    from mare_spark.__main__ import main
+
+    from tests.conftest import SF_SMOKE
+
+    assert main(["report", "--sf-dir", SF_SMOKE, "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    for section in ("corpus mix", "quality funnel", "duplicate clusters",
+                    "length histogram"):
+        assert section in out
