@@ -144,3 +144,38 @@ def test_asof_pandas_nearest_and_tolerance(spark):
         ).collect()
     }
     assert tol == {1: 1.0, 2: 2.0, 3: None}  # 100 is 79 away: out of window
+
+
+def test_asof_tiers_agree_on_random_data(spark):
+    """Window-composition and merge_asof tiers produce identical backward
+    matches on randomized multi-key data with duplicates, ties, and NULL
+    timestamps on both sides."""
+    import random
+
+    from mare_spark.operators.asof import asof_join, asof_join_pandas
+
+    rng = random.Random(11)
+    left = [
+        (i, rng.choice("abc"),
+         None if rng.random() < 0.1 else float(rng.randrange(100)))
+        for i in range(60)
+    ]
+    right = [
+        (rng.choice("abcd"),
+         None if rng.random() < 0.1 else float(rng.randrange(100)),
+         float(j))
+        for j in range(40)
+    ]
+    ldf = spark.createDataFrame(left, "id long, k string, t double")
+    rdf = spark.createDataFrame(right, "k string, t double, v double")
+    a = {
+        r.id: r.v_asof
+        for r in asof_join(ldf, rdf, on="t", by="k", right_cols=["v"]).collect()
+    }
+    b = {
+        r.id: r.v_asof
+        for r in asof_join_pandas(
+            ldf, rdf, on="t", by="k", right_cols=["v"]
+        ).collect()
+    }
+    assert a == b
