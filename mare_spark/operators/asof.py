@@ -137,9 +137,17 @@ def asof_join_pandas(
         lnull = lpdf[lpdf[on].isna()]
         lpdf = lpdf[lpdf[on].notna()].sort_values(on, kind="mergesort")
         rpdf = rpdf[rpdf[on].notna()]
-        rpdf = rpdf.sort_values(on, kind="mergesort")[[on] + right_cols].rename(
-            columns={c: f"{c}{suffix}" for c in right_cols}
+        # right_cols may include the event-time column itself (emit the
+        # matched row's own timestamp, as q_asof_join does): duplicate it
+        # under the suffixed name BEFORE selecting, instead of renaming a
+        # doubled [on, on] selection (which renamed both copies and broke
+        # merge_asof's join key)
+        others = [c for c in right_cols if c != on]
+        rpdf = rpdf.sort_values(on, kind="mergesort")[[on] + others].rename(
+            columns={c: f"{c}{suffix}" for c in others}
         )
+        if on in right_cols:
+            rpdf[f"{on}{suffix}"] = rpdf[on]
         if rpdf.empty:
             out = pd.concat([lpdf, lnull])
             for c in right_cols:

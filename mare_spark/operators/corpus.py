@@ -581,8 +581,12 @@ def repeated_chunk_scrub_cms(
         "chunk_freq_est", cms_probe_expr(F.col("chunk_h"), sketch)
     )
     keep = F.col("chunk_freq_est") <= max_freq
+    # the sketch broadcast rides the cache-release contract too: Broadcast
+    # exposes unpersist(), which release_caches invokes — repeated scrubs
+    # in one session must not accumulate pinned 2+ MB sketch copies
+    bc = sketch.spark_broadcast(df.sparkSession)
     return attach_caches(
-        _chunk_reassemble(flagged, id_col, keep_cols, keep), ex
+        _chunk_reassemble(flagged, id_col, keep_cols, keep), ex, bc
     )
 
 
@@ -791,23 +795,37 @@ def hashed_quality_classifier_udf(
     def gen(batches):
         from mare_spark.operators.dedup import py_tokens
 
+        wcache: dict[str, int] = {}  # token -> weight; Zipf streams make
+        # the distinct-token set far smaller than the occurrence count, so
+        # memoizing kills most md5 calls (same batch-local reuse as the
+        # heavy-hitter Counter tier)
+
+        def weight_of(t: str) -> int:
+            w = wcache.get(t)
+            if w is None:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % buckets
+                w = (b * 2654435761) % modulus - weight_scale
+                wcache[t] = w
+            return w
+
         for pdf in batches:
             ids, keeps, ns, scores, flags = [], [], [], [], []
             for row in pdf.itertuples(index=False):
-                ws = py_tokens(getattr(row, text_col))
-                s = 0
-                for t in ws:
-                    b = (
-                        int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
-                        % buckets
-                    )
-                    s += (b * 2654435761) % modulus - weight_scale
+                txt = getattr(row, text_col)
+                ids.append(getattr(row, id_col))
+                keeps.append([getattr(row, c) for c in keep_cols])
+                if txt is None:
+                    # expression-tier contract: NULL text -> NULL outputs
+                    ns.append(None)
+                    scores.append(None)
+                    flags.append(None)
+                    continue
+                ws = py_tokens(txt)
+                s = sum(weight_of(t) for t in ws)
                 n = len(ws)
                 score = (
                     math.floor(s / (weight_scale * n) * 1e6 + 0.5) / 1e6
                 )
-                ids.append(getattr(row, id_col))
-                keeps.append([getattr(row, c) for c in keep_cols])
                 ns.append(n)
                 scores.append(score)
                 flags.append(1 if score >= threshold else 0)

@@ -66,6 +66,25 @@ def join_bucketed(spark: SparkSession, left_name: str, right_name: str, key: str
     return spark.table(left_name).join(spark.table(right_name), key)
 
 
+def _swap_dirs(path: str, tmp: str, old: str) -> None:
+    """Crash-safe directory swap with retry recovery: rename the live dir
+    aside, promote the rewrite, drop the old copy. A crash always leaves a
+    complete copy at ``path`` or ``old``; a RERUN first heals whatever
+    state the crash left (stale tmp → discard; orphaned old with no live
+    path → restore) before swapping."""
+    import os
+    import shutil
+
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # previous run completed; leftover old copy
+        else:
+            os.rename(old, path)  # crashed mid-swap; restore the table
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def _require_local_path(path: str, op: str) -> None:
     """The directory-maintenance ops walk/delete/rename through the LOCAL
     filesystem; on a remote URI (s3a://, hdfs://...) os.walk silently sees
@@ -136,6 +155,9 @@ def compact_small_files(
     import shutil
 
     _require_local_path(path, "compact_small_files")
+    old_dir = path.rstrip("/") + "._compact_old"
+    if os.path.exists(old_dir) and not os.path.exists(path):
+        os.rename(old_dir, path)  # heal a crash between the swap renames
     files = [
         os.path.join(dp, f)
         for dp, _, fs in os.walk(path)
@@ -148,10 +170,7 @@ def compact_small_files(
     spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(
         tmp
     )
-    old = path.rstrip("/") + "._compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_dirs(path, tmp, path.rstrip("/") + "._compact_old")
     after = sum(
         1
         for dp, _, fs in os.walk(path)
@@ -191,6 +210,17 @@ def merge_parquet(
     import shutil
 
     _require_local_path(path, "merge_parquet")
+    # MERGE contract: multiple update rows for one key is an error (the
+    # anti-join would drop one base row and append BOTH updates, leaving
+    # permanent duplicates) — batch-sized check, fails before any rewrite
+    dup = (
+        updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_parquet: updates contain duplicate keys — dedupe to "
+            "last-wins upstream before merging"
+        )
     gone = updates.select(F.col(key))
     if delete_keys is not None:
         gone = gone.unionByName(delete_keys.select(F.col(key)))
@@ -198,7 +228,4 @@ def merge_parquet(
     merged = base.join(gone, key, "left_anti").unionByName(updates)
     tmp = path.rstrip("/") + "._merge_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._merge_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_dirs(path, tmp, path.rstrip("/") + "._merge_old")

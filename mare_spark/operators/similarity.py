@@ -555,6 +555,24 @@ def semantic_dedup_pairs(
     return attach_caches(pairs, base)
 
 
+def _nearest_centroid(dv, cents) -> "F.Column":
+    """(dist2, idx) struct of the nearest centroid for a double-array
+    column ``dv``: per-centroid zip_with left-fold squared distance,
+    argmin via struct array_min, exact ties broken by centroid index.
+    THE single assignment expression — assign_to_centroids and
+    kmeans_refine must agree on it by construction."""
+    cands = []
+    for i, c in enumerate(cents):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(dv, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*cands))
+
+
 def assign_to_centroids(
     df: DataFrame,
     vec_col: str,
@@ -593,16 +611,7 @@ def assign_to_centroids(
         ]
     cents = [list(c) for c in centroids]
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cands = []
-    for i, c in enumerate(cents):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        d2 = F.aggregate(
-            F.zip_with(dv, lit_c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cands.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
-    best = F.array_min(F.array(*cands))
+    best = _nearest_centroid(dv, cents)
     return df.select(
         F.col(id_col),
         best["i"].alias("cluster_id"),
@@ -642,17 +651,8 @@ def kmeans_refine(
     cents = init_centroids.astype(np.float64, copy=True)
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for _ in range(iters):
-        cands = []
-        for i in range(k):
-            lit_c = F.array(*[F.lit(float(x)) for x in cents[i]])
-            d2 = F.aggregate(
-                F.zip_with(dv, lit_c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            cands.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
         assigned = df.select(
-            F.array_min(F.array(*cands))["i"].alias("cid"),
+            _nearest_centroid(dv, cents)["i"].alias("cid"),
             dv.alias("v"),
         )
         means = (

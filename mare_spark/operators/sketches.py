@@ -103,6 +103,25 @@ class CountMinSketch:
             self.table.shape
         )
 
+    def spark_broadcast(self, spark):
+        """One cached SparkContext broadcast per sketch (re-probing the
+        same sketch must not pin a fresh copy per call); ``release()``
+        when done."""
+        bc = getattr(self, "_bc", None)
+        if bc is None:
+            bc = spark.sparkContext.broadcast(
+                (self.table, self.width_bits, self.depth)
+            )
+            self._bc = bc
+        return bc
+
+    def release(self) -> None:
+        """Drop the executor-side broadcast copies (driver table stays)."""
+        bc = getattr(self, "_bc", None)
+        if bc is not None:
+            bc.unpersist()
+            self._bc = None
+
 
 def build_cms(
     df: DataFrame, col: str, *, width_bits: int = 16, depth: int = 4
@@ -142,9 +161,7 @@ def cms_probe_expr(df_or_col, sketch: CountMinSketch, spark=None) -> Column:
     from pyspark.sql import SparkSession
 
     spark = spark or SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast(
-        (sketch.table, sketch.width_bits, sketch.depth)
-    )
+    bc = sketch.spark_broadcast(spark)
 
     @F.pandas_udf("long")
     def probe(s: pd.Series) -> pd.Series:

@@ -108,7 +108,8 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_fround(f"CAST(score_int AS DOUBLE) / ({_WSCALE}.0 * n_tokens)", 6)}
              AS quality_score,
            CASE WHEN {sql_fround(f"CAST(score_int AS DOUBLE) / ({_WSCALE}.0 * n_tokens)", 6)}
-                     >= 0.0 THEN 1 ELSE 0 END AS keep_flag
+                     >= 0.0 THEN 1
+                WHEN score_int IS NOT NULL THEN 0 END AS keep_flag
     FROM s
     """,
 )

@@ -194,9 +194,11 @@ views AS (
 SELECT p.event_id,
        p.user_id,
        p.ts,
-       round(p.value, 2)  AS purchase_value,
-       v.ts               AS view_ts,
-       round(v.value, 2)  AS view_value
+       CAST(round(CAST(p.value AS DECIMAL(18,4)), 2) AS DOUBLE)
+         AS purchase_value,
+       v.ts AS view_ts,
+       CAST(round(CAST(v.value AS DECIMAL(18,4)), 2) AS DOUBLE)
+         AS view_value
 FROM purchases p
 ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
@@ -218,9 +220,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round("value", 2).alias("purchase_value"),
+        # decimal-round the exact-4dp money column (round(double, 2) is
+        # engine-divergent near half boundaries — the fround/decimal class)
+        F.round(F.col("value").cast("decimal(18,4)"), 2)
+        .cast("double").alias("purchase_value"),
         F.col("ts_asof").alias("view_ts"),
-        F.round("value_asof", 2).alias("view_value"),
+        F.round(F.col("value_asof").cast("decimal(18,4)"), 2)
+        .cast("double").alias("view_value"),
     )
 
 
@@ -498,9 +504,11 @@ views AS (
 SELECT p.event_id,
        p.user_id,
        p.ts,
-       round(p.value, 2)  AS purchase_value,
-       v.ts               AS view_ts,
-       round(v.value, 2)  AS view_value
+       CAST(round(CAST(p.value AS DECIMAL(18,4)), 2) AS DOUBLE)
+         AS purchase_value,
+       v.ts AS view_ts,
+       CAST(round(CAST(v.value AS DECIMAL(18,4)), 2) AS DOUBLE)
+         AS view_value
 FROM purchases p
 ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts <= v.ts
 """
@@ -525,7 +533,11 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round("value", 2).alias("purchase_value"),
+        # decimal-round the exact-4dp money column (round(double, 2) is
+        # engine-divergent near half boundaries — the fround/decimal class)
+        F.round(F.col("value").cast("decimal(18,4)"), 2)
+        .cast("double").alias("purchase_value"),
         F.col("ts_asof").alias("view_ts"),
-        F.round("value_asof", 2).alias("view_value"),
+        F.round(F.col("value_asof").cast("decimal(18,4)"), 2)
+        .cast("double").alias("view_value"),
     )

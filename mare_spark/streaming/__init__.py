@@ -385,6 +385,46 @@ def clean_corpus_stream(
     )
 
 
+def _sketch_state(checkpoint_dir: str, filename: str):
+    """Shared npz-persisted driver state for the streaming sketch ops:
+    loads prior state (restart resumes full history), tracks applied
+    epochs (retries fold exactly once), saves atomically per epoch.
+    Returns ``(loaded, applied, save, guard)``: ``loaded`` is the prior
+    npz (or None), ``save(**arrays)`` persists arrays + the epoch set,
+    ``guard(fold, after)`` wraps a foreachBatch fn with the retry check
+    and post-epoch persistence."""
+    import os
+
+    import numpy as np
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    state_path = os.path.join(checkpoint_dir, filename)
+    loaded = np.load(state_path) if os.path.exists(state_path) else None
+    applied: set[int] = (
+        {int(e) for e in loaded["epochs"]} if loaded is not None else set()
+    )
+
+    def save(**arrays) -> None:
+        tmp = state_path + ".tmp"
+        with open(tmp, "wb") as f:  # file handle: savez appends no suffix
+            np.savez(
+                f, epochs=np.array(sorted(applied), dtype=np.int64), **arrays
+            )
+        os.replace(tmp, state_path)
+
+    def guard(fold, after):
+        def wrapped(batch_df: DataFrame, epoch_id: int) -> None:
+            if epoch_id in applied:
+                return  # epoch retry — already folded
+            fold(batch_df, epoch_id)
+            applied.add(int(epoch_id))
+            after()
+
+        return wrapped
+
+    return loaded, applied, save, guard
+
+
 # ---------------------------------------------------------------------------
 # Streaming frequency sketch: CMS accumulated across micro-batches
 # ---------------------------------------------------------------------------
@@ -426,40 +466,21 @@ def run_cms_over_stream(
     place as epochs commit; call ``query.processAllAvailable()`` (tests)
     or poll it live.
     """
-    import os
-
-    import numpy as np
-
     from mare_spark.operators.sketches import CountMinSketch, build_cms
 
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    state_path = os.path.join(checkpoint_dir, "cms_state.npz")
+    loaded, _, save, guard = _sketch_state(checkpoint_dir, "cms_state.npz")
     sketch = CountMinSketch(width_bits, depth)
-    applied: set[int] = set()
-    if os.path.exists(state_path):
-        st = np.load(state_path)
-        sketch.table = st["table"].copy()
-        applied.update(int(e) for e in st["epochs"])
-
-    def _save() -> None:
-        tmp = state_path + ".tmp"
-        with open(tmp, "wb") as f:  # file handle: savez appends no suffix
-            np.savez(
-                f, table=sketch.table,
-                epochs=np.array(sorted(applied), dtype=np.int64),
-            )
-        os.replace(tmp, state_path)
+    if loaded is not None:
+        sketch.table = loaded["table"].copy()
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in applied:
-            return  # epoch retry — already folded
         part = build_cms(batch_df, key_col, width_bits=width_bits, depth=depth)
         sketch.table += part.table
-        applied.add(int(epoch_id))
-        _save()
 
     q = (
-        stream_df.writeStream.foreachBatch(fold)
+        stream_df.writeStream.foreachBatch(
+            guard(fold, lambda: save(table=sketch.table))
+        )
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
@@ -514,31 +535,13 @@ def run_heavy_hitters_over_stream(
                 (int(vals[i]), int(est[i])) for i in order[:n]
             ]
 
-    import os
-
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    state_path = os.path.join(checkpoint_dir, "hh_state.npz")
+    loaded, _, save, guard = _sketch_state(checkpoint_dir, "hh_state.npz")
     tracker = _Tracker()
-    applied: set[int] = set()
-    if os.path.exists(state_path):
-        st = np.load(state_path)
-        tracker.sketch.table = st["table"].copy()
-        tracker.candidates.update(int(c) for c in st["candidates"])
-        applied.update(int(e) for e in st["epochs"])
-
-    def _save() -> None:
-        tmp = state_path + ".tmp"
-        with open(tmp, "wb") as f:
-            np.savez(
-                f, table=tracker.sketch.table,
-                candidates=np.array(sorted(tracker.candidates), dtype=np.int64),
-                epochs=np.array(sorted(applied), dtype=np.int64),
-            )
-        os.replace(tmp, state_path)
+    if loaded is not None:
+        tracker.sketch.table = loaded["table"].copy()
+        tracker.candidates.update(int(c) for c in loaded["candidates"])
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in applied:
-            return  # epoch retry — already folded
         part = build_cms(
             batch_df, key_col, width_bits=width_bits, depth=depth
         )
@@ -551,11 +554,15 @@ def run_heavy_hitters_over_stream(
             .collect()
         )
         tracker.candidates.update(int(r[0]) for r in top_rows)
-        applied.add(int(epoch_id))
-        _save()
+
+    def _persist() -> None:
+        save(
+            table=tracker.sketch.table,
+            candidates=np.array(sorted(tracker.candidates), dtype=np.int64),
+        )
 
     q = (
-        stream_df.writeStream.foreachBatch(fold)
+        stream_df.writeStream.foreachBatch(guard(fold, _persist))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

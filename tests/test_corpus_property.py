@@ -390,7 +390,13 @@ def test_classifier_udf_tier_equals_expression_tier(spark):
     from mare_spark.tables import read_table
     from tests.conftest import SF_ORACLE
 
-    docs = read_table(spark, SF_ORACLE, "documents")
+    from pyspark.sql import functions as _F
+
+    docs = read_table(spark, SF_ORACLE, "documents").withColumn(
+        # plant a NULL-text row: both tiers must emit NULL outputs for it
+        "text",
+        _F.when(_F.col("doc_id") == 0, _F.lit(None)).otherwise(_F.col("text")),
+    )
     a = {
         r.doc_id: (r.lang, r.n_tokens, r.quality_score, r.keep_flag)
         for r in hashed_quality_classifier(

@@ -380,3 +380,39 @@ def test_maintenance_ops_refuse_remote_paths(spark):
             spark, "hdfs://nn/tbl",
             spark.createDataFrame([(1,)], "id long"), "id",
         )
+
+
+def test_merge_parquet_rejects_duplicate_update_keys(spark, tmp_path):
+    import pytest
+
+    from mare_spark.operators.scale import merge_parquet
+
+    path = str(tmp_path / "tbl2")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    dup_updates = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_parquet(spark, path, dup_updates, "id")
+
+
+def test_compact_heals_crashed_swap(spark, tmp_path):
+    """A crash between the swap renames leaves the data only at ._old;
+    a rerun restores and completes instead of erroring on a missing
+    table."""
+    import os
+
+    from mare_spark.operators.scale import compact_small_files
+
+    path = str(tmp_path / "tbl3")
+    spark.createDataFrame([(i,) for i in range(100)], "id long") \
+        .repartition(5).write.parquet(path)
+    rows = sorted(r.id for r in spark.read.parquet(path).collect())
+    os.rename(path, path + "._compact_old")  # simulate mid-swap crash
+
+    before, after = compact_small_files(
+        spark, path, target_file_bytes=1 << 30
+    )
+    assert after == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows
+    assert not os.path.exists(path + "._compact_old")
