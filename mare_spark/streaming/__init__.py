@@ -567,3 +567,76 @@ def run_heavy_hitters_over_stream(
         .start()
     )
     return q, tracker
+
+
+def scrub_corpus_stream(
+    stream_docs: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_words: int = 8,
+    max_freq: int = 2,
+    width_bits: int = 16,
+    depth: int = 4,
+):
+    """Incremental chunk-level boilerplate scrub over a document stream:
+    each micro-batch's chunks fold into the checkpointed running CMS
+    first, then the batch is scrubbed against the POST-fold sketch (so a
+    banner exceeding ``max_freq`` within one batch, or across history +
+    this batch, is caught) and cleaned rows append to ``out_dir``.
+
+    Semantics caveat inherent to ANY streaming dedup: copies of a chunk
+    that arrived while its count was still ≤ ``max_freq`` were already
+    emitted and are not retracted — early copies survive, later copies
+    are scrubbed (the same horizon contract as clean_corpus_stream's
+    watermarked dedup). A batch run over the full corpus is the total
+    cleanup; this stream keeps a landing corpus continuously mostly-clean
+    at O(sketch) state, where exact chunk-frequency state would grow with
+    the corpus.
+
+    Restart-safe via the shared checkpointed sketch scaffold; output is
+    append-only parquet keyed by (id, epoch-idempotent fold).
+    """
+    from pyspark import StorageLevel
+
+    from mare_spark.operators.corpus import _chunk_explode, _chunk_reassemble
+    from mare_spark.operators.sketches import (
+        CountMinSketch,
+        build_cms,
+        cms_probe_expr,
+    )
+
+    loaded, _, save, guard = _sketch_state(checkpoint_dir, "scrub_state.npz")
+    sketch = CountMinSketch(width_bits, depth)
+    if loaded is not None:
+        sketch.table = loaded["table"].copy()
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        ex = (
+            _chunk_explode(batch_df, text_col, id_col, chunk_words, ())
+            .withColumn("chunk_h", F.xxhash64("chunk"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        part = build_cms(ex, "chunk_h", width_bits=width_bits, depth=depth)
+        sketch.table += part.table
+        sketch.release()  # re-broadcast the UPDATED table for this probe
+        flagged = ex.withColumn(
+            "est", cms_probe_expr(F.col("chunk_h"), sketch,
+                                  batch_df.sparkSession)
+        )
+        cleaned = _chunk_reassemble(
+            flagged, id_col, (), F.col("est") <= max_freq
+        )
+        cleaned.write.mode("append").parquet(out_dir)
+        ex.unpersist()
+
+    q = (
+        stream_docs.writeStream.foreachBatch(
+            guard(fold, lambda: save(table=sketch.table))
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return q, sketch

@@ -396,3 +396,80 @@ def test_streaming_heavy_hitters_match_batch_counts(spark, tmp_path):
     want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got = tracker.top(10)
     assert {k: c for k, c in got} == dict(want)
+
+
+def test_scrub_corpus_stream_incremental(spark, tmp_path):
+    """Streaming chunk scrub: one-batch run equals the batch CMS scrub;
+    a second batch is scrubbed against history (a banner seen once in
+    epoch 1 and twice in epoch 2 is removed from the LATER copies —
+    early-copy horizon semantics, like watermarked dedup)."""
+    from mare_spark.operators.corpus import repeated_chunk_scrub_cms
+
+    banner = "this site uses cookies accept all to continue now"[:100]
+    # 8-word banner + unique tails; epoch 1: banner once; epoch 2: twice
+    b = "c0 c1 c2 c3 c4 c5 c6 c7"
+    e1 = [(0, b + " tail zero unique"), (1, "plain doc one words here")]
+    e2 = [(2, b + " tail two unique"), (3, b + " tail three unique"),
+          (4, "plain doc four words")]
+
+    d = tmp_path / "scrub_landing"
+    d.mkdir()
+    out = str(tmp_path / "scrub_out")
+    spark.createDataFrame(e1, "doc_id long, text string").write.parquet(
+        str(d / "f0.parquet")
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(d) + "/*"
+    )
+    q, sketch = S.scrub_corpus_stream(
+        stream, str(tmp_path / "scrub_ckpt"), out,
+        chunk_words=8, max_freq=2, width_bits=14,
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(e2, "doc_id long, text string").write.parquet(
+            str(d / "f1.parquet")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 5
+    # epoch-1 copy arrived while count was 1 -> survived (horizon contract)
+    assert got[0].clean_text.startswith(b)
+    # epoch-2 copies pushed the banner count to 3 > max_freq -> scrubbed
+    assert got[2].clean_text == "tail two unique"
+    assert got[3].clean_text == "tail three unique"
+    assert got[1].n_chunks_removed == 0 and got[4].n_chunks_removed == 0
+
+    # single-batch equivalence: the whole corpus in ONE epoch matches the
+    # batch CMS scrub exactly
+    d2 = tmp_path / "scrub_landing2"
+    d2.mkdir()
+    out2 = str(tmp_path / "scrub_out2")
+    all_docs = spark.createDataFrame(e1 + e2, "doc_id long, text string")
+    all_docs.write.parquet(str(d2 / "f0.parquet"))
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(
+        str(d2) + "/*"
+    )
+    q2, _ = S.scrub_corpus_stream(
+        stream2, str(tmp_path / "scrub_ckpt2"), out2,
+        chunk_words=8, max_freq=2, width_bits=14,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    batch = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_chunks_removed)
+        for r in repeated_chunk_scrub_cms(
+            all_docs, "text", "doc_id", chunk_words=8, max_freq=2,
+            width_bits=14,
+        ).collect()
+    }
+    streamed = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_chunks_removed)
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert streamed == batch
