@@ -120,3 +120,29 @@ def test_hll_sketch_rollup_is_merge_exact(spark):
     assert rolled == direct
     for t, n in exact.items():
         assert abs(rolled[t] - n) / n < 0.02
+
+
+def test_cms_one_sided_on_random_streams(spark):
+    """Hypothesis-style sweep without Spark in the loop: for random key
+    streams and deliberately narrow widths, estimates never drop below
+    true counts, and merging arbitrary splits equals the unsplit build."""
+    import random
+
+    rng = random.Random(3)
+    for trial in range(20):
+        n_keys = rng.randrange(1, 400)
+        vals = [rng.randrange(n_keys) for _ in range(rng.randrange(1, 2000))]
+        wb = rng.choice([4, 6, 8, 12])
+        a = CountMinSketch(wb, rng.choice([2, 3, 4]))
+        arr = np.array(vals, dtype=np.int64)
+        a.add(arr)
+        true = np.bincount(arr, minlength=n_keys)
+        est = a.estimate(np.arange(n_keys, dtype=np.int64))
+        assert (est >= true).all(), (trial, wb)
+
+        cut = rng.randrange(len(vals) + 1)
+        b = CountMinSketch(wb, a.depth)
+        b.add(arr[:cut]) if cut else None
+        c = CountMinSketch(wb, a.depth)
+        c.add(arr[cut:]) if cut < len(vals) else None
+        assert ((b.table + c.table) == a.table).all()
