@@ -410,3 +410,49 @@ def test_classifier_udf_tier_equals_expression_tier(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_repeated_chunk_scrub_null_text_drops(spark):
+    """NULL-text documents drop from the scrub output on the engine side
+    (tokenize(NULL) -> NULL -> no chunks) — the documented contract the
+    SQL oracle shares (string_split(NULL) -> NULL -> no unnest rows)."""
+    from mare_spark.operators.corpus import repeated_chunk_scrub
+
+    df = spark.createDataFrame(
+        [(0, "real words here"), (1, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in repeated_chunk_scrub(df, "text", "doc_id").collect()}
+    assert got == {0}
+
+
+def test_chunk_scrub_cms_superset_on_random_corpora(spark):
+    """Operator-level conservativeness on random word-soup corpora: at a
+    narrow sketch width the CMS tier's removals are a superset of the
+    exact tier's per document, never a subset."""
+    import random
+
+    from mare_spark.operators.corpus import (
+        repeated_chunk_scrub,
+        repeated_chunk_scrub_cms,
+    )
+
+    rng = random.Random(5)
+    docs = [
+        (i, " ".join(rng.choice("abcdefgh") for _ in range(rng.randrange(1, 30))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        r.doc_id: r.n_chunks_removed
+        for r in repeated_chunk_scrub(
+            df, "text", "doc_id", chunk_words=3, max_freq=1
+        ).collect()
+    }
+    cms = {
+        r.doc_id: r.n_chunks_removed
+        for r in repeated_chunk_scrub_cms(
+            df, "text", "doc_id", chunk_words=3, max_freq=1, width_bits=4
+        ).collect()
+    }
+    assert set(cms) == set(exact)
+    assert all(cms[d] >= exact[d] for d in exact)
