@@ -147,7 +147,15 @@ def build_cms(
         if seen:
             yield pd.DataFrame({"sketch": [local.table.tobytes()]})
 
-    parts = df.select(col).mapInPandas(gen, "sketch binary").collect()
+    # NULL keys would silently alias to key 0 through the na_value fill —
+    # exclude them from the count (SQL aggregate convention); probe-side
+    # NULLs return key-0's estimate, so probe after a NULL filter too
+    parts = (
+        df.select(col)
+        .where(F.col(col).isNotNull())
+        .mapInPandas(gen, "sketch binary")
+        .collect()
+    )
     merged = CountMinSketch(wb, d)
     for row in parts:
         merged.merge_bytes(row.sketch)

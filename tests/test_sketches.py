@@ -146,3 +146,13 @@ def test_cms_one_sided_on_random_streams(spark):
         c = CountMinSketch(wb, a.depth)
         c.add(arr[cut:]) if cut < len(vals) else None
         assert ((b.table + c.table) == a.table).all()
+
+
+def test_build_cms_ignores_null_keys(spark):
+    """NULL keys are excluded from the count (SQL aggregate convention)
+    instead of silently aliasing to key 0."""
+    df = spark.createDataFrame(
+        [(0,), (0,), (None,), (None,), (None,)], "k long"
+    )
+    sk = build_cms(df, "k", width_bits=8, depth=3)
+    assert int(sk.estimate(np.array([0], dtype=np.int64))[0]) == 2
