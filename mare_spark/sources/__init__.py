@@ -21,9 +21,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Columnar scan: predicate pushdown + column pruning + partition
-    pruning all apply — the default at-scale source."""
+    pruning all apply — the default at-scale source.
+
+    ``merge_schema=True`` unions the schemas of every file (columns
+    added by later ingests read as NULL in older files) — the
+    schema-evolution contract a long-lived landing corpus needs. It
+    costs a footer read per file at planning, so leave it off (the
+    default, reading one footer) for fixed-schema tables."""
+    if merge_schema:
+        return spark.read.option("mergeSchema", "true").parquet(path)
     return spark.read.parquet(path)
 
 

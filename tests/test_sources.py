@@ -177,3 +177,22 @@ def test_read_with_quarantine_splits_bad_rows(spark, tmp_path):
     assert sorted((r.id, r.qty) for r in good.collect()) == [(1, 10), (3, 30)]
     raws = sorted(r.raw_record for r in bad.collect())
     assert raws == ["2,notanumber", "broken line only"]
+
+
+def test_read_parquet_merge_schema_evolution(spark, tmp_path):
+    """A landing dir whose later files add a column reads as the union
+    schema with NULLs in the older files when merge_schema=True."""
+    from mare_spark.sources import read_parquet
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        d + "/ingest=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(d + "/ingest=2")
+
+    merged = read_parquet(spark, d, merge_schema=True)
+    assert set(merged.columns) >= {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
