@@ -667,3 +667,55 @@ def test_edit_distance_pairs_planted_near_dup(spark):
     assert (0, 1) in got and got[(0, 1)] == 1
     assert all(2 not in p for p in got)
     assert all(a < 10 and b < 10 for a, b in got)  # capped bucket dropped
+
+
+def test_edit_distance_pairs_random_differential(spark):
+    """Random word-soup corpora: the Spark tier equals a pure-Python
+    model (prefix-8 blocking, bucket cap, unit-cost Levenshtein)."""
+    import random
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from mare_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(17)
+    # small vocab + short docs force shared prefixes and near-dups
+    docs = [
+        (i, " ".join(rng.choice("ab") for _ in range(rng.randrange(6, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in edit_distance_pairs(
+            df, "text", "doc_id", prefix_words=8, max_dist=6, bucket_cap=25
+        ).collect()
+    }
+
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, t in docs:
+        buckets[" ".join(t.split()[:8])].append((i, t))
+    want = {}
+    for members in buckets.values():
+        if len(members) > 25:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                (ia, ta), (ib, tb) = members[x], members[y]
+                a, b = (ia, ta), (ib, tb)
+                if ia > ib:
+                    a, b = b, a
+                d = lev(a[1], b[1])
+                if d <= 6:
+                    want[(a[0], b[0])] = d
+    assert got == want
