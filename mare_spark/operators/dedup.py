@@ -978,7 +978,12 @@ def edit_distance_pairs(
     """
     s = normalize_text(F.col(text_col))
     pk = F.md5(F.concat_ws(" ", F.slice(F.split(s, " "), 1, prefix_words)))
-    t = df.select(F.col(id_col).alias("_id"), s.alias("_s"), pk.alias("_pk"))
+    # _fan_out: a small-file scan yields one partition, serializing the
+    # O(len²) Levenshtein verify on a single core — same spread as the
+    # shingling tiers
+    t = _fan_out(df).select(
+        F.col(id_col).alias("_id"), s.alias("_s"), pk.alias("_pk")
+    )
     cap = t.groupBy("_pk").agg(F.count("*").alias("_n")).filter(
         F.col("_n") <= bucket_cap
     )
