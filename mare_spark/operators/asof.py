@@ -45,6 +45,16 @@ def asof_join(
     survive, matching ``pd.merge_asof``/DuckDB ``ASOF JOIN``, which never
     substitute field values from older rows). Left rows then project the
     carried struct's fields. Ties (equal timestamps) match (>= semantics).
+
+    Tie determinism: multiple right rows sharing one event time within a
+    group would otherwise leave the carried row unspecified (window order
+    on (time, _side) alone is not total), flipping across runs and
+    partitionings. The window therefore adds the carried struct itself as
+    the final sort key — backward carries the LEXICOGRAPHICALLY LARGEST
+    tied right row, forward the SMALLEST (field order = ``right_cols``).
+    :func:`asof_join_pandas` sorts its right frame by the same composite
+    key, so the two tiers agree on tie-heavy data (for non-NULL tie
+    fields; NULL-ordering inside the tie key is engine-defined).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -80,9 +90,17 @@ def asof_join(
         if direction == "backward"
         else F.col(on).desc_nulls_first()
     )
+    # Deterministic tie winner among same-timestamp right rows: the carry
+    # takes the LAST row in window order, so ordering ties by the struct
+    # ascending (backward) / descending (forward) pins the max / min tied
+    # row — mirrored by asof_join_pandas' composite sort. Left rows have a
+    # NULL struct; they are already separated from right rows by _side.
+    r_tie = (
+        F.col("_r").asc() if direction == "backward" else F.col("_r").desc()
+    )
     w = (
         W.partitionBy(by)
-        .orderBy(time_order, F.col("_side").asc())
+        .orderBy(time_order, F.col("_side").asc(), r_tie)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
@@ -143,7 +161,14 @@ def asof_join_pandas(
         # doubled [on, on] selection (which renamed both copies and broke
         # merge_asof's join key)
         others = [c for c in right_cols if c != on]
-        rpdf = rpdf.sort_values(on, kind="mergesort")[[on] + others].rename(
+        # Composite sort (on, then the carried columns): merge_asof takes
+        # the LAST of a tied group (backward) / FIRST (forward) in frame
+        # order, so ordering ties by the carried values makes the winner
+        # the lexicographic max / min — the same deterministic choice the
+        # window tier pins with its struct tiebreaker.
+        rpdf = rpdf.sort_values([on] + others, kind="mergesort")[
+            [on] + others
+        ].rename(
             columns={c: f"{c}{suffix}" for c in others}
         )
         if on in right_cols:

@@ -994,10 +994,19 @@ def edit_distance_pairs(
     b = t.select(
         F.col("_pk"), F.col("_id").alias("doc_b"), F.col("_s").alias("_sb")
     )
+    # Threshold form: levenshtein(l, r, t) early-exits at O(len·t) per
+    # pair instead of the full O(len²) DP, returning -1 above the bound —
+    # on long documents inside a near-cap bucket the DP is the dominant
+    # cost, so this bounds the verify kernel itself, not just the output.
+    # BETWEEN 0 AND max_dist filters exactly the rows the unbounded form
+    # would have filtered (the -1 sentinel rows are precisely the
+    # > max_dist ones), so the oracle still hash-matches.
     return (
         a.join(b, "_pk")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("edit_dist", F.levenshtein("_sa", "_sb"))
-        .filter(F.col("edit_dist") <= max_dist)
+        .withColumn(
+            "edit_dist", F.levenshtein("_sa", "_sb", max_dist)
+        )
+        .filter(F.col("edit_dist").between(0, max_dist))
         .select("doc_a", "doc_b", "edit_dist")
     )

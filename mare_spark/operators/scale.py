@@ -85,18 +85,26 @@ def _swap_dirs(path: str, tmp: str, old: str) -> None:
     shutil.rmtree(old)
 
 
-def _require_local_path(path: str, op: str) -> None:
+def _require_local_path(path: str, op: str) -> str:
     """The directory-maintenance ops walk/delete/rename through the LOCAL
     filesystem; on a remote URI (s3a://, hdfs://...) os.walk silently sees
     nothing — sizing the rewrite to one file — and the delete/rename fails
     AFTER the expensive rewrite ran. Refuse early; remote tables should use
     a real table format's OPTIMIZE/MERGE (gated Delta/Iceberg connectors).
+
+    Returns the path normalized to a plain local path: a ``file://`` URI is
+    stripped to its filesystem path (every downstream os.walk/os.rename/
+    shutil call needs the raw path — passing the scheme through would hit
+    exactly the post-rewrite failure this guard exists to prevent).
     """
-    if "://" in path and not path.startswith("file://"):
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if "://" in path:
         raise ValueError(
             f"{op} operates on local filesystem paths only, got {path!r}; "
             "use a lakehouse table format for remote storage"
         )
+    return path
 
 
 def write_sorted_layout(
@@ -154,7 +162,7 @@ def compact_small_files(
     import os
     import shutil
 
-    _require_local_path(path, "compact_small_files")
+    path = _require_local_path(path, "compact_small_files")
     old_dir = path.rstrip("/") + "._compact_old"
     if os.path.exists(old_dir) and not os.path.exists(path):
         os.rename(old_dir, path)  # heal a crash between the swap renames
@@ -200,19 +208,52 @@ def merge_parquet(
     same crash contract as compact_small_files: the source is never
     half-deleted).
 
-    At 100 TB, partition the base (write_packed_corpus-style) and call
-    this per affected partition; the anti-join shape is unchanged. For
+    At 100 TB, use :func:`merge_parquet_partitioned` on a hive-partitioned
+    base — it rewrites only the partitions the batch touches (same
+    anti-join shape per partition, untouched files byte-identical). For
     frequent fine-grained merges, graduate to a table format with real
     commit logs (sources.external gates Delta/Iceberg) — copy-on-write
     rewrites everything it touches by design.
+
+    Swap visibility caveat: the tmp→live promotion is two renames, so a
+    concurrent reader can observe ``path`` briefly missing between them —
+    "atomic-ish" means crash-safe (never half-deleted), not
+    reader-isolated. Snapshot isolation needs a real table format.
     """
     import os
-    import shutil
 
-    _require_local_path(path, "merge_parquet")
-    # MERGE contract: multiple update rows for one key is an error (the
-    # anti-join would drop one base row and append BOTH updates, leaving
-    # permanent duplicates) — batch-sized check, fails before any rewrite
+    path = _require_local_path(path, "merge_parquet")
+    # Heal a crash between _swap_dirs' two renames BEFORE touching the
+    # table: if the previous run died after renaming the live dir aside
+    # but before promoting the rewrite, the table is at ._merge_old and
+    # ``path`` is missing — restore it first, otherwise the base read
+    # below fails and the table stays offline until manually renamed.
+    old_dir = path.rstrip("/") + "._merge_old"
+    if os.path.exists(old_dir) and not os.path.exists(path):
+        os.rename(old_dir, path)
+    _check_merge_inputs(updates, key, delete_keys)
+    gone = updates.select(F.col(key))
+    if delete_keys is not None:
+        gone = gone.unionByName(delete_keys.select(F.col(key)))
+    base = spark.read.parquet(path)
+    merged = base.join(gone, key, "left_anti").unionByName(updates)
+    tmp = path.rstrip("/") + "._merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _swap_dirs(path, tmp, old_dir)
+
+
+def _check_merge_inputs(
+    updates: DataFrame, key: str, delete_keys: DataFrame | None
+) -> None:
+    """Batch-sized MERGE preconditions, checked before any rewrite:
+
+    * multiple update rows for one key → error (the anti-join drops one
+      base row and appends BOTH updates, leaving permanent duplicates);
+    * a key in BOTH updates and delete_keys → error (the anti-join would
+      remove the base row and unionByName re-insert the update, silently
+      ignoring the delete — SQL MERGE treats update+delete on one key as
+      a defined conflict, so we do too).
+    """
     dup = (
         updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
     )
@@ -221,11 +262,91 @@ def merge_parquet(
             "merge_parquet: updates contain duplicate keys — dedupe to "
             "last-wins upstream before merging"
         )
-    gone = updates.select(F.col(key))
     if delete_keys is not None:
-        gone = gone.unionByName(delete_keys.select(F.col(key)))
-    base = spark.read.parquet(path)
-    merged = base.join(gone, key, "left_anti").unionByName(updates)
-    tmp = path.rstrip("/") + "._merge_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    _swap_dirs(path, tmp, path.rstrip("/") + "._merge_old")
+        both = (
+            updates.select(F.col(key))
+            .join(delete_keys.select(F.col(key)), key, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if both:
+            raise ValueError(
+                "merge_parquet: key appears in both updates and "
+                "delete_keys — update+delete on one key is a conflict; "
+                "resolve upstream"
+            )
+
+
+def merge_parquet_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str,
+    *,
+    delete_keys: DataFrame | None = None,
+) -> list[str]:
+    """Partition-aware copy-on-write MERGE against a hive-partitioned
+    parquet table (``path/<partition_col>=<value>/...``): only the
+    partitions named by the update/delete rows are rewritten; every other
+    partition's files are left byte-identical (same inode, same mtime) —
+    the 100 TB MERGE story :func:`merge_parquet`'s docstring promises,
+    implemented.
+
+    ``updates`` must carry ``partition_col`` (it decides where each row
+    lands); ``delete_keys`` is ``(key, partition_col)`` so deletes also
+    prune to their partitions. Affected-partition discovery is one
+    batch-sized distinct-collect; each affected partition is then merged
+    independently with the same broadcast anti-join + atomic-ish swap as
+    the unpartitioned form, so a crash mid-run leaves every partition
+    either fully old or fully new (and a rerun heals + completes).
+
+    Returns the list of partition values rewritten.
+    """
+    import os
+
+    path = _require_local_path(path, "merge_parquet_partitioned")
+    if partition_col not in updates.columns:
+        raise ValueError(
+            f"updates must carry partition column {partition_col!r}"
+        )
+    if delete_keys is not None and partition_col not in delete_keys.columns:
+        raise ValueError(
+            f"delete_keys must carry partition column {partition_col!r} "
+            "(a delete without its partition would force a full-table scan)"
+        )
+    _check_merge_inputs(updates, key, delete_keys)
+    parts = updates.select(partition_col)
+    if delete_keys is not None:
+        parts = parts.unionByName(delete_keys.select(partition_col))
+    affected = sorted(r[0] for r in parts.distinct().collect())
+
+    rewritten: list[str] = []
+    for pv in affected:
+        part_dir = os.path.join(path, f"{partition_col}={pv}")
+        old_dir = part_dir + "._merge_old"
+        if os.path.exists(old_dir) and not os.path.exists(part_dir):
+            os.rename(old_dir, part_dir)  # heal a crashed earlier run
+        upd = updates.filter(F.col(partition_col) == F.lit(pv)).drop(
+            partition_col
+        )
+        gone = upd.select(F.col(key))
+        if delete_keys is not None:
+            gone = gone.unionByName(
+                delete_keys.filter(F.col(partition_col) == F.lit(pv)).select(
+                    F.col(key)
+                )
+            )
+        if os.path.exists(part_dir):
+            base = spark.read.parquet(part_dir)
+            merged = base.join(gone, key, "left_anti").unionByName(upd)
+        else:
+            merged = upd  # brand-new partition: inserts only
+        tmp = part_dir + "._merge_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(part_dir):
+            _swap_dirs(part_dir, tmp, old_dir)
+        else:
+            os.rename(tmp, part_dir)
+        rewritten.append(str(pv))
+    return rewritten

@@ -442,22 +442,34 @@ def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery in the SELECT list — for each small
-    part, how many same-brand parts are pricier. Catalyst decorrelates to
-    a left outer aggregate join on p_brand; the per-row subquery never
-    executes per row."""
-    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(
-        """
-        SELECT p.p_partkey, p.p_brand,
-               CAST(round(CAST(p.p_retailprice AS DECIMAL(18,2)), 2) AS DOUBLE)
-                 AS price,
-          (SELECT count(*) FROM part p2
-            WHERE p2.p_brand = p.p_brand
-              AND p2.p_retailprice > p.p_retailprice) AS n_pricier_in_brand
-        FROM part p
-        WHERE p.p_size <= 5
-        """
+    """Correlated scalar count, expressed as a window — for each small
+    part, how many same-brand parts are pricier.
+
+    The naive correlated form (``(SELECT count(*) FROM part p2 WHERE
+    p2.p_brand = p.p_brand AND p2.p_retailprice > p.p_retailprice)``)
+    is decorrelated by Spark 4 into a *domain join*: a
+    BroadcastNestedLoopJoin between the distinct-price domain and the
+    entire part table with only the inequality as the join condition —
+    O(distinct_prices x |part|), an outage at 100 TB. The equivalent
+    window form costs exactly one hash exchange on p_brand:
+    ``rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)``
+    equals 1 + the number of strictly-pricier same-brand rows, so
+    ``rank - 1`` is the correlated count. The rank must be computed over
+    the FULL part table, BEFORE the ``p_size <= 5`` filter (the subquery
+    counts all same-brand parts, not just small ones). The DuckDB oracle
+    keeps the correlated form as the independent cross-check."""
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    ranked = p.withColumn(
+        "n_pricier_in_brand", (F.rank().over(w) - F.lit(1)).cast("bigint")
+    )
+    return ranked.filter(F.col("p_size") <= 5).select(
+        "p_partkey",
+        "p_brand",
+        F.expr(
+            "CAST(round(CAST(p_retailprice AS DECIMAL(18,2)), 2) AS DOUBLE)"
+        ).alias("price"),
+        "n_pricier_in_brand",
     )
 
 

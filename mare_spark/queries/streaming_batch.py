@@ -317,6 +317,79 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_heavy_hitters_replay",
+    category="streaming",
+    oracle="""
+    SELECT user_id, count(*) AS est_count
+    FROM events
+    GROUP BY user_id
+    ORDER BY est_count DESC, user_id
+    LIMIT 20
+    """,
+)
+def streaming_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming execution checked against the exact batch answer:
+    the events table is split into files, replayed through the file-source
+    stream one file per micro-batch, and folded into the streaming CMS +
+    candidate-set heavy-hitters tracker
+    (:func:`mare_spark.streaming.run_heavy_hitters_over_stream`). The
+    tracker's final ``top(k)`` re-estimates every candidate against the
+    full-history sketch; the DuckDB oracle is the exact groupBy top-k.
+
+    Why the sketch answer can hash-match an EXACT oracle: CMS only
+    overestimates when a key collides with another key in EVERY depth row
+    — with width 2^18 and depth 4 over the fixture's key cardinality the
+    collision probability is ~1e-9 per key (and the sketch is
+    deterministic, so a local green run stays green). The candidate cap
+    is set above the per-batch distinct-key count, so the candidate set
+    is the full key set and top-k misses nothing. Boundary ties break on
+    (count DESC, user_id ASC) on both sides.
+
+    Scale story: per batch the sketch partial is a zero-shuffle
+    mapInArrow fold (state O(width x depth), not O(keys)); only the
+    candidate-set refresh pays one keyed aggregate on batch-sized data.
+    This is the driver-visible row for the streaming-sketch family — the
+    batch-equivalence and restart/retry-exactly-once properties are
+    pinned in tests/test_streaming.py.
+    """
+    import shutil
+    import tempfile
+
+    from mare_spark.streaming import run_heavy_hitters_over_stream
+
+    k = 20
+    scratch = tempfile.mkdtemp(prefix="mare_hh_replay_")
+    try:
+        landing = f"{scratch}/landing"
+        # Split the table into 4 files -> 4 micro-batches. The CMS fold is
+        # associative/commutative and the candidate cap exceeds any batch's
+        # distinct-key count, so the split itself cannot change the answer.
+        read_table(spark, sf_dir, "events").select("user_id").repartition(
+            4
+        ).write.parquet(landing)
+        stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q, tracker = run_heavy_hitters_over_stream(
+            stream,
+            "user_id",
+            f"{scratch}/ckpt",
+            k=k,
+            width_bits=18,
+            candidates_per_batch=1_000_000,
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = tracker.top(len(tracker.candidates))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    out = spark.createDataFrame(rows, "user_id long, est_count long")
+    return out.orderBy(F.desc("est_count"), F.asc("user_id")).limit(k)
+
+
+@register(
     "events_cohort_retention",
     category="streaming",
     oracle="""

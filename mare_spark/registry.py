@@ -62,77 +62,72 @@ def register(
 # rows for the FIRST 50 registry entries (dict order), so this list decides
 # which queries gain driver evidence each round.
 #
-# ROUND-4 ROTATION NOTE (the 50-row budget is full this round with the
-# never-checked + repaired + decimal-recheck sets below): front-load the
-# queries registered late in round 3 that therefore have no driver row yet —
-#   dedup_crawl_vs_index, events_user_anomalies, text_chunk_dedup,
-#   text_quality_classifier, sample_fixed_k_per_lang, sample_token_budget,
-#   text_ngram_novelty, q_correlated_exists, q_correlated_scalar,
-#   events_funnel, events_cohort_retention, text_chunk_dedup_cms,
-#   q_variant_json, embedding_cluster_assign, embedding_kmeans_refined,
-#   dedup_edit_distance, text_sliding_chunks, corpus_snapshot_diff,
-#   corpus_quality_funnel, pipeline_clean_corpus_v3, q_asof_join_forward
-# (all are green against their DuckDB oracles at sf0.001/0.01/0.1 locally,
-# or carry differential tests where no oracle exists by design).
-#
-# ROUND-3 ROTATION (executes the plan VERDICT r2 confirmed): front-load
-#   1. the 9 queries with no driver row in r1 OR r2 (CORRECTNESS_r0{1,2}
-#      covered 98 of 107 registered queries between them);
-#   2. the rows repaired this round: the two r2 hash-fails
-#      (q_math_conditional — oracle ceil/floor type drift;
-#      q10_returned_item_reporting — float-summation cent flip, both fixed
-#      via the decimal-summation convention in queries/_decimal.py) and
-#      text_rolling_fingerprint (r2 no_oracle → real DuckDB oracle);
-#   3. money-aggregate representatives re-checked under the new
-#      decimal-summation oracles (q1/q3/q5/q6/q8/q9/q17, window running
-#      sums, grouping sets, streaming views) — their oracle SQL changed
-#      this round, so they need fresh green rows;
-#   4. high-value anchors (dedup/pipeline/similarity) to fill the budget.
-# Everything else follows in registration order.
+# ROUND-4 ROTATION (executes the plan written here in round 3 and confirmed
+# by VERDICT r3 "Next round" #2): front-load
+#   1. the 21 round-3 registrations with no driver row across r1-r3
+#      (every other registered query has at least one green row already);
+#   2. the rows changed THIS round, which therefore need fresh evidence:
+#      q_correlated_scalar (BroadcastNestedLoopJoin domain join rewritten
+#      as a p_brand window — VERDICT r3 "What's wrong" #1) and
+#      dedup_edit_distance (threshold-form levenshtein — both already in
+#      set 1), plus any round-4 registrations (kept to a minimum per the
+#      check-before-register budget rule: new names enter the first-50
+#      only by displacing an already-green anchor);
+#   3. high-value anchors with older green rows to fill the 50 budget —
+#      cheap insurance that the decimal/oracle conventions stayed stable.
+# Everything else follows in registration order. After r4 the
+# never-checked backlog is exactly the set registered in r4 (rule:
+# never-checked at end-of-round <= registered-this-round).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 1. never driver-checked in r1/r2 --
-    "corpus_mix_report", "text_unigram_logprob", "sample_temperature_rates",
-    "events_sessionize", "multimodal_frame_sample",
-    "q_intersect_all", "q_except_all",
-    "dedup_substring_candidates", "dedup_semantic",
-    # -- 2. repaired or newly registered this round --
-    "q_math_conditional", "q10_returned_item_reporting",
-    "text_rolling_fingerprint",
-    "pipeline_clean_corpus_v2", "pipeline_clean_corpus_semantic",
-    "corpus_ngram_heavy_hitters", "text_tfidf_keywords",
-    "corpus_length_histogram", "dedup_cluster_stats",
-    "cross_source_contamination", "embedding_norm_stats",
-    "sample_apply_mixture", "corpus_vocab_stats", "corpus_lang_confusion",
-    # -- 3. decimal-summation re-checks (oracle SQL changed this round) --
+    # -- 1. the 21 round-3 registrations with no driver row yet --
+    "dedup_crawl_vs_index", "events_user_anomalies", "text_chunk_dedup",
+    "text_quality_classifier", "sample_fixed_k_per_lang",
+    "sample_token_budget", "text_ngram_novelty",
+    "q_correlated_exists", "q_correlated_scalar",
+    "events_funnel", "events_cohort_retention",
+    "text_chunk_dedup_cms", "q_variant_json",
+    "embedding_cluster_assign", "embedding_kmeans_refined",
+    "dedup_edit_distance", "text_sliding_chunks",
+    "corpus_snapshot_diff", "corpus_quality_funnel",
+    "pipeline_clean_corpus_v3", "q_asof_join_forward",
+    # -- 2. round-4 registrations (check-before-register: each lands here
+    #       immediately, displacing an anchor below) --
+    "streaming_heavy_hitters_replay",
+    # -- 3. anchors + remaining budget (all green in r1-r3; re-checked as
+    #       convention-stability insurance) --
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_revenue_change", "q7_volume_between_nations",
-    "q8_national_market_share", "q9_product_type_profit",
-    "q11_important_suppliers", "q14_promo_revenue_share", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q19_disjunctive_brackets",
-    "q22_idle_wealthy_customers",
-    "q_join_left_outer", "q_join_range_band",
-    "q_grouping_sets", "q_having", "q_pivot", "q_window_running",
+    "q6_revenue_change", "q9_product_type_profit",
+    "q10_returned_item_reporting", "q17_small_quantity_revenue",
+    "q_agg_stats", "q_window_running", "q_grouping_sets",
+    "q_udf_grouped_agg", "q_udf_pandas_scalar",
+    "q_rollup", "q_cube", "q_math_conditional",
+    "pipeline_clean_corpus", "pipeline_clean_corpus_v2",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_substring_candidates", "dedup_cluster_stats",
+    "sim_topk_cosine", "multimodal_frame_sample",
+    "text_rolling_fingerprint", "text_tfidf_keywords",
+    "decontaminate_vs_eval", "pack_training_sequences",
+    # -- 4. the rest of the corpus follows in registration order --
+    "events_tumbling_window", "events_session_window",
+    "q_join_left_outer", "q_join_range_band", "q_having", "q_pivot",
     "q_sql_returned_items", "q_subquery_above_avg",
-    "events_tumbling_window", "events_sliding_window", "events_session_window",
-    # -- 3b. logic REWRITES under the fround/decimal-moment hardening
-    #        (native stddev/var -> decimal second moments; pandas pairwise
-    #        sum -> exact integer cents; round -> fround on the charge) —
-    #        the highest-risk changed rows, ahead of stale-green anchors --
-    "q_agg_stats", "q_udf_grouped_agg", "q_udf_pandas_scalar",
-    # -- 4. anchors + remaining budget (q_rollup/q_cube dropped to here:
-    #       their oracle change is decimal-round-only — the exact class —
-    #       and both were hash-green in r1) --
-    "q_rollup", "q_cube",
-    "pipeline_clean_corpus", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "sim_topk_cosine", "multimodal_decode",
-    "text_repetition_stats", "text_quality_gates", "decontaminate_vs_eval",
-    "pack_training_sequences", "text_pii_scrub",
-    "q_asof_join", "q_percentiles_exact",
+    "q_intersect_all", "q_except_all",
+    "corpus_mix_report", "text_unigram_logprob", "sample_temperature_rates",
+    "events_sessionize", "sample_apply_mixture",
+    "corpus_ngram_heavy_hitters", "corpus_length_histogram",
+    "corpus_vocab_stats", "corpus_lang_confusion",
+    "cross_source_contamination", "embedding_norm_stats",
+    "dedup_semantic", "pipeline_clean_corpus_semantic",
+    "multimodal_decode", "text_repetition_stats", "text_quality_gates",
+    "text_pii_scrub", "q_asof_join", "q_percentiles_exact",
     "q2_cheapest_supplier_per_part", "q4_priority_with_late_items",
-    "q12_priority_by_linestatus",
-    "q13_customer_order_distribution", "q16_supplier_part_counts",
-    "q18_large_orders", "q20_promo_volume_suppliers",
-    "q21_sole_returning_supplier",
+    "q7_volume_between_nations", "q8_national_market_share",
+    "q11_important_suppliers", "q12_priority_by_linestatus",
+    "q13_customer_order_distribution", "q14_promo_revenue_share",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q18_large_orders", "q19_disjunctive_brackets",
+    "q20_promo_volume_suppliers", "q21_sole_returning_supplier",
+    "q22_idle_wealthy_customers", "events_sliding_window",
 )
 
 

@@ -596,8 +596,10 @@ def scrub_corpus_stream(
     at O(sketch) state, where exact chunk-frequency state would grow with
     the corpus.
 
-    Restart-safe via the shared checkpointed sketch scaffold; output is
-    append-only parquet keyed by (id, epoch-idempotent fold).
+    Restart-safe via the shared checkpointed sketch scaffold; output
+    lands in per-epoch hive subdirectories (``out_dir/epoch=<id>``,
+    overwrite mode) so a foreachBatch retry replaces rather than
+    duplicates its own epoch — read ``out_dir`` as one partitioned table.
     """
     from pyspark import StorageLevel
 
@@ -629,7 +631,16 @@ def scrub_corpus_stream(
         cleaned = _chunk_reassemble(
             flagged, id_col, (), F.col("est") <= max_freq
         )
-        cleaned.write.mode("append").parquet(out_dir)
+        # Epoch-keyed subdirectory in OVERWRITE mode, not a flat append:
+        # a crash after a flat append but before the sketch save would
+        # make the restarted query re-run this epoch and append its rows
+        # a second time. Overwriting epoch=<id> makes the retry replace
+        # its own partial output — the sink is epoch-idempotent like the
+        # sketch fold, and readers see the epoch as a hive partition
+        # column.
+        cleaned.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={int(epoch_id)}"
+        )
         ex.unpersist()
 
     q = (

@@ -179,3 +179,33 @@ def test_asof_tiers_agree_on_random_data(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_asof_tie_winner_is_deterministic_across_tiers(spark):
+    """Multiple right rows at the SAME event time within a group: the
+    carried row must be pinned, not partitioning-dependent — backward
+    carries the lexicographically largest tied row, forward the smallest,
+    and both tiers agree (the r3 ADVICE flake scenario, made explicit)."""
+    left = spark.createDataFrame(
+        [(1, "u", 10.0), (2, "u", 3.0)], "id long, k string, t double"
+    )
+    right = spark.createDataFrame(
+        [("u", 5.0, 1.0), ("u", 5.0, 9.0), ("u", 5.0, 4.0)],
+        "k string, t double, v double",
+    )
+    for direction, want in (("backward", 9.0), ("forward", 1.0)):
+        w = asof_join(
+            left, right, on="t", by="k", right_cols=["v"],
+            direction=direction,
+        )
+        p = asof_join_pandas(
+            left, right, on="t", by="k", right_cols=["v"],
+            direction=direction,
+        )
+        got_w = {r.id: r.v_asof for r in w.collect()}
+        got_p = {r.id: r.v_asof for r in p.collect()}
+        match_id = 1 if direction == "backward" else 2
+        miss_id = 2 if direction == "backward" else 1
+        assert got_w[match_id] == want, (direction, got_w)
+        assert got_w[miss_id] is None, (direction, got_w)
+        assert got_w == got_p, (direction, got_w, got_p)

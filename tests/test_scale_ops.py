@@ -416,3 +416,129 @@ def test_compact_heals_crashed_swap(spark, tmp_path):
     assert after == 1
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows
     assert not os.path.exists(path + "._compact_old")
+
+
+def test_merge_heals_crashed_swap(spark, tmp_path):
+    """merge_parquet mirrors compact's early heal: after a crash between
+    the swap renames (table only at ._merge_old), a rerun restores the
+    table FIRST and completes the merge instead of failing the base read
+    and leaving the table offline."""
+    import os
+
+    from mare_spark.operators.scale import merge_parquet
+
+    path = str(tmp_path / "tbl_heal")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.parquet(path)
+    os.rename(path, path + "._merge_old")  # simulate mid-swap crash
+
+    updates = spark.createDataFrame([(2, "B2")], "id long, v string")
+    merge_parquet(spark, path, updates, "id")
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B2"}
+    assert not os.path.exists(path + "._merge_old")
+
+
+def test_merge_rejects_update_delete_conflict(spark, tmp_path):
+    """A key in BOTH updates and delete_keys is a defined conflict (SQL
+    MERGE semantics), not a silent upsert."""
+    import pytest
+
+    from mare_spark.operators.scale import merge_parquet
+
+    path = str(tmp_path / "tbl_conflict")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    updates = spark.createDataFrame([(1, "x")], "id long, v string")
+    deletes = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="both updates and"):
+        merge_parquet(spark, path, updates, "id", delete_keys=deletes)
+    # table untouched by the failed merge
+    assert {r.v for r in spark.read.parquet(path).collect()} == {"a"}
+
+
+def test_maintenance_ops_normalize_file_uris(spark, tmp_path):
+    """file:// URIs pass the guard AND work: the scheme is stripped before
+    the os.walk/rename calls (previously they sized from an empty listing
+    and failed at the rename after the rewrite)."""
+    import os
+
+    from mare_spark.operators.scale import compact_small_files
+
+    path = str(tmp_path / "tbl_uri")
+    spark.range(1000).repartition(6).write.parquet(path)
+    before, after = compact_small_files(
+        spark, "file://" + path, target_file_bytes=1 << 30
+    )
+    assert before == 6 and after == 1
+    assert not os.path.exists(path + "._compact_tmp")
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_merge_partitioned_rewrites_only_affected(spark, tmp_path):
+    """Partition-aware MERGE: only the partitions named by the batch are
+    rewritten — untouched partitions keep byte-identical files (same
+    inode, same mtime), the property that makes MERGE affordable on a
+    100 TB partitioned table."""
+    import os
+
+    from mare_spark.operators.scale import merge_parquet_partitioned
+
+    path = str(tmp_path / "tbl_part")
+    spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p3")],
+        "id long, v string, pt string",
+    ).write.partitionBy("pt").parquet(path)
+
+    def file_stats(part):
+        d = os.path.join(path, f"pt={part}")
+        return {
+            f: (os.stat(os.path.join(d, f)).st_ino,
+                os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        }
+
+    p2_before, p3_before = file_stats("p2"), file_stats("p3")
+
+    updates = spark.createDataFrame(
+        [(2, "B2", "p1"), (9, "NEW", "p4")], "id long, v string, pt string"
+    )
+    deletes = spark.createDataFrame([(4, "p3")], "id long, pt string")
+    rewritten = merge_parquet_partitioned(
+        spark, path, updates, "id", "pt", delete_keys=deletes
+    )
+    assert sorted(rewritten) == ["p1", "p3", "p4"]
+
+    got = {(r.id, r.pt): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "p1"): "a", (2, "p1"): "B2", (3, "p2"): "c", (9, "p4"): "NEW",
+    }
+    # untouched partition p2: files byte-identical (inode + mtime preserved)
+    assert file_stats("p2") == p2_before
+    # rewritten partition p3 no longer has its old files
+    assert file_stats("p3") != p3_before
+    assert not os.path.exists(os.path.join(path, "pt=p1._merge_tmp"))
+
+
+def test_merge_partitioned_requires_partition_column(spark, tmp_path):
+    import pytest
+
+    from mare_spark.operators.scale import merge_parquet_partitioned
+
+    path = str(tmp_path / "tbl_part2")
+    spark.createDataFrame(
+        [(1, "a", "p1")], "id long, v string, pt string"
+    ).write.partitionBy("pt").parquet(path)
+    with pytest.raises(ValueError, match="partition column"):
+        merge_parquet_partitioned(
+            spark, path,
+            spark.createDataFrame([(1, "x")], "id long, v string"),
+            "id", "pt",
+        )
+    with pytest.raises(ValueError, match="partition column"):
+        merge_parquet_partitioned(
+            spark, path,
+            spark.createDataFrame([(1, "x", "p1")], "id long, v string, pt string"),
+            "id", "pt",
+            delete_keys=spark.createDataFrame([(2,)], "id long"),
+        )
