@@ -719,3 +719,43 @@ def test_edit_distance_pairs_random_differential(spark):
                 if d <= 6:
                     want[(a[0], b[0])] = d
     assert got == want
+
+
+def test_ivf_kmeanspp_seeding_recall_and_determinism(emb):
+    """The k-means++ (D²) seeding option: deterministic across runs (same
+    seed → byte-identical centroids), a genuinely different seed set from
+    uniform, and query recall at fixed nprobe no worse than uniform's
+    (measured EQUAL, 0.59 both, on this near-uniform fixture — the
+    train_ivf_centroids docstring records why uniform stays the default:
+    pair-blocking recall is lower under k-means++ here)."""
+    import numpy as np
+
+    c_pp = train_ivf_centroids(emb, nlist=16, init="kmeans++")
+    c_uni = train_ivf_centroids(emb, nlist=16, init="uniform")
+    assert np.array_equal(c_pp, train_ivf_centroids(emb, nlist=16, init="kmeans++"))
+    assert not np.array_equal(c_pp, c_uni)
+
+    queries = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").head(10)
+    ]
+
+    def recall(cents):
+        hits = 0
+        for q in queries:
+            exact = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+            got = {
+                r.vec_id
+                for r in ivf_topk(
+                    emb, q, k=10, nprobe=4, centroids=cents
+                ).collect()
+            }
+            hits += len(exact & got)
+        return hits / (10 * len(queries))
+
+    r_pp, r_uni = recall(c_pp), recall(c_uni)
+    assert r_pp >= r_uni, (r_pp, r_uni)
+    assert r_pp >= 0.5, r_pp
+
+    with pytest.raises(ValueError, match="init"):
+        train_ivf_centroids(emb, nlist=4, init="random")
