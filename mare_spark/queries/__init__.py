@@ -12,6 +12,7 @@ from mare_spark.queries import (  # noqa: F401
     llm2,
     llm3,
     llm4,
+    llm5,
     pipe,
     relational,
     relational2,

@@ -93,6 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 2. round-4 registrations (check-before-register: each lands here
     #       immediately, displacing an anchor below) --
     "streaming_heavy_hitters_replay",
+    "corpus_train_val_split", "q_udtf_word_positions",
     # -- 3. anchors + remaining budget (all green in r1-r3; re-checked as
     #       convention-stability insurance) --
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
