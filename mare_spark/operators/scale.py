@@ -137,6 +137,77 @@ def write_sorted_layout(
     )
 
 
+def zorder_value(
+    df: DataFrame, cols: list[str], *, bits_per_col: int = 16
+) -> tuple[DataFrame, str]:
+    """Append a Morton (Z-order) interleave column over ``cols``.
+
+    Each column is min/max-scaled to a ``bits_per_col``-bit integer (one
+    cheap global min/max aggregate per call — a single scan-side pass,
+    joined back as a 1-row broadcast), then the columns' bits are
+    interleaved so that sorting by the single z-value clusters rows that
+    are close in EVERY dimension. ``2 cols × 16 bits`` = a 32-bit code —
+    the interleave is pure bitwise expression code (shiftleft/or), fully
+    inside whole-stage codegen.
+
+    Returns ``(df_with_z, zcol_name)``; compose with
+    :func:`write_zorder_layout` or your own range-partitioned write.
+    """
+    if not 1 <= bits_per_col * len(cols) <= 63:
+        raise ValueError("bits_per_col * len(cols) must fit in a signed long")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_max_{c}") for c in cols],
+    )
+    with_stats = df.join(F.broadcast(stats))
+    top = (1 << bits_per_col) - 1
+    scaled = []
+    for c in cols:
+        rng = F.col(f"_max_{c}") - F.col(f"_min_{c}")
+        frac = F.when(rng > 0, (F.col(c).cast("double") - F.col(f"_min_{c}")) / rng).otherwise(F.lit(0.0))
+        scaled.append(F.least(F.floor(frac * (top + 1)).cast("long"), F.lit(top)))
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for bit in range(bits_per_col - 1, -1, -1):
+        for s in scaled:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(s, bit).bitwiseAND(one)
+            )
+    out = with_stats.select(*df.columns, z.alias("_zorder"))
+    return out, "_zorder"
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    num_files: int | None = None,
+    bits_per_col: int = 16,
+) -> None:
+    """Write a Z-ordered parquet layout: rows are range-partitioned and
+    sorted by the Morton interleave of ``cols``, so every output file
+    covers a small HYPERCUBE of the value space — parquet min/max
+    statistics become selective for filters on ANY of the clustered
+    columns, not just the leading one (the multi-dimension upgrade of
+    :func:`write_sorted_layout`, same mechanism as Delta's OPTIMIZE
+    ZORDER BY).
+
+    Cost at 100 TB: one min/max aggregate (scan-side partials), one range
+    exchange on the z-value, embarrassingly parallel sorted writes — the
+    same shuffle budget as the single-column sorted layout.
+    """
+    zdf, zcol = zorder_value(df, cols, bits_per_col=bits_per_col)
+    parted = (
+        zdf.repartitionByRange(num_files, zcol)
+        if num_files
+        else zdf.repartitionByRange(zcol)
+    )
+    parted.sortWithinPartitions(zcol).drop(zcol).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

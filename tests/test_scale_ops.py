@@ -542,3 +542,58 @@ def test_merge_partitioned_requires_partition_column(spark, tmp_path):
             "id", "pt",
             delete_keys=spark.createDataFrame([(2,)], "id long"),
         )
+
+
+def test_zorder_layout_clusters_both_columns(spark, tmp_path):
+    """Z-order: every output file covers a small hypercube, so per-file
+    min/max ranges are narrow on BOTH clustered columns — where the
+    single-column sorted layout leaves the second column's per-file
+    ranges spanning (almost) the whole domain. Asserted as average
+    per-file range coverage, the quantity that drives min/max skipping."""
+    import os
+
+    from mare_spark.operators.scale import (
+        write_sorted_layout,
+        write_zorder_layout,
+    )
+
+    # two independent dimensions; 64 x 64 grid, 16 files -> z-order files
+    # should cover ~1/4 of each dimension, sorted layout ~1 of dim y
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder_layout(df, zpath, ["x", "y"], num_files=16)
+    write_sorted_layout(df, spath, ["x"], num_files=16)
+
+    def avg_coverage(path, col):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 16
+        cov = []
+        for f in files:
+            vals = [r[col] for r in spark.read.parquet(f).select(col).collect()]
+            cov.append((max(vals) - min(vals) + 1) / 64)
+        return sum(cov) / len(cov)
+
+    # z-order: both dimensions well-clustered
+    assert avg_coverage(zpath, "x") <= 0.5, avg_coverage(zpath, "x")
+    assert avg_coverage(zpath, "y") <= 0.5, avg_coverage(zpath, "y")
+    # sorted layout: leading column surgical, second column unclustered
+    assert avg_coverage(spath, "x") <= 0.15
+    assert avg_coverage(spath, "y") >= 0.9
+    # lossless
+    assert spark.read.parquet(zpath).count() == len(rows)
+
+
+def test_zorder_value_validates_width(spark):
+    import pytest
+
+    from mare_spark.operators.scale import zorder_value
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="signed long"):
+        zorder_value(df, ["x", "y"], bits_per_col=32)
