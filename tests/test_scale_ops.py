@@ -597,3 +597,29 @@ def test_zorder_value_validates_width(spark):
     df = spark.createDataFrame([(1, 2)], "x long, y long")
     with pytest.raises(ValueError, match="signed long"):
         zorder_value(df, ["x", "y"], bits_per_col=32)
+
+
+def test_zorder_value_matches_python_morton(spark):
+    """The bitwise interleave expression equals a reference Python Morton
+    encode on the scaled codes — pinning the expression tree (shiftleft/
+    bitwiseOR chains are easy to get subtly wrong, e.g. column order or
+    bit direction)."""
+    from mare_spark.operators.scale import zorder_value
+
+    rows = [(x, y) for x in (0, 1, 5, 63) for y in (0, 2, 31, 63)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    zdf, zcol = zorder_value(df, ["x", "y"], bits_per_col=6)
+    got = {(r.x, r.y): r[zcol] for r in zdf.collect()}
+
+    def scale(v):  # min 0, max 63 in the fixture -> code = v
+        return int(v * 64 / 63) if v < 63 else 63
+
+    def morton(cx, cy, bits=6):
+        z = 0
+        for bit in range(bits - 1, -1, -1):
+            z = (z << 1) | ((cx >> bit) & 1)
+            z = (z << 1) | ((cy >> bit) & 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(scale(x), scale(y)), (x, y, z)
