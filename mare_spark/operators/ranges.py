@@ -1,0 +1,84 @@
+"""Binned (bucketed) interval join — the keyed-join answer to range/theta
+joins Spark would otherwise plan as a nested loop.
+
+A point-in-interval join (``lo <= point < hi``) between two LARGE tables
+cannot be an equi-join directly, so Catalyst falls back to
+BroadcastNestedLoopJoin — fine when one side is O(1) rows (see
+``q_join_range_band``), an outage when both sides scale. The classic fix:
+quantize the value space into fixed-width bins, explode each interval
+across the bins it covers, assign each point its single bin, equi-join on
+the bin (plus any equality keys), and re-check the exact predicate. Every
+matching pair meets in EXACTLY one bin — the point's — so no dedup pass
+is needed, and the join is an ordinary shuffled hash/sort-merge join on a
+uniform fixed-width key.
+
+Cost model: the interval side inflates by ``ceil(len/bin_width) + 1``
+rows; pick ``bin_width`` near the median interval length so the inflation
+is ~2x. A runtime guard (``max_bins_per_interval``) fails fast if a
+degenerate interval (or a mis-chosen width) would explode — at 100 TB an
+unnoticed 10^6-bin interval is a job-killer, so it is an error, not a
+warning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    *,
+    bin_width: float,
+    by: str | None = None,
+    max_bins_per_interval: int = 4096,
+) -> DataFrame:
+    """Inner-join each point row to every interval row with
+    ``lo <= point < hi`` (and ``by`` equality when given), as a keyed
+    equi-join on fixed-width bins instead of a nested loop.
+
+    ``point_col``/``lo_col``/``hi_col`` must be numeric (convert
+    timestamps with ``unix_micros`` upstream — exact integers, no
+    truncation ambiguity). Column names must be disjoint between the two
+    inputs (except ``by``). Returns all columns from both sides.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    overlap = set(points.columns) & set(intervals.columns) - {by}
+    if overlap:
+        raise ValueError(
+            f"points/intervals share non-key columns {sorted(overlap)}; "
+            "rename before joining"
+        )
+    w = F.lit(float(bin_width))
+    pb = points.withColumn("_bin", F.floor(F.col(point_col) / w).cast("long"))
+    lo_bin = F.floor(F.col(lo_col) / w).cast("long")
+    hi_bin = F.floor(F.col(hi_col) / w).cast("long")
+    # Fail fast on degenerate intervals instead of silently exploding: the
+    # guard lives INSIDE the sequence's upper bound, so it cannot be
+    # pruned away with an unused column.
+    hi_guarded = F.when(
+        hi_bin - lo_bin < F.lit(max_bins_per_interval), hi_bin
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "binned_interval_join: an interval spans >= "
+                f"{max_bins_per_interval} bins — raise bin_width or fix "
+                "the degenerate interval"
+            )
+        ).cast("long")
+    )
+    ib = intervals.withColumn("_bin", F.explode(F.sequence(lo_bin, hi_guarded)))
+    keys = (["_bin", by] if by else ["_bin"])
+    return (
+        pb.join(ib, keys, "inner")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_bin")
+    )

@@ -121,3 +121,62 @@ def q_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL first_words(d.text, 5) f
         """
     )
+
+
+@register(
+    "q_join_interval_binned",
+    category="relational",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vts
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, count(*) AS n_views
+    FROM p JOIN v
+      ON v.user_id = p.user_id
+     AND v.vts >= p.pts - 1800000000
+     AND v.vts <  p.pts
+    GROUP BY 1, 2
+    """,
+)
+def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big x big interval join, executed as a KEYED join: views counted in
+    each purchase's trailing 30-minute attribution window, via
+    :func:`mare_spark.operators.ranges.binned_interval_join` — intervals
+    explode across fixed 30-minute bins, points take their single bin,
+    and the join runs as an ordinary shuffled equi-join on (bin, user)
+    with the exact predicate re-checked. The same query written as a raw
+    theta join would plan a per-user nested loop; binned, it passes the
+    registry-wide no-cartesian audit with no allowlist entry.
+
+    Timestamps go through ``unix_micros`` (Spark) / ``epoch_us`` (DuckDB)
+    — exact integers on both engines, no sub-second truncation ambiguity
+    at window boundaries. Counts are integers: trivially hash-stable.
+    """
+    from mare_spark.operators.ranges import binned_interval_join
+
+    e = read_table(spark, sf_dir, "events")
+    horizon_us = 1800 * 1_000_000
+    # the fixture's ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so
+    # the cast to (with-TZ) TIMESTAMP unix_micros requires is value-exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    points = e.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("vts")
+    )
+    intervals = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id"),
+        (us - F.lit(horizon_us)).alias("lo"),
+        us.alias("hi"),
+    )
+    joined = binned_interval_join(
+        points, intervals, "vts", "lo", "hi",
+        bin_width=horizon_us, by="user_id",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_views")
+    )

@@ -209,3 +209,66 @@ def test_asof_tie_winner_is_deterministic_across_tiers(spark):
         assert got_w[match_id] == want, (direction, got_w)
         assert got_w[miss_id] is None, (direction, got_w)
         assert got_w == got_p, (direction, got_w, got_p)
+
+
+def test_binned_interval_join_equals_theta_join(spark):
+    """The binned keyed join must return exactly the pairs of the naive
+    theta join on random data — and its plan must contain a real equi
+    join (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin), never a
+    nested loop."""
+    import random
+
+    from mare_spark.operators.ranges import binned_interval_join
+
+    rng = random.Random(5)
+    points = spark.createDataFrame(
+        [(rng.choice("ab"), float(rng.randrange(1000)), i) for i in range(300)],
+        "k string, p double, pid long",
+    )
+    ivals = []
+    for j in range(80):
+        lo = float(rng.randrange(950))
+        ivals.append((rng.choice("ab"), lo, lo + rng.randrange(1, 120), j))
+    intervals = spark.createDataFrame(
+        ivals, "k string, lo double, hi double, iid long"
+    )
+    binned = binned_interval_join(
+        points, intervals, "p", "lo", "hi", bin_width=64.0, by="k"
+    )
+    got = {(r.pid, r.iid) for r in binned.collect()}
+    theta = points.alias("p").join(
+        intervals.alias("i"),
+        (F.col("p.k") == F.col("i.k"))
+        & (F.col("p.p") >= F.col("i.lo"))
+        & (F.col("p.p") < F.col("i.hi")),
+    )
+    want = {(r.pid, r.iid) for r in theta.collect()}
+    assert got == want and want
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_binned_interval_join_guards(spark):
+    import pytest
+
+    from mare_spark.operators.ranges import binned_interval_join
+
+    points = spark.createDataFrame([(1.0, 1)], "p double, pid long")
+    intervals = spark.createDataFrame(
+        [(0.0, 1e9, 1)], "lo double, hi double, iid long"
+    )
+    # degenerate interval (1e9 wide at width 1) must raise, not explode
+    wide = binned_interval_join(
+        points, intervals, "p", "lo", "hi", bin_width=1.0,
+        max_bins_per_interval=100,
+    )
+    with pytest.raises(Exception, match="spans"):
+        wide.collect()
+    with pytest.raises(ValueError, match="positive"):
+        binned_interval_join(points, intervals, "p", "lo", "hi", bin_width=0)
+    with pytest.raises(ValueError, match="share"):
+        binned_interval_join(
+            points,
+            spark.createDataFrame([(0.0, 2.0, 9)], "lo double, hi double, pid long"),
+            "p", "lo", "hi", bin_width=1.0,
+        )
