@@ -208,6 +208,64 @@ def write_zorder_layout(
     ).parquet(path)
 
 
+def file_skipping_report(
+    path: str, col: str, lo, hi
+) -> dict[str, int]:
+    """How much file-level min/max skipping a range predicate
+    ``lo <= col <= hi`` would get on a parquet directory — the
+    observability half of the layout writers: run it before/after
+    :func:`write_sorted_layout` / :func:`write_zorder_layout` to SEE the
+    clustering pay off, or on a landing directory to decide whether a
+    re-layout is worth a rewrite.
+
+    Reads ONLY parquet footers via pyarrow (no data pages, no Spark job):
+    a file is skippable when every row group's [min, max] for ``col`` is
+    disjoint from [lo, hi]. Returns ``{"files": total, "skippable": n,
+    "row_groups": total_rgs, "skippable_row_groups": n_rgs}``. Files with
+    no statistics for ``col`` count as unskippable (the safe direction).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = _require_local_path(path, "file_skipping_report")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    n_skip_files = n_rgs = n_skip_rgs = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if col not in idx:
+            raise ValueError(f"column {col!r} not in {f}")
+        # a file with no rows is trivially skippable (range partitioning
+        # can emit empty partitions when sampled bounds collide)
+        file_skippable = True
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            n_rgs += 1
+            stats = rg.column(idx[col]).statistics
+            if rg.num_rows == 0 or (
+                stats is not None
+                and stats.has_min_max
+                and (stats.max < lo or stats.min > hi)
+            ):
+                n_skip_rgs += 1
+            else:
+                file_skippable = False
+        if file_skippable:
+            n_skip_files += 1
+    return {
+        "files": len(files),
+        "skippable": n_skip_files,
+        "row_groups": n_rgs,
+        "skippable_row_groups": n_skip_rgs,
+    }
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

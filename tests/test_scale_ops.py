@@ -623,3 +623,42 @@ def test_zorder_value_matches_python_morton(spark):
 
     for (x, y), z in got.items():
         assert z == morton(scale(x), scale(y)), (x, y, z)
+
+
+def test_file_skipping_report_shows_layout_payoff(spark, tmp_path):
+    """The footer-stats report quantifies what the layout writers buy: a
+    range predicate on the sort column skips most files of the sorted
+    layout and (typically) none of a round-robin layout — measured from
+    parquet footers only, no data read."""
+    from mare_spark.operators.scale import (
+        file_skipping_report,
+        write_sorted_layout,
+    )
+
+    li = read_table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    sorted_path = str(tmp_path / "sorted")
+    rr_path = str(tmp_path / "rr")
+    write_sorted_layout(li, sorted_path, ["l_orderkey"], num_files=8)
+    li.repartition(8).write.parquet(rr_path)
+
+    # probe MID-domain: every round-robin file's [min, max] spans it (a
+    # min/max-edge probe would let rr files skip accidentally), while the
+    # sorted layout's disjoint ranges put it in at most 2 files
+    mn, mx = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).head()
+    lo = hi = int((mn + mx) // 2)
+    srt = file_skipping_report(sorted_path, "l_orderkey", lo, hi)
+    rr = file_skipping_report(rr_path, "l_orderkey", lo, hi)
+    assert srt["files"] == rr["files"] == 8
+    # point query mid-domain: sorted layout -> all but (at most) one file
+    # skips (two if the value sits exactly on a range boundary)
+    assert srt["skippable"] >= 6, srt
+    # round-robin: every file spans the whole domain -> nothing skips
+    assert rr["skippable"] == 0, rr
+    assert srt["skippable_row_groups"] >= srt["skippable"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in"):
+        file_skipping_report(sorted_path, "no_such_col", 0, 1)
