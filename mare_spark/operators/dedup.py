@@ -245,10 +245,17 @@ def ngram_jaccard_pairs(
 
     inv = base.select("doc", F.size("shingles").alias("n_sh"),
                       F.explode("shingles").alias("shingle"))
-    freq = inv.groupBy("shingle").agg(F.count("*").alias("df_freq"))
+    # Document frequency as a WINDOW over the shingle, not groupBy+join:
+    # the aggregate form shuffles the exploded index twice (once into the
+    # partial-combined aggregate, once again to join the counts back);
+    # the window form hash-partitions it exactly once and annotates rows
+    # in place. Same df_freq values, one full exchange of the largest
+    # intermediate saved — the win that matters at corpus scale.
+    inv = inv.withColumn(
+        "df_freq", F.count("*").over(W.partitionBy("shingle"))
+    )
     if max_shingle_freq is not None:
-        freq = freq.filter(F.col("df_freq") <= max_shingle_freq)
-    inv = inv.join(freq, "shingle")
+        inv = inv.filter(F.col("df_freq") <= max_shingle_freq)
 
     # PPJoin-style prefix filter (exact): under a global shingle order
     # (rarest first), two sets with Jaccard ≥ t MUST share a shingle within
