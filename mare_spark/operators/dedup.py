@@ -939,12 +939,16 @@ def substring_overlap_candidates(
     fp = rolling_hash_fingerprint(
         df, text_col, id_col, window=window, keep=keep
     )
+    from pyspark.sql import Window as W
+
     inv = fp.select(F.col(id_col).alias("doc"), F.explode("fingerprint").alias("fp"))
     if max_fp_freq is not None:
-        freq = inv.groupBy("fp").agg(F.count("*").alias("fp_freq"))
-        inv = inv.join(
-            freq.filter(F.col("fp_freq") <= max_fp_freq), "fp", "left_semi"
-        )
+        # frequency cap as a window, not agg + semi-join: one exchange on
+        # fp annotates and filters in place, and the self-join below then
+        # reuses that same fp partitioning (both sides share the child)
+        inv = inv.withColumn(
+            "_fp_freq", F.count("*").over(W.partitionBy("fp"))
+        ).filter(F.col("_fp_freq") <= max_fp_freq).drop("_fp_freq")
     return (
         inv.alias("a")
         .join(inv.alias("b"), "fp")
@@ -988,13 +992,16 @@ def edit_distance_pairs(
     # _fan_out: a small-file scan yields one partition, serializing the
     # O(len²) Levenshtein verify on a single core — same spread as the
     # shingling tiers
+    from pyspark.sql import Window as W
+
     t = _fan_out(df).select(
         F.col(id_col).alias("_id"), s.alias("_s"), pk.alias("_pk")
     )
-    cap = t.groupBy("_pk").agg(F.count("*").alias("_n")).filter(
+    # bucket cap as a window over _pk (one exchange, reused by the a x b
+    # self-join below) instead of a count aggregate + join-back
+    t = t.withColumn("_n", F.count("*").over(W.partitionBy("_pk"))).filter(
         F.col("_n") <= bucket_cap
-    )
-    t = t.join(cap.select("_pk"), "_pk")
+    ).drop("_n")
     a = t.select(
         F.col("_pk"), F.col("_id").alias("doc_a"), F.col("_s").alias("_sa")
     )
