@@ -20,6 +20,20 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _orderable(dt) -> bool:
+    """Whether a Spark type can appear in an ORDER BY — maps cannot;
+    arrays/structs are orderable iff their element/field types are."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -95,12 +109,18 @@ def asof_join(
     # ascending (backward) / descending (forward) pins the max / min tied
     # row — mirrored by asof_join_pandas' composite sort. Left rows have a
     # NULL struct; they are already separated from right rows by _side.
-    r_tie = (
-        F.col("_r").asc() if direction == "backward" else F.col("_r").desc()
-    )
+    # Struct ordering requires every carried field to be orderable (maps
+    # are not) — for non-orderable right_cols, fall back to the pre-tie
+    # ordering rather than failing analysis on inputs that used to work;
+    # ties are then engine-chosen, as before.
+    order_keys = [time_order, F.col("_side").asc()]
+    if _orderable(r_struct_type):
+        order_keys.append(
+            F.col("_r").asc() if direction == "backward" else F.col("_r").desc()
+        )
     w = (
         W.partitionBy(by)
-        .orderBy(time_order, F.col("_side").asc(), r_tie)
+        .orderBy(*order_keys)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
@@ -148,6 +168,12 @@ def asof_join_pandas(
         [f"{c} {left_schema[c]}" for c in left.columns]
         + [f"{c} {t}" for c, t in right_schema.items()]
     )
+    # tie-break sort columns: the orderable carried columns (decided from
+    # the Spark schema, so both tiers make the same call)
+    right_types = {f.name: f.dataType for f in right.schema.fields}
+    tie_cols = [
+        c for c in right_cols if c != on and _orderable(right_types[c])
+    ]
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         # NULL keys never match (merge_asof raises on them): merge the
@@ -165,8 +191,10 @@ def asof_join_pandas(
         # the LAST of a tied group (backward) / FIRST (forward) in frame
         # order, so ordering ties by the carried values makes the winner
         # the lexicographic max / min — the same deterministic choice the
-        # window tier pins with its struct tiebreaker.
-        rpdf = rpdf.sort_values([on] + others, kind="mergesort")[
+        # window tier pins with its struct tiebreaker. Non-orderable
+        # carried columns (maps/dicts) are excluded from the sort key,
+        # matching the window tier's fallback.
+        rpdf = rpdf.sort_values([on] + tie_cols, kind="mergesort")[
             [on] + others
         ].rename(
             columns={c: f"{c}{suffix}" for c in others}

@@ -45,6 +45,14 @@ def binned_interval_join(
     timestamps with ``unix_micros`` upstream — exact integers, no
     truncation ambiguity). Column names must be disjoint between the two
     inputs (except ``by``). Returns all columns from both sides.
+
+    Degenerate rows keep SQL theta-join semantics: a NULL point or NULL
+    bound never matches (filtered before binning — without this a NULL
+    bound would NULL the span guard and fire its error branch), and an
+    empty/reversed interval (``hi <= lo``) matches nothing (without the
+    filter, ``sequence(lo_bin, hi_bin)`` on a reversed pair generates a
+    DESCENDING sequence of |span| bins — exactly the explosion the span
+    guard exists to prevent, slipped past it by a negative span).
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
@@ -55,12 +63,19 @@ def binned_interval_join(
             "rename before joining"
         )
     w = F.lit(float(bin_width))
+    points = points.filter(F.col(point_col).isNotNull())
+    intervals = intervals.filter(
+        F.col(lo_col).isNotNull()
+        & F.col(hi_col).isNotNull()
+        & (F.col(hi_col) > F.col(lo_col))
+    )
     pb = points.withColumn("_bin", F.floor(F.col(point_col) / w).cast("long"))
     lo_bin = F.floor(F.col(lo_col) / w).cast("long")
     hi_bin = F.floor(F.col(hi_col) / w).cast("long")
-    # Fail fast on degenerate intervals instead of silently exploding: the
+    # Fail fast on over-wide intervals instead of silently exploding: the
     # guard lives INSIDE the sequence's upper bound, so it cannot be
-    # pruned away with an unused column.
+    # pruned away with an unused column. (Reversed/NULL spans are already
+    # filtered above, so the subtraction here is a well-defined >= 0.)
     hi_guarded = F.when(
         hi_bin - lo_bin < F.lit(max_bins_per_interval), hi_bin
     ).otherwise(

@@ -92,19 +92,21 @@ def _require_local_path(path: str, op: str) -> str:
     AFTER the expensive rewrite ran. Refuse early; remote tables should use
     a real table format's OPTIMIZE/MERGE (gated Delta/Iceberg connectors).
 
-    Returns the path normalized to a plain local path: a ``file://`` URI is
-    stripped to its filesystem path (every downstream os.walk/os.rename/
-    shutil call needs the raw path — passing the scheme through would hit
-    exactly the post-rewrite failure this guard exists to prevent).
+    Returns ``(spark_path, local_path)``: a ``file://`` URI keeps its
+    scheme for the Spark read/write side (a scheme-less path would
+    resolve against the cluster's defaultFS — hdfs:// on a real cluster,
+    i.e. a different filesystem than the os.walk/os.rename side) and is
+    stripped to the raw filesystem path for every os.*/shutil call (which
+    would choke on the scheme).
     """
     if path.startswith("file://"):
-        return path[len("file://"):]
+        return path, path[len("file://"):]
     if "://" in path:
         raise ValueError(
             f"{op} operates on local filesystem paths only, got {path!r}; "
             "use a lakehouse table format for remote storage"
         )
-    return path
+    return path, path
 
 
 def write_sorted_layout(
@@ -155,6 +157,15 @@ def zorder_value(
     """
     if not 1 <= bits_per_col * len(cols) <= 63:
         raise ValueError("bits_per_col * len(cols) must fit in a signed long")
+    reserved = {"_zorder"} | {f"_min_{c}" for c in cols} | {
+        f"_max_{c}" for c in cols
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"zorder_value: input columns {sorted(clash)} collide with "
+            "internal stat/output names — rename them first"
+        )
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_min_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_max_{c}") for c in cols],
@@ -228,7 +239,7 @@ def file_skipping_report(
 
     import pyarrow.parquet as pq
 
-    path = _require_local_path(path, "file_skipping_report")
+    _, path = _require_local_path(path, "file_skipping_report")
     files = [
         os.path.join(dp, f)
         for dp, _, fs in os.walk(path)
@@ -291,7 +302,11 @@ def compact_small_files(
     import os
     import shutil
 
-    path = _require_local_path(path, "compact_small_files")
+    # spark_path keeps any file:// scheme (a scheme-less path would
+    # resolve against the cluster defaultFS — a DIFFERENT filesystem than
+    # the os.* side on a real cluster); path is the raw local form
+    spark_path, path = _require_local_path(path, "compact_small_files")
+    scheme = spark_path[: len(spark_path) - len(path)]
     old_dir = path.rstrip("/") + "._compact_old"
     if os.path.exists(old_dir) and not os.path.exists(path):
         os.rename(old_dir, path)  # heal a crash between the swap renames
@@ -304,9 +319,9 @@ def compact_small_files(
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(min_files, math.ceil(total / target_file_bytes))
     tmp = path.rstrip("/") + "._compact_tmp"
-    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(
-        tmp
-    )
+    spark.read.parquet(spark_path).coalesce(n_out).write.mode(
+        "overwrite"
+    ).parquet(scheme + tmp)
     _swap_dirs(path, tmp, path.rstrip("/") + "._compact_old")
     after = sum(
         1
@@ -351,7 +366,8 @@ def merge_parquet(
     """
     import os
 
-    path = _require_local_path(path, "merge_parquet")
+    spark_path, path = _require_local_path(path, "merge_parquet")
+    scheme = spark_path[: len(spark_path) - len(path)]
     # Heal a crash between _swap_dirs' two renames BEFORE touching the
     # table: if the previous run died after renaming the live dir aside
     # but before promoting the rewrite, the table is at ._merge_old and
@@ -364,10 +380,10 @@ def merge_parquet(
     gone = updates.select(F.col(key))
     if delete_keys is not None:
         gone = gone.unionByName(delete_keys.select(F.col(key)))
-    base = spark.read.parquet(path)
+    base = spark.read.parquet(spark_path)
     merged = base.join(gone, key, "left_anti").unionByName(updates)
     tmp = path.rstrip("/") + "._merge_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    merged.write.mode("overwrite").parquet(scheme + tmp)
     _swap_dirs(path, tmp, old_dir)
 
 
@@ -422,6 +438,14 @@ def merge_parquet_partitioned(
     the 100 TB MERGE story :func:`merge_parquet`'s docstring promises,
     implemented.
 
+    The MERGE key is ``(key, partition_col)`` — the partition column is
+    part of row identity, as in every partition-pruned lakehouse MERGE.
+    Consequence: an update row whose partition differs from the base
+    row's is an INSERT into the new partition and does NOT remove the old
+    row (only the named partitions are touched); to move a key across
+    partitions, ship a ``delete_keys`` row for the old partition in the
+    same batch.
+
     ``updates`` must carry ``partition_col`` (it decides where each row
     lands); ``delete_keys`` is ``(key, partition_col)`` so deletes also
     prune to their partitions. Affected-partition discovery is one
@@ -429,12 +453,23 @@ def merge_parquet_partitioned(
     independently with the same broadcast anti-join + atomic-ish swap as
     the unpartitioned form, so a crash mid-run leaves every partition
     either fully old or fully new (and a rerun heals + completes).
+    Staging directories live OUTSIDE the table root (siblings of
+    ``path``) — staging inside the root under hive-parseable names would
+    make partition discovery read a half-written partition as a phantom
+    duplicate.
+
+    Partition values must be NULL-free and hive-safe
+    (``[A-Za-z0-9._-]``): Spark escapes anything else (or writes
+    ``__HIVE_DEFAULT_PARTITION__`` for NULL) in directory names, so a raw
+    value would address the wrong directory — refused up front.
 
     Returns the list of partition values rewritten.
     """
     import os
+    import re
 
-    path = _require_local_path(path, "merge_parquet_partitioned")
+    spark_path, path = _require_local_path(path, "merge_parquet_partitioned")
+    scheme = spark_path[: len(spark_path) - len(path)]
     if partition_col not in updates.columns:
         raise ValueError(
             f"updates must carry partition column {partition_col!r}"
@@ -448,12 +483,29 @@ def merge_parquet_partitioned(
     parts = updates.select(partition_col)
     if delete_keys is not None:
         parts = parts.unionByName(delete_keys.select(partition_col))
-    affected = sorted(r[0] for r in parts.distinct().collect())
+    values = [r[0] for r in parts.distinct().collect()]
+    bad = [
+        v for v in values
+        if v is None or not re.fullmatch(r"[A-Za-z0-9._-]+", str(v))
+    ]
+    if bad:
+        raise ValueError(
+            "merge_parquet_partitioned: partition values must be non-NULL "
+            "and hive-safe ([A-Za-z0-9._-]) — Spark escapes anything else "
+            f"in directory names; offending values: {bad[:5]!r}"
+        )
+    affected = sorted(str(v) for v in values)
 
+    root = os.path.dirname(path.rstrip("/")) or "."
+    base_name = os.path.basename(path.rstrip("/"))
     rewritten: list[str] = []
     for pv in affected:
         part_dir = os.path.join(path, f"{partition_col}={pv}")
-        old_dir = part_dir + "._merge_old"
+        # staging OUTSIDE the table root: a reader listing `path` must
+        # never see a half-written tmp or orphaned old copy as a phantom
+        # hive partition
+        stage = os.path.join(root, f"{base_name}._merge_{partition_col}={pv}")
+        tmp, old_dir = stage + ".tmp", stage + ".old"
         if os.path.exists(old_dir) and not os.path.exists(part_dir):
             os.rename(old_dir, part_dir)  # heal a crashed earlier run
         upd = updates.filter(F.col(partition_col) == F.lit(pv)).drop(
@@ -467,15 +519,14 @@ def merge_parquet_partitioned(
                 )
             )
         if os.path.exists(part_dir):
-            base = spark.read.parquet(part_dir)
+            base = spark.read.parquet(scheme + part_dir)
             merged = base.join(gone, key, "left_anti").unionByName(upd)
         else:
             merged = upd  # brand-new partition: inserts only
-        tmp = part_dir + "._merge_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        merged.write.mode("overwrite").parquet(scheme + tmp)
         if os.path.exists(part_dir):
             _swap_dirs(part_dir, tmp, old_dir)
         else:
             os.rename(tmp, part_dir)
-        rewritten.append(str(pv))
+        rewritten.append(pv)
     return rewritten

@@ -100,7 +100,7 @@ def q_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-UDF family. Bounded here to 200 docs: the point is the
     surface, not throughput.
     """
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos int, word string")
     class FirstWords:

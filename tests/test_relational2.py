@@ -272,3 +272,42 @@ def test_binned_interval_join_guards(spark):
             spark.createDataFrame([(0.0, 2.0, 9)], "lo double, hi double, pid long"),
             "p", "lo", "hi", bin_width=1.0,
         )
+
+
+def test_binned_interval_join_null_and_reversed_bounds(spark):
+    """SQL theta-join semantics for degenerate rows: NULL points/bounds
+    never match (and never fire the span guard's error branch); a
+    reversed interval matches nothing instead of exploding a descending
+    bin sequence."""
+    from mare_spark.operators.ranges import binned_interval_join
+
+    points = spark.createDataFrame(
+        [(5.0, 1), (None, 2)], "p double, pid long"
+    )
+    intervals = spark.createDataFrame(
+        [(0.0, 10.0, 1), (None, 10.0, 2), (0.0, None, 3), (9.0, 1.0, 4)],
+        "lo double, hi double, iid long",
+    )
+    out = binned_interval_join(
+        points, intervals, "p", "lo", "hi",
+        bin_width=1.0, max_bins_per_interval=100,
+    )
+    assert {(r.pid, r.iid) for r in out.collect()} == {(1, 1)}
+
+
+def test_asof_join_map_valued_right_cols_still_work(spark):
+    """Map-typed carried columns are non-orderable: the tie-break must
+    fall back instead of failing analysis (regression guard for the r4
+    tie-determinism change)."""
+    from mare_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "u", 10.0)], "id long, k string, t double")
+    right = spark.createDataFrame(
+        [("u", 5.0, {"a": 1})], "k string, t double, m map<string,int>"
+    )
+    out = asof_join(left, right, on="t", by="k", right_cols=["m"]).collect()
+    assert out[0].m_asof == {"a": 1}
+    outp = asof_join_pandas(
+        left, right, on="t", by="k", right_cols=["m"]
+    ).collect()
+    assert outp[0].m_asof == {"a": 1}

@@ -662,3 +662,68 @@ def test_file_skipping_report_shows_layout_payoff(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in"):
         file_skipping_report(sorted_path, "no_such_col", 0, 1)
+
+
+def test_merge_partitioned_stages_outside_table_root(spark, tmp_path):
+    """Staging dirs must be siblings of the table root, never
+    hive-parseable names inside it: a reader listing the table mid-merge
+    (or after a crash before the swap) must not see a phantom duplicate
+    partition."""
+    import os
+    from unittest.mock import patch
+
+    from mare_spark.operators.scale import merge_parquet_partitioned
+
+    path = str(tmp_path / "tbl_stage")
+    spark.createDataFrame(
+        [(1, "a", "p1")], "id long, v string, pt string"
+    ).write.partitionBy("pt").parquet(path)
+    updates = spark.createDataFrame([(1, "A", "p1")], "id long, v string, pt string")
+
+    seen = []
+    import mare_spark.operators.scale as S
+    orig = S._swap_dirs
+
+    def spy(p, tmp, old):
+        seen.append((tmp, old))
+        # mid-merge: tmp exists but must be INVISIBLE to a table reader
+        assert os.path.exists(tmp)
+        assert not tmp.startswith(path + os.sep), tmp
+        got = {r.v for r in spark.read.parquet(path).collect()}
+        assert got == {"a"}, got  # reader sees only the old partition
+        return orig(p, tmp, old)
+
+    with patch.object(S, "_swap_dirs", side_effect=spy):
+        merge_parquet_partitioned(spark, path, updates, "id", "pt")
+    assert seen
+    assert {r.v for r in spark.read.parquet(path).collect()} == {"A"}
+    # nothing staged remains under or beside the root
+    leftovers = [d for d in os.listdir(tmp_path) if "_merge_" in d]
+    assert not leftovers, leftovers
+
+
+def test_merge_partitioned_rejects_unsafe_partition_values(spark, tmp_path):
+    import pytest
+
+    from mare_spark.operators.scale import merge_parquet_partitioned
+
+    path = str(tmp_path / "tbl_unsafe")
+    spark.createDataFrame(
+        [(1, "a", "p1")], "id long, v string, pt string"
+    ).write.partitionBy("pt").parquet(path)
+    for bad in [None, "a b", "x:y"]:
+        updates = spark.createDataFrame(
+            [(1, "x", bad)], "id long, v string, pt string"
+        )
+        with pytest.raises(ValueError, match="hive-safe|non-NULL"):
+            merge_parquet_partitioned(spark, path, updates, "id", "pt")
+
+
+def test_zorder_value_rejects_reserved_name_collision(spark):
+    import pytest
+
+    from mare_spark.operators.scale import zorder_value
+
+    df = spark.createDataFrame([(1, 2, 3)], "x long, y long, _zorder long")
+    with pytest.raises(ValueError, match="collide"):
+        zorder_value(df, ["x", "y"])
