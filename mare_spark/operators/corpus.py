@@ -463,23 +463,28 @@ def repeated_chunk_scrub(
     boilerplate survive with ``clean_text = ''``):
     ``(id, *keep_cols, clean_text, n_chunks, n_chunks_removed)``.
 
-    Scale: explode is a narrow flatMap; the frequency count is one
-    map-side-combinable hash aggregate on the 128-bit digest (uniform
-    keys, no skew); the frequency join is a shuffle join co-partitioned
-    with that aggregate on the same key (one exchange reused); reassembly
-    is one groupBy on the document id. No text comparison ever happens —
-    chunk equality is digest equality, exactly like exact_dedup. At
-    100 TB the chunk-frequency table is large but fixed-width, and every
-    stage is a standard keyed shuffle; nothing is collected.
+    Scale: explode is a narrow flatMap; the corpus-wide chunk frequency
+    is a count WINDOW over the 128-bit digest — one hash exchange of the
+    exploded chunks annotates every row in place (the aggregate+join-back
+    form shuffled the exploded table twice: once into the partial
+    aggregate and once more for the join); reassembly is one groupBy on
+    the document id. No text comparison ever happens — chunk equality is
+    digest equality, exactly like exact_dedup. At 100 TB the digest keys
+    are uniform fixed-width, and both stages are standard keyed shuffles;
+    nothing is collected.
 
     Documents with NULL text tokenize to NULL and drop on both engines
     (same contract as the digest/fingerprint ops).
     """
+    from pyspark.sql import Window as W
+
     ex = _chunk_explode(df, text_col, id_col, chunk_words, keep_cols)
     ex = ex.withColumn("chunk_h", F.md5("chunk"))
-    freq = ex.groupBy("chunk_h").agg(F.count("*").alias("chunk_freq"))
+    ex = ex.withColumn(
+        "chunk_freq", F.count("*").over(W.partitionBy("chunk_h"))
+    )
     keep = F.col("chunk_freq") <= max_freq
-    return _chunk_reassemble(ex.join(freq, "chunk_h"), id_col, keep_cols, keep)
+    return _chunk_reassemble(ex, id_col, keep_cols, keep)
 
 
 def _chunk_explode(
