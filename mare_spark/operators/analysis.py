@@ -505,20 +505,24 @@ def ngram_novelty(
 
     Scale: grams travel as 128-bit md5 digests; per-doc distinct is a
     scan-side ``array_distinct`` (no cross-row state); the document
-    frequency is one map-side-combinable aggregate; the rejoin is keyed
-    on the digest, co-partitioned with that aggregate; the per-doc ratio
+    frequency is a count WINDOW over the digest — one hash exchange of
+    the exploded grams annotates rows in place (the distinct-digest table
+    is corpus-sized, so the aggregate+join-back alternative can't
+    broadcast and would shuffle the exploded grams twice; digests are
+    near-unique, so the window has no skewed groups); the per-doc ratio
     is one groupBy on the id. Integer counts until a single division →
     6dp fround, so the score is hash-stable.
     """
+    from pyspark.sql import Window as W
+
     grams = F.array_distinct(word_ngrams(F.col(text_col), n))
     ex = df.select(
         F.col(id_col), *[F.col(c) for c in keep_cols],
         F.explode(grams).alias("gram"),
     ).withColumn("gh", F.md5("gram")).drop("gram")
-    docfreq = ex.groupBy("gh").agg(F.count("*").alias("gram_df"))
+    ex = ex.withColumn("gram_df", F.count("*").over(W.partitionBy("gh")))
     per_doc = (
-        ex.join(docfreq, "gh")
-        .groupBy(id_col, *keep_cols)
+        ex.groupBy(id_col, *keep_cols)
         .agg(
             F.count("*").alias("n_distinct_ngrams"),
             F.sum((F.col("gram_df") == 1).cast("long")).alias(
