@@ -727,3 +727,30 @@ def test_zorder_value_rejects_reserved_name_collision(spark):
     df = spark.createDataFrame([(1, 2, 3)], "x long, y long, _zorder long")
     with pytest.raises(ValueError, match="collide"):
         zorder_value(df, ["x", "y"])
+
+
+def test_merge_partitioned_heals_crashed_partition_swap(spark, tmp_path):
+    """A crash between a partition's swap renames leaves that partition
+    only at the sibling .old staging dir; a rerun of the SAME batch must
+    restore it first and complete the merge."""
+    import os
+
+    from mare_spark.operators.scale import merge_parquet_partitioned
+
+    path = str(tmp_path / "tbl_pheal")
+    spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "id long, v string, pt string"
+    ).write.partitionBy("pt").parquet(path)
+    # simulate the crash: p1 renamed aside to its sibling staging name,
+    # promotion never happened
+    os.rename(
+        os.path.join(path, "pt=p1"),
+        str(tmp_path / "tbl_pheal._merge_pt=p1.old"),
+    )
+
+    updates = spark.createDataFrame([(1, "A", "p1")], "id long, v string, pt string")
+    rewritten = merge_parquet_partitioned(spark, path, updates, "id", "pt")
+    assert rewritten == ["p1"]
+    got = {(r.id, r.pt): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "p1"): "A", (2, "p2"): "b"}
+    assert not any("_merge_" in d for d in os.listdir(tmp_path))
