@@ -504,28 +504,35 @@ def ngram_novelty(
     no n-grams and drop, on both engines).
 
     Scale: grams travel as 128-bit md5 digests; per-doc distinct is a
-    scan-side ``array_distinct`` (no cross-row state); the document
-    frequency is a count WINDOW over the digest — one hash exchange of
-    the exploded grams annotates rows in place (the distinct-digest table
-    is corpus-sized, so the aggregate+join-back alternative can't
-    broadcast and would shuffle the exploded grams twice; digests are
-    near-unique, so the window has no skewed groups); the per-doc ratio
-    is one groupBy on the id. Integer counts until a single division →
-    6dp fround, so the score is hash-stable.
+    scan-side ``array_distinct`` (no cross-row state); novelty needs only
+    the per-gram predicate ``document frequency == 1``, so the SHARED
+    grams (df ≥ 2 — the complement is what marks a gram novel) are
+    derived by a partial-combined aggregate and left-joined back as a
+    flag. A count window over the digest would be wrong at scale here:
+    n-gram frequencies are Zipfian, and a hot boilerplate 8-gram would
+    funnel its every row into one un-splittable window task, while the
+    aggregate partial-combines hot digests map-side and the shuffled
+    join-back is AQE-skew-splittable. The per-doc ratio is one groupBy
+    on the id. Integer counts until a single division → 6dp fround, so
+    the score is hash-stable.
     """
-    from pyspark.sql import Window as W
-
     grams = F.array_distinct(word_ngrams(F.col(text_col), n))
     ex = df.select(
         F.col(id_col), *[F.col(c) for c in keep_cols],
         F.explode(grams).alias("gram"),
     ).withColumn("gh", F.md5("gram")).drop("gram")
-    ex = ex.withColumn("gram_df", F.count("*").over(W.partitionBy("gh")))
+    shared = (
+        ex.select("gh").groupBy("gh").agg(F.count("*").alias("gram_df"))
+        .filter(F.col("gram_df") >= 2)
+        .select("gh")
+        .withColumn("_shared", F.lit(True))
+    )
+    ex = ex.join(shared, "gh", "left")
     per_doc = (
         ex.groupBy(id_col, *keep_cols)
         .agg(
             F.count("*").alias("n_distinct_ngrams"),
-            F.sum((F.col("gram_df") == 1).cast("long")).alias(
+            F.sum(F.col("_shared").isNull().cast("long")).alias(
                 "n_novel_ngrams"
             ),
         )

@@ -464,26 +464,41 @@ def repeated_chunk_scrub(
     ``(id, *keep_cols, clean_text, n_chunks, n_chunks_removed)``.
 
     Scale: explode is a narrow flatMap; the corpus-wide chunk frequency
-    is a count WINDOW over the 128-bit digest — one hash exchange of the
-    exploded chunks annotates every row in place (the aggregate+join-back
-    form shuffled the exploded table twice: once into the partial
-    aggregate and once more for the join); reassembly is one groupBy on
-    the document id. No text comparison ever happens — chunk equality is
-    digest equality, exactly like exact_dedup. At 100 TB the digest keys
-    are uniform fixed-width, and both stages are standard keyed shuffles;
-    nothing is collected.
+    is a partial-combined aggregate over the 128-bit digest, whose
+    ``> max_freq`` HEAD — exactly the boilerplate set, and the Zipf head
+    of the digest distribution — left-joins back as a per-chunk flag (AQE
+    broadcasts it when it fits, skew-splits the probe otherwise);
+    reassembly is one groupBy on the document id. Repeated chunks are by
+    definition frequency outliers, so anything that funnels a hot
+    digest's rows into one task (e.g. a count window over the digest)
+    would bottleneck on precisely the chunks this operator exists to
+    remove. No text comparison ever happens — chunk equality is digest
+    equality, exactly like exact_dedup; nothing is collected.
 
     Documents with NULL text tokenize to NULL and drop on both engines
     (same contract as the digest/fingerprint ops).
     """
-    from pyspark.sql import Window as W
-
     ex = _chunk_explode(df, text_col, id_col, chunk_words, keep_cols)
     ex = ex.withColumn("chunk_h", F.md5("chunk"))
-    ex = ex.withColumn(
-        "chunk_freq", F.count("*").over(W.partitionBy("chunk_h"))
+    # Boilerplate flagging via the hot-digest HEAD set: repeated chunks
+    # are BY DEFINITION the Zipf head (a newsletter footer repeated 10M
+    # times), so a count window over chunk_h would funnel all 10M rows —
+    # chunk text included — into one un-splittable task. Instead the
+    # frequency aggregate partial-combines hot digests map-side, the
+    # >max_freq head (exactly the boilerplate set, ≤ N/max_freq digests)
+    # left-joins back as a flag — AQE broadcasts it when it fits, skew-
+    # splits the probe otherwise — and reassembly stays the one groupBy on
+    # the document id. The exploded table is never exchanged on the digest
+    # at all when the head broadcasts: one wide shuffle total (the
+    # reassembly), vs two for the window form.
+    hot = (
+        ex.select("chunk_h").groupBy("chunk_h")
+        .agg(F.count("*").alias("chunk_freq"))
+        .filter(F.col("chunk_freq") > max_freq)
+        .withColumn("_hot", F.lit(True))
     )
-    keep = F.col("chunk_freq") <= max_freq
+    ex = ex.join(hot, "chunk_h", "left")
+    keep = F.col("_hot").isNull()
     return _chunk_reassemble(ex, id_col, keep_cols, keep)
 
 

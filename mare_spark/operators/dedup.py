@@ -245,17 +245,31 @@ def ngram_jaccard_pairs(
 
     inv = base.select("doc", F.size("shingles").alias("n_sh"),
                       F.explode("shingles").alias("shingle"))
-    # Document frequency as a WINDOW over the shingle, not groupBy+join:
-    # the aggregate form shuffles the exploded index twice (once into the
-    # partial-combined aggregate, once again to join the counts back);
-    # the window form hash-partitions it exactly once and annotates rows
-    # in place. Same df_freq values, one full exchange of the largest
-    # intermediate saved — the win that matters at corpus scale.
-    inv = inv.withColumn(
-        "df_freq", F.count("*").over(W.partitionBy("shingle"))
-    )
+    # Document frequency, Zipf-skew-safe. Natural-language shingle
+    # frequencies are Zipfian: the hottest shingle in a web-scale corpus
+    # appears in ~every boilerplate page, so a bare count WINDOW over the
+    # shingle would funnel ALL of a hot key's rows into one un-splittable
+    # window task (WindowExec cannot be skew-split by AQE; a count
+    # aggregate CAN partial-combine map-side and a shuffled join CAN be
+    # AQE-skew-split). Shape: (1) the frequency aggregate partial-combines
+    # hot keys map-side; (2) the >cap HEAD of the distribution — at most
+    # N/cap keys, Zipf-concentrated far below that in practice — is
+    # anti-joined away (AQE picks broadcast when it fits, skew-splits the
+    # probe otherwise); (3) the df annotation for the PPJoin rarest-first
+    # order is a window over the SURVIVORS, whose groups are ≤ cap by
+    # construction — bounded tasks, no skew possible. The agg branch
+    # re-reads `base`, which is persisted above.
+    freq = inv.groupBy("shingle").agg(F.count("*").alias("df_freq"))
     if max_shingle_freq is not None:
-        inv = inv.filter(F.col("df_freq") <= max_shingle_freq)
+        hot = freq.filter(F.col("df_freq") > max_shingle_freq).select("shingle")
+        inv = inv.join(hot, "shingle", "left_anti")
+        inv = inv.withColumn(
+            "df_freq", F.count("*").over(W.partitionBy("shingle"))
+        )
+    else:
+        # uncapped: window groups would be unbounded, so annotate via the
+        # partial-combined aggregate + AQE-skew-splittable join instead
+        inv = inv.join(freq, "shingle")
 
     # PPJoin-style prefix filter (exact): under a global shingle order
     # (rarest first), two sets with Jaccard ≥ t MUST share a shingle within
@@ -939,23 +953,35 @@ def substring_overlap_candidates(
     fp = rolling_hash_fingerprint(
         df, text_col, id_col, window=window, keep=keep
     )
-    from pyspark.sql import Window as W
-
+    # The fingerprint table is narrow (id + ``keep`` hashes per doc) but
+    # its UDF is the expensive part; it feeds the frequency aggregate and
+    # both sides of the self-join, so persist it rather than recompute —
+    # cheap at any scale precisely because it is k hashes per document,
+    # not the exploded index.
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     inv = fp.select(F.col(id_col).alias("doc"), F.explode("fingerprint").alias("fp"))
     if max_fp_freq is not None:
-        # frequency cap as a window, not agg + semi-join: one exchange on
-        # fp annotates and filters in place, and the self-join below then
-        # reuses that same fp partitioning (both sides share the child)
-        inv = inv.withColumn(
-            "_fp_freq", F.count("*").over(W.partitionBy("fp"))
-        ).filter(F.col("_fp_freq") <= max_fp_freq).drop("_fp_freq")
-    return (
+        # Frequency cap via the hot-key HEAD set, not a count window:
+        # fingerprints of corpus-wide boilerplate runs are Zipf-hot, and a
+        # window would funnel every row of a hot fingerprint into one
+        # un-splittable task just to count-then-discard it. The aggregate
+        # partial-combines hot keys map-side; the >cap head (≤ N/cap keys)
+        # is anti-joined away — AQE broadcasts it when small, skew-splits
+        # the probe otherwise. The self-join below then has buckets ≤ cap
+        # by construction.
+        hot = (
+            inv.groupBy("fp").agg(F.count("*").alias("_fp_freq"))
+            .filter(F.col("_fp_freq") > max_fp_freq).select("fp")
+        )
+        inv = inv.join(hot, "fp", "left_anti")
+    return attach_caches(
         inv.alias("a")
         .join(inv.alias("b"), "fp")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+        .filter(F.col("n_shared") >= min_shared),
+        fp,
     )
 
 
@@ -992,16 +1018,22 @@ def edit_distance_pairs(
     # _fan_out: a small-file scan yields one partition, serializing the
     # O(len²) Levenshtein verify on a single core — same spread as the
     # shingling tiers
-    from pyspark.sql import Window as W
-
     t = _fan_out(df).select(
         F.col(id_col).alias("_id"), s.alias("_s"), pk.alias("_pk")
     )
-    # bucket cap as a window over _pk (one exchange, reused by the a x b
-    # self-join below) instead of a count aggregate + join-back
-    t = t.withColumn("_n", F.count("*").over(W.partitionBy("_pk"))).filter(
-        F.col("_n") <= bucket_cap
-    ).drop("_n")
+    # Bucket cap via the hot-key HEAD set, not a count window: a hot
+    # prefix digest (short/templated openings shared by millions of docs)
+    # would put its every row — full text included — into one
+    # un-splittable window task just to be counted and discarded. The
+    # aggregate branch projects the digest only (no text moves), partial-
+    # combines map-side, and the tiny >cap head anti-joins away (AQE
+    # broadcast). Buckets entering the a×b self-join are ≤ cap by
+    # construction.
+    hot = (
+        t.select("_pk").groupBy("_pk").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > bucket_cap).select("_pk")
+    )
+    t = t.join(hot, "_pk", "left_anti")
     a = t.select(
         F.col("_pk"), F.col("_id").alias("doc_a"), F.col("_s").alias("_sa")
     )

@@ -653,12 +653,17 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", window=12, keep=8, min_shared=2
     )
     drop_sub = cand.select(F.col("doc_b").alias("doc_id")).distinct()
-    return (
+    from mare_spark.operators.dedup import attach_caches
+
+    # propagate the fingerprint persist recorded by
+    # substring_overlap_candidates so release_caches(result) can drop it
+    return attach_caches(
         docs.withColumn("n_tokens", F.size(tokens(F.col("text"))))
         .filter(F.col("n_tokens") >= 30)
         .join(drop_dup, "doc_id", "left_anti")
         .join(drop_sub, "doc_id", "left_anti")
-        .select("doc_id", "n_tokens")
+        .select("doc_id", "n_tokens"),
+        *getattr(cand, "_mare_caches", ()),
     )
 
 
