@@ -305,14 +305,15 @@ def test_quality_classifier_is_scan_side_codegen(spark):
 
 
 def test_repeated_chunk_scrub_shuffle_budget(spark):
-    """Chunk scrub is at most 3 keyed exchanges (chunk-hash aggregate,
-    frequency join, doc-id reassembly — the first two share the chunk_h
-    partitioning so Catalyst may reuse one) and never a cartesian."""
+    """Chunk scrub is exactly 2 keyed exchanges — the narrow digest
+    partials into the frequency aggregate and the doc-id reassembly; the
+    hot-head flag joins back as a broadcast, so the exploded chunks are
+    never exchanged on the digest."""
     from mare_spark.operators.corpus import repeated_chunk_scrub
 
     docs = read_table(spark, SF_ORACLE, "documents")
     df = repeated_chunk_scrub(docs, "text", "doc_id")
-    assert P.count_shuffle_exchanges(df) <= 3, P.formatted_plan(df)
+    assert P.count_shuffle_exchanges(df) == 2, P.formatted_plan(df)
 
 
 def test_samplers_single_shuffle(spark):
@@ -330,3 +331,49 @@ def test_samplers_single_shuffle(spark):
     )
     assert P.count_shuffle_exchanges(k) == 1, P.formatted_plan(k)
     assert P.count_shuffle_exchanges(b) == 1, P.formatted_plan(b)
+
+
+def test_frequency_caps_never_window_a_content_digest(spark):
+    """Zipf skew safety (round 4): content-digest frequencies are Zipfian,
+    and WindowExec must colocate a partition key's every row in one task —
+    AQE cannot split a window partition the way it skew-splits a shuffled
+    join. So the frequency-cap family must never plan a Window over a
+    chunk/fingerprint/prefix/gram digest: the cap is a partial-combined
+    aggregate whose >cap HEAD joins back (broadcast or skew-splittable).
+    These four plans must contain no Window operator at all."""
+    from mare_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    qs = all_queries()
+    for name in (
+        "text_chunk_dedup",
+        "text_ngram_novelty",
+        "dedup_substring_candidates",
+        "dedup_edit_distance",
+    ):
+        plan = P.formatted_plan(qs[name].fn(spark, SF_SMOKE))
+        assert "Window" not in plan, (name, plan)
+
+
+def test_jaccard_windows_are_cap_bounded_only(spark):
+    """ngram_jaccard_pairs keeps exactly two windows, both with bounded
+    partitions: df_freq over cap-capped survivor shingles (groups <= cap
+    by construction — the hot head was anti-joined away first) and the
+    PPJoin prefix row_number per doc (groups = shingles per doc). The hot
+    head drop itself must be a LeftAnti join, never a window."""
+    import re
+
+    from mare_spark.operators.dedup import ngram_jaccard_pairs, release_caches
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    plan = P.formatted_plan(pairs)
+    release_caches(pairs)
+    # two logical windows, each appearing once per self-join branch = at
+    # most 4 Window nodes; every one must partition by the survivor
+    # shingle or the doc id, never an uncapped digest
+    nodes = re.findall(r"\(\d+\) Window", plan)
+    assert len(nodes) <= 4, plan
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and set(specs) <= {"shingle", "doc"}, specs
+    assert "LeftAnti" in plan, plan
