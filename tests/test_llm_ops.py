@@ -759,3 +759,25 @@ def test_ivf_kmeanspp_seeding_recall_and_determinism(emb):
 
     with pytest.raises(ValueError, match="init"):
         train_ivf_centroids(emb, nlist=4, init="random")
+
+
+def test_jaccard_uncapped_path_agrees_with_capped(spark):
+    """The max_shingle_freq=None branch (df annotation via the
+    partial-combined aggregate join-back instead of hot-head anti-join +
+    survivor window) must produce identical pairs whenever the cap never
+    binds — which the fixture guarantees (densest 3-gram is far below
+    1000 docs, pinned by the canary in test_queries_oracle)."""
+    from mare_spark.operators.dedup import release_caches
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    capped = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    uncapped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_shingle_freq=None
+    )
+    got_c = {(r.doc_a, r.doc_b, r.jaccard) for r in capped.collect()}
+    got_u = {(r.doc_a, r.doc_b, r.jaccard) for r in uncapped.collect()}
+    release_caches(capped)
+    release_caches(uncapped)
+    assert got_c, "fixture should contain seeded near-dups"
+    assert got_c == got_u
