@@ -469,6 +469,23 @@ def _mh_buckets(base: DataFrame, bands: int, r: int) -> DataFrame:
     )
 
 
+def _drop_over_full_buckets(
+    buckets: DataFrame, cap: int, keys: tuple[str, str] = ("band_idx", "band_hash")
+) -> DataFrame:
+    """Drop every bucket (keyed by ``keys``) holding more than ``cap``
+    docs — the quadratic-candidate guard for bucketed LSH joins, in the
+    hot-head shape: partial-combined count (skew-immune), tiny >cap head,
+    broadcast/skew-splittable anti-join. Never a count window (WindowExec
+    would colocate the hot bucket's rows in one un-splittable task)."""
+    over_full = (
+        buckets.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*keys)
+    )
+    return buckets.join(over_full, list(keys), "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -478,6 +495,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     Jaccard over the shingle sets.
@@ -492,9 +510,19 @@ def minhash_lsh_pairs(
       4. verify candidates with exact Jaccard and filter by ``threshold``.
 
     At 100 TB: stage 1 is embarrassingly parallel; stage 3's shuffle is on
-    band hashes (uniform); stage 4 touches only the candidate set. Skewed
-    buckets (boilerplate text) are the known hazard — AQE skew-join handles
-    moderate skew; extreme skew calls for dropping over-full buckets.
+    band hashes (uniform for distinct content); stage 4 touches only the
+    candidate set. The hazard AQE can NOT fix is a mass-duplicate bucket:
+    k identical documents agree on every band, so one bucket emits k²/2
+    candidate pairs — splitting the partition redistributes the work but
+    the quadratic OUTPUT remains. ``bucket_cap`` drops (band_idx,
+    band_hash) buckets holding more than that many docs, via the same
+    hot-head shape as the shingle frequency cap (partial-combined count →
+    tiny >cap head → broadcast anti-join; never a count window). Docs in
+    a dropped bucket still pair through their other ``bands - 1`` bands
+    unless those are over-full too — and a group that saturates EVERY
+    band is verbatim mass duplication, which belongs to (and is caught
+    by) the exact-dedup tier run before any near-dup pass. ``None``
+    disables the cap.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -514,6 +542,8 @@ def minhash_lsh_pairs(
     # spills instead of OOMing).
     base = _mh_base(df, text_col, id_col, num_perm, shingle_n, seed)
     buckets = _mh_buckets(base, bands, r)
+    if bucket_cap is not None:
+        buckets = _drop_over_full_buckets(buckets, bucket_cap)
 
     cand = (
         buckets.alias("x")
@@ -556,11 +586,17 @@ def minhash_lsh_join(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs ACROSS two corpora — the incremental-ingest
     dedup: find which documents of a NEW crawl (left) near-duplicate an
     EXISTING corpus (right) without recomputing anything pairwise inside
     either side and without concatenating them into one table.
+
+    ``bucket_cap`` caps each side's (band_idx, band_hash) buckets exactly
+    as in :func:`minhash_lsh_pairs` — the cross join of a hot bucket is
+    |left bucket| × |right bucket| candidates, which no partition split
+    can shrink. ``None`` disables.
 
     Same recipe as :func:`minhash_lsh_pairs` (identical UDF, permutations,
     and banding — same ``seed`` makes signatures comparable across calls),
@@ -580,11 +616,16 @@ def minhash_lsh_join(
 
     base_l = _mh_base(df_left, text_col, id_col, num_perm, shingle_n, seed)
     base_r = _mh_base(df_right, text_col, id_col, num_perm, shingle_n, seed)
+    buckets_l = _mh_buckets(base_l, bands, r)
+    buckets_r = _mh_buckets(base_r, bands, r)
+    if bucket_cap is not None:
+        buckets_l = _drop_over_full_buckets(buckets_l, bucket_cap)
+        buckets_r = _drop_over_full_buckets(buckets_r, bucket_cap)
     cand = (
-        _mh_buckets(base_l, bands, r)
+        buckets_l
         .alias("x")
         .join(
-            _mh_buckets(base_r, bands, r).alias("y"),
+            buckets_r.alias("y"),
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_hash") == F.col("y.band_hash")),
         )
@@ -707,6 +748,7 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     shingle_n: int = 2,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -716,6 +758,17 @@ def simhash_pairs(
     qualifying pairs without a cross join. Verify with popcount on XOR.
     Smaller bounds ⇒ fewer/wider chunks ⇒ fewer candidates — the standard
     recall/cost dial.
+
+    ``bucket_cap`` bounds the quadratic hazard the chunk join shares with
+    every bucketed candidate generator: a (chunk_idx, chunk) bucket of k
+    docs emits k²/2 candidates, and AQE partition-splitting cannot shrink
+    that OUTPUT. Over-full buckets (mass duplication, or chunk-value
+    saturation when the corpus outgrows a chunk's bit width) drop via the
+    hot-head shape — partial-combined count, tiny >cap head, broadcast
+    anti-join. Pairs in a dropped bucket still qualify through any other
+    agreeing chunk; a pair agreeing ONLY in saturated buckets is the
+    verbatim-duplication case owned by the exact-dedup tier. ``None``
+    disables the cap (restores strict pigeonhole completeness).
     """
     n_chunks = max_hamming + 1
     if n_chunks > 64:
@@ -746,6 +799,10 @@ def simhash_pairs(
         "sh",
         F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk"),
     )
+    if bucket_cap is not None:
+        chunks = _drop_over_full_buckets(
+            chunks, bucket_cap, keys=("chunk_idx", "chunk")
+        )
     cand = (
         chunks.alias("x")
         .join(

@@ -781,3 +781,69 @@ def test_jaccard_uncapped_path_agrees_with_capped(spark):
     release_caches(uncapped)
     assert got_c, "fixture should contain seeded near-dups"
     assert got_c == got_u
+
+
+def test_lsh_bucket_cap_drops_saturated_groups(spark):
+    """A mass-duplicate group saturates every band, so with a cap below
+    the group size ALL its buckets drop and the quadratic candidate set
+    is never generated; distinct near-dup pairs elsewhere are unaffected.
+    With the cap disabled the same corpus yields the full k*(k-1)/2
+    duplicate pairs — pinning that the cap (and only the cap) removed
+    them."""
+    from mare_spark.operators.dedup import minhash_lsh_pairs, release_caches
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(20)]
+    rows += [
+        (100, "completely original text about distributed query engines ok"),
+        (101, "completely original text about distributed query engines yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(
+        df, "text", "doc_id", num_perm=16, bands=4, threshold=0.5,
+        bucket_cap=10,
+    )
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    release_caches(capped)
+    assert (100, 101) in got
+    assert not any(a < 20 and b < 20 for a, b in got), got
+
+    uncapped = minhash_lsh_pairs(
+        df, "text", "doc_id", num_perm=16, bands=4, threshold=0.5,
+        bucket_cap=None,
+    )
+    got_u = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    release_caches(uncapped)
+    assert sum(1 for a, b in got_u if a < 20 and b < 20) == 20 * 19 // 2
+    assert (100, 101) in got_u
+
+
+def test_simhash_bucket_cap_drops_saturated_groups(spark):
+    """Same guard for the SimHash pigeonhole join: identical docs agree on
+    every chunk, so a sub-group-size cap removes the quadratic bucket
+    while distinct near-dups keep pairing through their own chunks."""
+    from mare_spark.operators.dedup import simhash_pairs
+
+    boiler = "shared boilerplate sentence repeated verbatim in every row"
+    rows = [(i, boiler) for i in range(20)]
+    # identical pair → hamming 0, guaranteed within any bound; its bucket
+    # holds 2 docs, far under the cap
+    rows += [
+        (100, "an original passage about adaptive execution in spark"),
+        (101, "an original passage about adaptive execution in spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = simhash_pairs(df, "text", "doc_id", max_hamming=7, bucket_cap=10)
+    got = {(r.doc_a, r.doc_b) for r in capped.select("doc_a", "doc_b").collect()}
+    assert (100, 101) in got
+    assert not any(a < 20 and b < 20 for a, b in got), got
+
+    uncapped = simhash_pairs(
+        df, "text", "doc_id", max_hamming=7, bucket_cap=None
+    )
+    got_u = {
+        (r.doc_a, r.doc_b) for r in uncapped.select("doc_a", "doc_b").collect()
+    }
+    assert sum(1 for a, b in got_u if a < 20 and b < 20) == 20 * 19 // 2
