@@ -189,6 +189,7 @@ def embedding_lsh_pairs(
     bits_per_band: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup embedding pairs at scale: banded hyperplane LSH candidates +
     exact-cosine verify (the scale tier of
@@ -203,7 +204,13 @@ def embedding_lsh_pairs(
     Scale: signature computation is map-only expression code; the self-join
     shuffles on (band, bucket) — uniform 4-bit buckets within bands. The
     dominant cost is Σ bucket² per band; raise ``bits_per_band`` to shrink
-    buckets for larger corpora.
+    buckets for larger corpora (bucket sizes here are STRUCTURAL —
+    corpus/2^bits on average — so the bits dial, not a cap, is the primary
+    control). ``bucket_cap`` additionally guards the mass-duplication case
+    (many identical embeddings agree on every band; AQE can split the
+    partition but not shrink the k²/2 candidate output — same rationale as
+    the text-LSH caps). Default ``None``: with honest bit sizing, capping
+    structural buckets would silently cost recall.
     """
     import numpy as np
 
@@ -233,6 +240,12 @@ def embedding_lsh_pairs(
             hyperplane_signatures(F.col("v"), planes_per_band)
         ).alias("band", "bucket"),
     )
+    if bucket_cap is not None:
+        from mare_spark.operators.dedup import _drop_over_full_buckets
+
+        buckets = _drop_over_full_buckets(
+            buckets, bucket_cap, keys=("band", "bucket")
+        )
     cand = (
         buckets.alias("x")
         .join(
