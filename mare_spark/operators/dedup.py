@@ -278,10 +278,17 @@ def ngram_jaccard_pairs(
     # the difference between Σ bucket² over all shingles and over rare ones.
     w = W.partitionBy("doc").orderBy(F.asc("df_freq"), F.asc("shingle"))
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    # Persist the prefix index: it feeds BOTH sides of the candidate
+    # self-join, and without a materialization point the whole chain above
+    # (explode + frequency annotation + two window sorts) executes twice.
+    # The prefix is the SMALL end of the index — ~(1-t) of the exploded
+    # shingles — and disk-backed, so this is the standard "index once,
+    # probe twice" materialization, not a corpus-sized cache.
     prefix = (
         inv.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
         .select("shingle", "doc", "n_sh", "rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # Jaccard ≥ t additionally implies (both exact, cheap row predicates):
@@ -321,7 +328,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return attach_caches(result, base, cand)
+    return attach_caches(result, base, cand, prefix)
 
 
 def _perm_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
