@@ -683,7 +683,12 @@ def group_fixed_k_sample(
 
     Scale: one shuffle on the group key + a per-group top-k window; rank
     order is the md5 hex string (unique keys → tie-free), so both
-    engines agree on the exact row set.
+    engines agree on the exact row set. The ``row_number() <= k`` filter
+    triggers Catalyst's two-phase ``WindowGroupLimit`` (CI-pinned): every
+    map task keeps at most k rows per group BEFORE the exchange, so the
+    shuffle carries ≤ k·tasks rows per group and the final window task
+    never sees a whole group — a corpus-sized language is NOT a
+    single-task sort here.
     """
     from pyspark.sql import Window
 
@@ -706,6 +711,7 @@ def token_budget_sample(
     group_col: str,
     budget_tokens: int,
     salt: str = "",
+    shards: int | None = None,
 ) -> DataFrame:
     """Exact-budget subset builder: walk each group's documents in
     deterministic md5 order, accumulating token counts, and keep every
@@ -720,26 +726,44 @@ def token_budget_sample(
     where ``cum_tokens`` is the running total INCLUDING the row.
 
     Scale: one shuffle on the group key + one windowed cumulative sum —
-    identical cost to pack_sequences; parallelism = number of groups, so
-    shard hot groups via a composite group column when one dominates.
+    identical cost to pack_sequences. A cumulative sum cannot be
+    group-limited the way the fixed-k sampler's ``row_number() <= k``
+    can, so each group IS one window task; for corpus-sized groups pass
+    ``shards=N`` (the same scale dial as pack_sequences): documents
+    split deterministically into N md5-keyed shards, each walking
+    ``budget/N`` tokens independently — N-way parallel, still a pure
+    function of (key, salt), total ≈ budget with overshoot ≤ one
+    document per (group, shard). The sharded KEPT SET differs from the
+    unsharded one (N independent prefixes, not one global prefix) —
+    both are valid deterministic samples; pick per pipeline and keep it.
     """
     from pyspark.sql import Window
 
     from mare_spark.operators.text import token_count
 
     ordkey = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(ordkey)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     t = df.select(
         id_col, group_col,
         token_count(F.col(text_col)).alias("n_tokens"),
     )
+    part_cols: list = [group_col]
+    budget_per_walk = budget_tokens
+    if shards is not None:
+        if shards < 1:
+            raise ValueError("shards must be >= 1")
+        t = t.withColumn(
+            "budget_shard", F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(shards))
+        )
+        part_cols.append("budget_shard")
+        budget_per_walk = budget_tokens / shards
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(ordkey)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return c.filter(
-        F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_tokens)
+        F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_per_walk)
     )
 
 

@@ -456,3 +456,42 @@ def test_chunk_scrub_cms_superset_on_random_corpora(spark):
     }
     assert set(cms) == set(exact)
     assert all(cms[d] >= exact[d] for d in exact)
+
+
+def test_token_budget_sample_shards_scale_path(spark):
+    """shards=N: per-(group, shard) overshoot stays <= one document, the
+    total stays near the budget, and membership is deterministic across
+    runs. shards=None remains the original single-walk contract."""
+    from mare_spark.operators.corpus import token_budget_sample
+    from mare_spark.tables import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    budget = 3000
+    out = token_budget_sample(
+        docs, "text", "doc_id", group_col="lang", budget_tokens=budget,
+        shards=4,
+    )
+    rows = out.collect()
+    assert rows
+    per_walk = budget / 4
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault((r.lang, r.budget_shard), []).append(r)
+    for walk in by_walk.values():
+        # every doc STARTS under the shard budget; only the last may cross
+        n_over = sum(1 for r in walk if r.cum_tokens > per_walk)
+        assert n_over <= 1, walk
+    # deterministic across invocations
+    again = {(r.doc_id, r.budget_shard) for r in token_budget_sample(
+        docs, "text", "doc_id", group_col="lang", budget_tokens=budget,
+        shards=4,
+    ).collect()}
+    assert {(r.doc_id, r.budget_shard) for r in rows} == again
+    # rejects nonsense
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shards"):
+        token_budget_sample(
+            docs, "text", "doc_id", group_col="lang", budget_tokens=10,
+            shards=0,
+        )

@@ -379,3 +379,19 @@ def test_jaccard_windows_are_cap_bounded_only(spark):
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs and set(specs) <= {"shingle", "doc"}, specs
     assert "LeftAnti" in plan, plan
+
+
+def test_fixed_k_sampler_plans_two_phase_group_limit(spark):
+    """The row_number() <= k filter must trigger Catalyst's two-phase
+    WindowGroupLimit: a partial limit BEFORE the exchange keeps at most k
+    rows per group per map task, so the shuffle carries <= k*tasks rows
+    per group and a corpus-sized group is never a single-task sort."""
+    from mare_spark.operators.corpus import group_fixed_k_sample
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    df = group_fixed_k_sample(docs, "doc_id", group_col="lang", k=5)
+    plan = P.formatted_plan(df)
+    import re
+
+    limits = re.findall(r"\(\d+\) WindowGroupLimit", plan)
+    assert len(limits) >= 2, plan  # partial (pre-exchange) + final
