@@ -301,21 +301,25 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     suspiciously high = boilerplate.
 
     Two passes, honestly: (1) global word frequencies (one shuffle on the
-    word — vocabulary-sized output, Zipf-bounded); (2) tokens re-joined to
-    the frequency table (broadcast — a 10M-type vocabulary is ~100 MB) and
-    re-aggregated per document (one shuffle on the id). At 100 TB the
-    vocabulary table is the only global state and it's exactly the
-    "language model" a production pass would broadcast.
+    word — vocabulary-sized output, Zipf-bounded), normalized by a 1-row
+    total joined as a broadcast; (2) tokens re-joined to the frequency
+    table and re-aggregated per document (one shuffle on the id). The
+    frequency-table join is deliberately NOT hint-broadcast: a 10M-type
+    vocabulary is ~100 MB and AQE will broadcast it from its measured
+    runtime size, but a web-scale vocabulary (typos, URLs, code
+    identifiers) grows without bound — when it outgrows the threshold the
+    join degrades to a shuffled join whose Zipf-hot words ("the") AQE
+    skew-splits, instead of a forced-broadcast driver OOM.
     """
-    from pyspark.sql.window import Window
-
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_w"))
     freq = tok.groupBy("_w").agg(F.count("*").alias("_cnt"))
-    # total-token normalizer: a window over the (vocabulary-sized) freq
-    # table, not over the corpus
-    freq = freq.withColumn("_total", F.sum("_cnt").over(Window.partitionBy()))
+    # total-token normalizer: a 1-row aggregate broadcast onto the freq
+    # table (a global window would funnel the whole vocabulary through a
+    # single window task just to repeat one number)
+    total = freq.agg(F.sum("_cnt").alias("_total"))
+    freq = freq.join(F.broadcast(total))
     scored = tok.join(
-        F.broadcast(freq.withColumn("_logp", F.log(F.col("_cnt") / F.col("_total")))),
+        freq.withColumn("_logp", F.log(F.col("_cnt") / F.col("_total"))),
         "_w",
     )
     # avg of raw doubles is partition-order-dependent; snap each token's
