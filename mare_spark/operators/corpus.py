@@ -226,6 +226,68 @@ def decontaminate_ngrams(
     return df.join(contaminated, id_col, "left_anti")
 
 
+def ngram_overlap_report(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    eval_text_col: str | None = None,
+    n: int = 8,
+    min_frac: float = 0.0,
+) -> DataFrame:
+    """Graded contamination report — the fraction-threshold companion to
+    :func:`decontaminate_ngrams`'s any-overlap rule: for every training
+    document sharing at least one word ``n``-gram with the eval corpus,
+    report how MUCH overlaps. Production hygiene policies are typically
+    fractional ("drop if ≥ X% of a doc's n-grams appear in any
+    benchmark"), with the report reviewed before choosing X.
+
+    Returns ``(id, n_grams, n_matched, overlap_frac)`` for documents with
+    ``n_matched ≥ 1`` and ``overlap_frac ≥ min_frac``, where ``n_grams``
+    is the document's DISTINCT n-gram count and ``overlap_frac`` their
+    matched fraction (6dp — hash-stable). Documents too short to have an
+    n-gram produce no row (0/0 is undefined, same contract as the shingle
+    tiers).
+
+    Plan shape: identical to decontaminate_ngrams — shingles scan-side,
+    eval grams distinct-ed and broadcast, per-doc counts are one groupBy
+    on the id. The per-doc gram sets are already distinct (sorted-set
+    hasher), so ``count(*)`` after the match IS the distinct matched
+    count; the corpus is never shuffled except by its own id.
+    """
+    from mare_spark.operators.dedup import hashed_word_shingles
+
+    eval_text_col = eval_text_col or text_col
+    train_grams = df.select(
+        F.col(id_col),
+        F.explode(hashed_word_shingles(F.col(text_col), n)).alias("_g"),
+    )
+    eval_grams = (
+        eval_df.select(
+            F.explode(hashed_word_shingles(F.col(eval_text_col), n)).alias("_g")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    per_doc = (
+        train_grams.join(F.broadcast(eval_grams), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("_hit").isNotNull().cast("long")).alias("n_matched"),
+        )
+        .filter(F.col("n_matched") >= 1)
+        .withColumn(
+            "overlap_frac",
+            fround(F.col("n_matched") / F.col("n_grams").cast("double"), 6),
+        )
+    )
+    if min_frac > 0.0:
+        per_doc = per_doc.filter(F.col("overlap_frac") >= min_frac)
+    return per_doc
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

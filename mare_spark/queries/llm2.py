@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from mare_spark.operators.corpus import (
     PII_PATTERNS,
     decontaminate_ngrams,
+    ngram_overlap_report,
     pack_sequences,
     pii_scrub,
     quality_gates,
@@ -178,6 +179,51 @@ def decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("source") != "src0")
     return decontaminate_ngrams(train, eval_df, "text", "doc_id", n=8).select(
         "doc_id", "lang"
+    )
+
+
+@register(
+    "decontaminate_overlap_report",
+    category="llm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, {_WORDS} AS w FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_distinct({_duck_ngrams(8)})) AS gram
+      FROM w
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    t AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+      FROM g LEFT JOIN ev USING (gram)
+      WHERE g.source <> 'src0'
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           n_grams,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           (floor(n_matched / CAST(n_grams AS DOUBLE) * 1000000.0 + 0.5)
+            / 1000000.0) AS overlap_frac
+    FROM t
+    WHERE n_matched >= 1
+    """,
+)
+def decontaminate_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination vs the 'src0' eval corpus: for every other
+    document sharing at least one word 8-gram with it, the distinct-gram
+    count, matched count, and matched fraction — the report behind a
+    fractional drop policy (decontaminate_vs_eval is the any-overlap
+    special case). Same broadcast plan shape; one keyed groupBy."""
+    docs = read_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return ngram_overlap_report(train, eval_df, "text", "doc_id", n=8).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "overlap_frac",
     )
 
 

@@ -94,7 +94,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #       immediately, displacing an anchor below) --
     "streaming_heavy_hitters_replay",
     "corpus_train_val_split", "q_udtf_word_positions",
-    "q_join_interval_binned",
+    "q_join_interval_binned", "decontaminate_overlap_report",
     # -- 3. anchors + remaining budget (all green in r1-r3; re-checked as
     #       convention-stability insurance) --
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
