@@ -220,6 +220,7 @@ _NESTED_LOOP_OK = {
     "q_subquery_above_avg",  # scalar subquery joins as a 1-row broadcast
     "q22_idle_wealthy_customers",  # scalar avg-balance threshold, 1-row broadcast
     "text_tfidf_keywords",  # scalar corpus-size (n_docs), 1-row broadcast
+    "text_unigram_logprob",  # scalar token-total normalizer, 1-row broadcast
 }
 
 
