@@ -77,7 +77,20 @@ def register(
 #      cheap insurance that the decimal/oracle conventions stayed stable.
 # Everything else follows in registration order. After r4 the
 # never-checked backlog is exactly the set registered in r4 (rule:
-# never-checked at end-of-round <= registered-this-round).
+# never-checked at end-of-round <= registered-this-round). All 5 round-4
+# registrations sit in section 2 below, inside the first-50 window, so
+# the backlog after CORRECTNESS_r04 is zero.
+#
+# ROUND-5 ROTATION PLAN (execute at the start of r5): with every
+# registered query holding at least one driver row after r04, the next
+# priority is RE-checking staleness — front-load (a) any query whose
+# round-4/5 diff touched its operator path (this round: the jaccard/
+# substring/edit-distance/chunk-scrub/novelty frequency-cap consumers,
+# the samplers, text_unigram_logprob, decontaminate_overlap_report —
+# all already in the r4 first-50 except the samplers' older siblings),
+# then (b) the queries whose only green rows date to r1-r2, oldest
+# first, in registration order. Keep the q1/q5/pipeline anchors in every
+# round's 50 as convention canaries.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 1. the 21 round-3 registrations with no driver row yet --
     "dedup_crawl_vs_index", "events_user_anomalies", "text_chunk_dedup",
