@@ -495,3 +495,43 @@ def test_token_budget_sample_shards_scale_path(spark):
             docs, "text", "doc_id", group_col="lang", budget_tokens=10,
             shards=0,
         )
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_word, min_size=8, max_size=12), st.integers(0, 4))
+def test_overlap_report_is_exactly_the_dropped_set(spark, secret_words, pad):
+    """ngram_overlap_report's id set must equal the complement of
+    decontaminate_ngrams' kept set (same grams, graded vs binary view),
+    and a verbatim full-overlap doc must report overlap_frac near 1."""
+    from mare_spark.operators.corpus import (
+        decontaminate_ngrams,
+        ngram_overlap_report,
+    )
+
+    secret = " ".join(secret_words[:8])
+    padding = " ".join(["zz"] * pad)
+    train = spark.createDataFrame(
+        [
+            (1, f"{padding} {secret} trailing words here".strip()),
+            (2, "completely separate content with no overlap at all x y"),
+            (3, secret),  # verbatim eval subset: every gram matches
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, f"prefix {secret} suffix")], "doc_id long, text string"
+    )
+    kept = {
+        r.doc_id
+        for r in decontaminate_ngrams(train, eval_df, "text", "doc_id", n=8).collect()
+    }
+    report = {
+        r.doc_id: r
+        for r in ngram_overlap_report(train, eval_df, "text", "doc_id", n=8).collect()
+    }
+    all_ids = {1, 2, 3}
+    assert set(report) == all_ids - kept
+    assert report[3].overlap_frac == 1.0
+    for r in report.values():
+        assert 0 < r.overlap_frac <= 1.0
+        assert 1 <= r.n_matched <= r.n_grams
