@@ -503,24 +503,28 @@ def ngram_novelty(
     novelty)`` for documents with at least ``n`` words (shorter docs have
     no n-grams and drop, on both engines).
 
-    Scale: grams travel as 128-bit md5 digests; per-doc distinct is a
-    scan-side ``array_distinct`` (no cross-row state); novelty needs only
-    the per-gram predicate ``document frequency == 1``, so the SHARED
-    grams (df ≥ 2 — the complement is what marks a gram novel) are
-    derived by a partial-combined aggregate and left-joined back as a
-    flag. A count window over the digest would be wrong at scale here:
-    n-gram frequencies are Zipfian, and a hot boilerplate 8-gram would
-    funnel its every row into one un-splittable window task, while the
+    Scale: grams travel as 64-bit hashes from the shared Arrow-batched
+    shingle hasher (the interpreted higher-order ``word_ngrams`` pipeline
+    and md5-string keys stay off this hot path — same swap
+    decontaminate_ngrams documents); per-doc distinct is free (the hasher
+    emits sorted distinct sets). Novelty needs only the per-gram
+    predicate ``document frequency == 1``, so the SHARED grams (df ≥ 2 —
+    the complement is what marks a gram novel) are derived by a
+    partial-combined aggregate and left-joined back as a flag. A count
+    window over the digest would be wrong at scale here: n-gram
+    frequencies are Zipfian, and a hot boilerplate 8-gram would funnel
+    its every row into one un-splittable window task, while the
     aggregate partial-combines hot digests map-side and the shuffled
     join-back is AQE-skew-splittable. The per-doc ratio is one groupBy
     on the id. Integer counts until a single division → 6dp fround, so
     the score is hash-stable.
     """
-    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    from mare_spark.operators.dedup import hashed_word_shingles
+
     ex = df.select(
         F.col(id_col), *[F.col(c) for c in keep_cols],
-        F.explode(grams).alias("gram"),
-    ).withColumn("gh", F.md5("gram")).drop("gram")
+        F.explode(hashed_word_shingles(F.col(text_col), n)).alias("gh"),
+    )
     shared = (
         ex.select("gh").groupBy("gh").agg(F.count("*").alias("gram_df"))
         .filter(F.col("gram_df") >= 2)
