@@ -325,7 +325,16 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-customer baseline delta (≡ a window
     aggregate — the oracle states it relationally). Baseline is the group
     MIN, not MEAN: min is summation-order-free, so pandas and SQL agree
-    bit-for-bit (a mean differs in the last ulp and can flip rounding)."""
+    bit-for-bit (a mean differs in the last ulp and can flip rounding).
+
+    Cost model, stated honestly: grouped-map invokes Python once PER
+    GROUP (~ms each), so fine group keys dominate wall time regardless
+    of row count — at sf0.1 this query's ~10k tiny customer groups cost
+    ~30s where the equivalent window runs in <1s. This query exists to
+    exercise the applyInPandas surface; when the logic is
+    window-expressible (as here — the oracle IS the window form), the
+    relational plan is the production path, and grouped-map is for logic
+    that genuinely needs a whole group in pandas at once."""
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
