@@ -875,11 +875,15 @@ def dedup_clusters(
     # label₀(n) = min({n} ∪ neighbors(n)). Every node appears as a src (edges
     # are bidirectional), so this is one aggregate over the edge set — and
     # pair/triple components (the near-dup norm) then converge in a single
-    # verify iteration instead of two.
-    labels = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
-        .localCheckpoint(eager=True)
+    # verify iteration instead of two. Deliberately NOT checkpointed: the
+    # seed is one aggregate over the already-checkpointed edges, round 1
+    # references it twice (the neighbor join and the merge) but both
+    # branches share the identical agg subtree so the exchange is reused,
+    # and skipping the eager materialization saves one whole job — i.e.
+    # one full pass over the edge set — per invocation. Rounds still
+    # checkpoint (that is where lineage would otherwise nest).
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.col("src"), F.min("dst")).alias("label")
     )
 
     converged = False
