@@ -502,7 +502,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
-    bucket_cap: int | None = 10_000,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     Jaccard over the shingle sets.
@@ -528,8 +528,11 @@ def minhash_lsh_pairs(
     a dropped bucket still pair through their other ``bands - 1`` bands
     unless those are over-full too — and a group that saturates EVERY
     band is verbatim mass duplication, which belongs to (and is caught
-    by) the exact-dedup tier run before any near-dup pass. ``None``
-    disables the cap.
+    by) the exact-dedup tier run before any near-dup pass. The cap is
+    OPT-IN (default ``None``, like ``embedding_lsh_pairs``): a default
+    cap would silently drop pairs that only agree in over-full buckets
+    with no runtime signal, so corpus-scale callers state the cap at the
+    call site (the registered scale queries pass ``bucket_cap=10_000``).
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -593,7 +596,7 @@ def minhash_lsh_join(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
-    bucket_cap: int | None = 10_000,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs ACROSS two corpora — the incremental-ingest
     dedup: find which documents of a NEW crawl (left) near-duplicate an
@@ -603,7 +606,8 @@ def minhash_lsh_join(
     ``bucket_cap`` caps each side's (band_idx, band_hash) buckets exactly
     as in :func:`minhash_lsh_pairs` — the cross join of a hot bucket is
     |left bucket| × |right bucket| candidates, which no partition split
-    can shrink. ``None`` disables.
+    can shrink. Opt-in (default ``None``): drops are silent, so the cap
+    belongs at the call site where the scale trade-off is visible.
 
     Same recipe as :func:`minhash_lsh_pairs` (identical UDF, permutations,
     and banding — same ``seed`` makes signatures comparable across calls),
@@ -755,7 +759,7 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     shingle_n: int = 2,
-    bucket_cap: int | None = 10_000,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -774,8 +778,11 @@ def simhash_pairs(
     hot-head shape — partial-combined count, tiny >cap head, broadcast
     anti-join. Pairs in a dropped bucket still qualify through any other
     agreeing chunk; a pair agreeing ONLY in saturated buckets is the
-    verbatim-duplication case owned by the exact-dedup tier. ``None``
-    disables the cap (restores strict pigeonhole completeness).
+    verbatim-duplication case owned by the exact-dedup tier. The cap is
+    OPT-IN (default ``None``): the default contract stays strict
+    pigeonhole completeness — a silent default cap would revoke the
+    "finds ALL qualifying pairs" guarantee with no runtime signal, so
+    corpus-scale callers state it explicitly.
     """
     n_chunks = max_hamming + 1
     if n_chunks > 64:

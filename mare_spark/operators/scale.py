@@ -85,7 +85,7 @@ def _swap_dirs(path: str, tmp: str, old: str) -> None:
     shutil.rmtree(old)
 
 
-def _require_local_path(path: str, op: str) -> str:
+def _require_local_path(path: str, op: str) -> tuple[str, str]:
     """The directory-maintenance ops walk/delete/rename through the LOCAL
     filesystem; on a remote URI (s3a://, hdfs://...) os.walk silently sees
     nothing — sizing the rewrite to one file — and the delete/rename fails
@@ -152,6 +152,12 @@ def zorder_value(
     the interleave is pure bitwise expression code (shiftleft/or), fully
     inside whole-stage codegen.
 
+    NULL column values map to the BOTTOM bin (bit pattern 0) — the same
+    placement parquet writers give NULLs in min/max stats ordering: NULL
+    rows co-cluster with minimum-value rows rather than silently widening
+    max-value files' ranges, and the choice is explicit, not a side
+    effect of ``least`` skipping NULLs.
+
     Returns ``(df_with_z, zcol_name)``; compose with
     :func:`write_zorder_layout` or your own range-partitioned write.
     """
@@ -176,6 +182,10 @@ def zorder_value(
     for c in cols:
         rng = F.col(f"_max_{c}") - F.col(f"_min_{c}")
         frac = F.when(rng > 0, (F.col(c).cast("double") - F.col(f"_min_{c}")) / rng).otherwise(F.lit(0.0))
+        # coalesce BEFORE the least(): a NULL input makes frac NULL, and
+        # F.least skips NULL operands, so without this NULL rows would
+        # land in the TOP bin as an accident of least() semantics
+        frac = F.coalesce(frac, F.lit(0.0))
         scaled.append(F.least(F.floor(frac * (top + 1)).cast("long"), F.lit(top)))
     z = F.lit(0).cast("long")
     one = F.lit(1).cast("long")
@@ -376,7 +386,7 @@ def merge_parquet(
     old_dir = path.rstrip("/") + "._merge_old"
     if os.path.exists(old_dir) and not os.path.exists(path):
         os.rename(old_dir, path)
-    _check_merge_inputs(updates, key, delete_keys)
+    _check_merge_inputs(updates, [key], delete_keys)
     gone = updates.select(F.col(key))
     if delete_keys is not None:
         gone = gone.unionByName(delete_keys.select(F.col(key)))
@@ -388,19 +398,24 @@ def merge_parquet(
 
 
 def _check_merge_inputs(
-    updates: DataFrame, key: str, delete_keys: DataFrame | None
+    updates: DataFrame, keys: list[str], delete_keys: DataFrame | None
 ) -> None:
-    """Batch-sized MERGE preconditions, checked before any rewrite:
+    """Batch-sized MERGE preconditions, checked on the FULL row identity
+    ``keys`` (the bare key for :func:`merge_parquet`; the composite
+    ``(key, partition_col)`` for :func:`merge_parquet_partitioned` — a
+    bare-key check there would reject the documented cross-partition move
+    recipe, update-into-new + delete-from-old, as a false conflict):
 
-    * multiple update rows for one key → error (the anti-join drops one
-      base row and appends BOTH updates, leaving permanent duplicates);
-    * a key in BOTH updates and delete_keys → error (the anti-join would
-      remove the base row and unionByName re-insert the update, silently
-      ignoring the delete — SQL MERGE treats update+delete on one key as
-      a defined conflict, so we do too).
+    * multiple update rows for one identity → error (the anti-join drops
+      one base row and appends BOTH updates, leaving permanent
+      duplicates);
+    * an identity in BOTH updates and delete_keys → error (the anti-join
+      would remove the base row and unionByName re-insert the update,
+      silently ignoring the delete — SQL MERGE treats update+delete on
+      one row as a defined conflict, so we do too).
     """
     dup = (
-        updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+        updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     )
     if dup:
         raise ValueError(
@@ -409,15 +424,15 @@ def _check_merge_inputs(
         )
     if delete_keys is not None:
         both = (
-            updates.select(F.col(key))
-            .join(delete_keys.select(F.col(key)), key, "left_semi")
+            updates.select(*[F.col(k) for k in keys])
+            .join(delete_keys.select(*[F.col(k) for k in keys]), keys, "left_semi")
             .limit(1)
             .count()
         )
         if both:
             raise ValueError(
                 "merge_parquet: key appears in both updates and "
-                "delete_keys — update+delete on one key is a conflict; "
+                "delete_keys — update+delete on one row is a conflict; "
                 "resolve upstream"
             )
 
@@ -479,7 +494,11 @@ def merge_parquet_partitioned(
             f"delete_keys must carry partition column {partition_col!r} "
             "(a delete without its partition would force a full-table scan)"
         )
-    _check_merge_inputs(updates, key, delete_keys)
+    # conflict checks on the COMPOSITE identity (key, partition_col):
+    # moving a key across partitions legitimately ships an update for the
+    # new partition plus a delete_keys row for the old one, and two update
+    # rows for one key in different partitions are two distinct rows
+    _check_merge_inputs(updates, [key, partition_col], delete_keys)
     parts = updates.select(partition_col)
     if delete_keys is not None:
         parts = parts.unionByName(delete_keys.select(partition_col))

@@ -126,10 +126,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (banded candidate generation + exact
     Jaccard verify). Differential oracle in tests: must recover the
-    exact-tier pairs at the same threshold (LSH recall check)."""
+    exact-tier pairs at the same threshold (LSH recall check).
+
+    ``bucket_cap`` is stated HERE (caps are opt-in, never silent library
+    defaults): at corpus scale a mass-duplicate band bucket emits k²/2
+    candidates that no AQE split can shrink, so this scale-facing entry
+    accepts dropping >10k-doc buckets — such groups are verbatim
+    duplication owned by the exact-dedup tier that runs first."""
     docs = read_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.8
+        docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3,
+        threshold=0.8, bucket_cap=10_000,
     )
 
 

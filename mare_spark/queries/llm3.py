@@ -330,4 +330,8 @@ def dedup_crawl_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=64,
         bands=16,
         threshold=0.5,
+        # caps are opt-in at the call site: a hot cross-corpus bucket is
+        # |L|×|R| candidates no AQE split shrinks; >10k buckets are
+        # verbatim duplication owned by the exact tier
+        bucket_cap=10_000,
     )

@@ -81,68 +81,59 @@ def register(
 # registrations sit in section 2 below, inside the first-50 window, so
 # the backlog after CORRECTNESS_r04 is zero.
 #
-# ROUND-5 ROTATION PLAN (execute at the start of r5): with every
-# registered query holding at least one driver row after r04, the next
-# priority is RE-checking staleness — front-load (a) any query whose
-# round-4/5 diff touched its operator path (this round: the jaccard/
-# substring/edit-distance/chunk-scrub/novelty frequency-cap consumers,
-# the samplers, text_unigram_logprob, decontaminate_overlap_report —
-# all already in the r4 first-50 except the samplers' older siblings),
-# then (b) the queries whose only green rows date to r1-r2, oldest
-# first, in registration order. Keep the q1/q5/pipeline anchors in every
-# round's 50 as convention canaries.
+# ROUND-5 ROTATION (executes the plan written here in round 4): after
+# r04 every registered query has at least one driver row, so the budget
+# shifts to RE-checking staleness —
+#   1. queries whose operator path the round-5 diff touched and which
+#      therefore need fresh evidence: the LSH-family bucket_cap became
+#      opt-in (ADVICE r4) with the scale-facing entries now passing the
+#      cap explicitly (dedup_minhash_lsh, dedup_crawl_vs_index) and
+#      dedup_simhash reverting to uncapped pigeonhole completeness;
+#   2. the q1/q5/pipeline anchors — convention canaries in every round;
+#   3. the 30 remaining queries whose only green rows date to ROUND 1,
+#      in registration order;
+#   4. round-2-stale queries whose operator families saw round-4 edits
+#      (decontaminate drop-set pin; grouped-map cost-model pass), then
+#      the oldest-registered round-2-stale scalar/UDF rows to fill 50.
+#   5. round-5 registrations (check-before-register: each lands inside
+#      the first-50 immediately, displacing the tail of section 4, so
+#      the never-checked backlog stays 0 at end of round).
+# The ~16 remaining r2-stale rows (multimodal_decode, text_pii_scrub,
+# q_asof_join, the r2-only TPC-H bodies, ...) head the r6 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 1. the 21 round-3 registrations with no driver row yet --
-    "dedup_crawl_vs_index", "events_user_anomalies", "text_chunk_dedup",
-    "text_quality_classifier", "sample_fixed_k_per_lang",
-    "sample_token_budget", "text_ngram_novelty",
-    "q_correlated_exists", "q_correlated_scalar",
-    "events_funnel", "events_cohort_retention",
-    "text_chunk_dedup_cms", "q_variant_json",
-    "embedding_cluster_assign", "embedding_kmeans_refined",
-    "dedup_edit_distance", "text_sliding_chunks",
-    "corpus_snapshot_diff", "corpus_quality_funnel",
-    "pipeline_clean_corpus_v3", "q_asof_join_forward",
-    # -- 2. round-4 registrations (check-before-register: each lands here
-    #       immediately, displacing an anchor below) --
-    "streaming_heavy_hitters_replay",
-    "corpus_train_val_split", "q_udtf_word_positions",
-    "q_join_interval_binned", "decontaminate_overlap_report",
-    # -- 3. anchors + remaining budget (all green in r1-r3; re-checked as
-    #       convention-stability insurance) --
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_revenue_change", "q9_product_type_profit",
-    "q10_returned_item_reporting", "q17_small_quantity_revenue",
-    "q_agg_stats", "q_window_running", "q_grouping_sets",
-    "q_udf_grouped_agg", "q_udf_pandas_scalar",
-    "q_rollup", "q_cube", "q_math_conditional",
-    "pipeline_clean_corpus", "pipeline_clean_corpus_v2",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_substring_candidates", "dedup_cluster_stats",
-    "sim_topk_cosine", "multimodal_frame_sample",
-    "text_rolling_fingerprint", "text_tfidf_keywords",
+    # -- 1. round-5-touched operator paths --
+    "dedup_minhash_lsh", "dedup_crawl_vs_index", "dedup_simhash",
+    # -- 2. anchors --
+    "q1_pricing_summary", "q5_local_supplier_volume", "pipeline_clean_corpus",
+    # -- 3. last green row dates to round 1 (registration order) --
+    "dedup_embedding_cosine", "dedup_clusters_resolve", "dedup_embedding_lsh",
+    "sim_filtered_topk", "sim_ann_lsh", "sim_ann_ivf",
+    "text_quality_stats", "text_lang_id", "text_fingerprint",
+    "text_token_stats", "sample_stratified_by_lang",
+    "pipe_gc_count", "pipe_map_upper", "pipe_token_total",
+    "q_join_right_outer", "q_join_full_outer", "q_join_left_semi",
+    "q_join_left_anti", "q_join_cross",
+    "q_agg_count_distinct", "q_agg_approx_distinct",
+    "q_window_rank", "q_window_topk_per_group", "q_window_lag_lead",
+    "q_window_range_frame", "q_window_ntile_first_last",
+    "q_orderby_limit", "q_sort_nulls_last",
+    "q_union_all", "q_union_distinct",
+    # -- 4. round-2-stale: r4-touched families first, then oldest funcs --
     "decontaminate_vs_eval", "pack_training_sequences",
-    # -- 4. the rest of the corpus follows in registration order --
-    "events_tumbling_window", "events_session_window",
-    "q_join_left_outer", "q_join_range_band", "q_having", "q_pivot",
-    "q_sql_returned_items", "q_subquery_above_avg",
-    "q_intersect_all", "q_except_all",
-    "corpus_mix_report", "text_unigram_logprob", "sample_temperature_rates",
-    "events_sessionize", "sample_apply_mixture",
-    "corpus_ngram_heavy_hitters", "corpus_length_histogram",
-    "corpus_vocab_stats", "corpus_lang_confusion",
-    "cross_source_contamination", "embedding_norm_stats",
-    "dedup_semantic", "pipeline_clean_corpus_semantic",
+    "q_intersect", "q_except", "q_filter_predicates",
+    "q_string_funcs", "q_date_funcs", "q_array_funcs",
+    "q_explode_word_count", "q_json_funcs", "q_from_json_map",
+    "q_percentiles_approx", "q_unpivot", "q_apply_in_pandas",
+    # -- 5. round-5 registrations land here (displacing section-4 tail) --
+    # -- 6. remaining r2-stale rows: the head of the r6 rotation --
+    "q_map_in_pandas", "q_udf_python_rowwise",
     "multimodal_decode", "text_repetition_stats", "text_quality_gates",
     "text_pii_scrub", "q_asof_join", "q_percentiles_exact",
     "q2_cheapest_supplier_per_part", "q4_priority_with_late_items",
-    "q7_volume_between_nations", "q8_national_market_share",
-    "q11_important_suppliers", "q12_priority_by_linestatus",
-    "q13_customer_order_distribution", "q14_promo_revenue_share",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q18_large_orders", "q19_disjunctive_brackets",
+    "q12_priority_by_linestatus", "q13_customer_order_distribution",
+    "q16_supplier_part_counts", "q18_large_orders",
     "q20_promo_volume_suppliers", "q21_sole_returning_supplier",
-    "q22_idle_wealthy_customers", "events_sliding_window",
+    # -- 7. the rest of the corpus follows in registration order --
 )
 
 

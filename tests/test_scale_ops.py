@@ -520,6 +520,73 @@ def test_merge_partitioned_rewrites_only_affected(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "pt=p1._merge_tmp"))
 
 
+def test_merge_partitioned_cross_partition_move(spark, tmp_path):
+    """The documented cross-partition move recipe — an update row for the
+    NEW partition plus a delete_keys row for the OLD one in the same
+    batch — must be accepted (conflict checks run on the composite
+    (key, partition_col) identity, not the bare key) and must actually
+    move the row. Two update rows for one key in DIFFERENT partitions are
+    likewise two distinct rows, not duplicates."""
+    from mare_spark.operators.scale import merge_parquet_partitioned
+
+    path = str(tmp_path / "tbl_move")
+    spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+        "id long, v string, pt string",
+    ).write.partitionBy("pt").parquet(path)
+
+    # move id=1 from p1 to p2; simultaneously carry a second update for a
+    # DIFFERENT key that lands two rows for key-space neighbor id=3's
+    # partition — composite identities are all distinct
+    updates = spark.createDataFrame(
+        [(1, "a-moved", "p2"), (3, "c2", "p2")], "id long, v string, pt string"
+    )
+    deletes = spark.createDataFrame([(1, "p1")], "id long, pt string")
+    rewritten = merge_parquet_partitioned(
+        spark, path, updates, "id", "pt", delete_keys=deletes
+    )
+    assert sorted(rewritten) == ["p1", "p2"]
+    got = {(r.id, r.pt): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "p2"): "a-moved", (2, "p1"): "b", (3, "p2"): "c2",
+    }
+
+
+def test_merge_partitioned_same_key_two_partitions_updates(spark, tmp_path):
+    """Updates for ONE key in TWO partitions are distinct composite rows:
+    accepted, each lands in its own partition (partition_col is part of
+    row identity). A true composite duplicate still raises."""
+    import pytest
+
+    from mare_spark.operators.scale import merge_parquet_partitioned
+
+    path = str(tmp_path / "tbl_same_key")
+    spark.createDataFrame(
+        [(1, "a", "p1"), (1, "b", "p2")], "id long, v string, pt string"
+    ).write.partitionBy("pt").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(1, "A1", "p1"), (1, "B2", "p2")], "id long, v string, pt string"
+    )
+    merge_parquet_partitioned(spark, path, updates, "id", "pt")
+    got = {(r.id, r.pt): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "p1"): "A1", (1, "p2"): "B2"}
+
+    dup = spark.createDataFrame(
+        [(1, "x", "p1"), (1, "y", "p1")], "id long, v string, pt string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_parquet_partitioned(spark, path, dup, "id", "pt")
+    # update+delete on the SAME composite identity is still a conflict
+    with pytest.raises(ValueError, match="both updates"):
+        merge_parquet_partitioned(
+            spark, path,
+            spark.createDataFrame([(1, "x", "p1")], "id long, v string, pt string"),
+            "id", "pt",
+            delete_keys=spark.createDataFrame([(1, "p1")], "id long, pt string"),
+        )
+
+
 def test_merge_partitioned_requires_partition_column(spark, tmp_path):
     import pytest
 
@@ -623,6 +690,24 @@ def test_zorder_value_matches_python_morton(spark):
 
     for (x, y), z in got.items():
         assert z == morton(scale(x), scale(y)), (x, y, z)
+
+
+def test_zorder_value_nulls_land_in_bottom_bin(spark):
+    """NULL column values take the bottom bin (code 0), by contract: a
+    NULL x must z-encode exactly like the minimum x, not silently
+    co-cluster with max-value rows (the least()-skips-NULLs accident)."""
+    from mare_spark.operators.scale import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (0, 63), (63, 63), (None, 63), (None, 0)], "x long, y long"
+    )
+    zdf, zcol = zorder_value(df, ["x", "y"], bits_per_col=6)
+    got = {(r.x, r.y): r[zcol] for r in zdf.collect()}
+    # NULL x ≡ x=0 (the min), for either y
+    assert got[(None, 63)] == got[(0, 63)]
+    assert got[(None, 0)] == got[(0, 0)]
+    # and is far from the max-value corner
+    assert got[(None, 63)] < got[(63, 63)]
 
 
 def test_file_skipping_report_shows_layout_payoff(spark, tmp_path):
