@@ -20,6 +20,12 @@ from mare_spark.operators.analysis import (
     vocab_stats,
 )
 from mare_spark.operators.asof import asof_join, asof_join_pandas
+from mare_spark.operators.bpe import (
+    bpe_segment,
+    char_pair_counts,
+    learn_bpe_merges,
+)
+from mare_spark.operators.corpus import epoch_shuffle
 from mare_spark.operators.scale import bucketed_table, join_bucketed, salted_join
 from mare_spark.operators.similarity import (
     ann_lsh_topk,
@@ -44,6 +50,10 @@ __all__ = [
     "brute_force_topk",
     "asof_join",
     "asof_join_pandas",
+    "bpe_segment",
+    "char_pair_counts",
+    "learn_bpe_merges",
+    "epoch_shuffle",
     "salted_join",
     "bucketed_table",
     "join_bucketed",

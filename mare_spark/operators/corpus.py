@@ -957,3 +957,57 @@ def hashed_quality_classifier_udf(
         + ["n_tokens int", "quality_score double", "keep_flag int"]
     )
     return df.select(*in_cols).mapInPandas(gen, schema)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int,
+    epoch: int = 0,
+    salt: str = "",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic global training-order assignment: every row gets a
+    ``(shard, position)`` such that reading shards in order, each sorted
+    by position, replays one full epoch in a pseudo-random order that is
+    a pure function of ``(key, epoch, salt)`` — the reproducible
+    corpus-shuffle primitive a training pipeline needs per epoch.
+    ``rand()``-based shuffles can't give this: their draw depends on
+    partition layout, so a re-materialized corpus trains in a different
+    order (and resuming mid-epoch becomes unreplayable).
+
+    Mechanics: ``ord = md5(key:epoch:salt)`` (engine-identical lowercase
+    hex, the registry-wide sampler convention); the shard is the first 4
+    hex digits mod ``n_shards`` — so shard membership ALSO reshuffles
+    every epoch, keeping any shard-level parallel reader balanced — and
+    the position is ``row_number()`` over the shard ordered by the full
+    hash (key appended as a tie-guard; md5 collisions on 4-digit
+    prefixes don't matter, full-hash ties are broken by the unique key).
+
+    Scale: one hash exchange on shard + an independent per-shard sort —
+    embarrassingly parallel across shards, so pick ``n_shards`` at least
+    the cluster's task width (a 100 TB corpus at 10k shards sorts ~10 GB
+    per task). The full-corpus total order nobody can afford is exactly
+    what this avoids: training readers only ever need per-shard order.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    ordkey = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"),
+                    F.lit(str(epoch)), F.lit(salt))
+    )
+    shard = (
+        F.conv(F.substring(ordkey, 1, 4), 16, 10).cast("int") % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("_ord", id_col)
+    return (
+        df.select(
+            id_col, *keep_cols,
+            ordkey.alias("_ord"), shard.alias("shard"),
+        )
+        .withColumn("position", F.row_number().over(w))
+        .drop("_ord")
+    )

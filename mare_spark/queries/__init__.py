@@ -13,6 +13,7 @@ from mare_spark.queries import (  # noqa: F401
     llm3,
     llm4,
     llm5,
+    llm6,
     pipe,
     relational,
     relational2,

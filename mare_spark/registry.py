@@ -123,9 +123,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_intersect", "q_except", "q_filter_predicates",
     "q_string_funcs", "q_date_funcs", "q_array_funcs",
     "q_explode_word_count", "q_json_funcs", "q_from_json_map",
-    "q_percentiles_approx", "q_unpivot", "q_apply_in_pandas",
-    # -- 5. round-5 registrations land here (displacing section-4 tail) --
+    # -- 5. round-5 registrations (check-before-register: in the first-50
+    #       immediately; q_percentiles_approx/q_unpivot/q_apply_in_pandas
+    #       displaced from section 4 into the r6 head below) --
+    "corpus_bpe_pair_counts", "corpus_bpe_segment_report",
+    "corpus_epoch_shuffle",
     # -- 6. remaining r2-stale rows: the head of the r6 rotation --
+    "q_percentiles_approx", "q_unpivot", "q_apply_in_pandas",
     "q_map_in_pandas", "q_udf_python_rowwise",
     "multimodal_decode", "text_repetition_stats", "text_quality_gates",
     "text_pii_scrub", "q_asof_join", "q_percentiles_exact",
