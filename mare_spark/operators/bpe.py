@@ -114,6 +114,98 @@ _ADJ_PAIRS = (
 )
 
 
+def _rewrite(syms: list, a: str, b: str) -> list:
+    """Greedy left-to-right rewrite of adjacent ``(a, b)`` into ``a+b``
+    (pure-Python twin of :func:`_merge_pair_udf`, shared by the driver
+    learning loop and segmentation)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _learn_bpe_driver(
+    vocab_rows: list[tuple[str, int, list]],
+    num_merges: int,
+    min_count: int,
+) -> list[tuple[str, str]]:
+    """In-memory merge loop over a collected ``(word, cnt, syms)`` vocab.
+
+    Incremental: a lazy max-heap over pair counts plus a pair→word-set
+    index, so each round touches only the words that actually contain
+    the merged pair — O(affected words) per round instead of O(vocab).
+    This is what makes production merge counts (tens of thousands)
+    viable: the distributed loop pays one full Spark job per merge,
+    ~100-200 ms of scheduling floor each, i.e. 30+ min for 10k merges
+    regardless of data size, while this loop does 10k merges on a 1M-word
+    vocab in seconds. Semantics are pinned equal to the distributed loop
+    (same max-count, same lexicographic ``(a, b)`` tie-break) by test.
+    """
+    import heapq
+
+    words: list[list] = []  # mutable [syms, cnt]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set] = {}
+    for _w, cnt, syms in vocab_rows:
+        idx = len(words)
+        words.append([list(syms), cnt])
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_words.setdefault(p, set()).add(idx)
+    # heap entries are (-count, a, b); stale entries (count changed since
+    # push) are skipped on pop — every current count has a live entry
+    # because counts are (re)pushed whenever they change
+    heap = [(-n, a, b) for (a, b), n in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges:
+        best = None
+        while heap:
+            negn, a, b = heap[0]
+            if pair_counts.get((a, b), 0) != -negn or negn == 0:
+                heapq.heappop(heap)  # stale
+                continue
+            best = (a, b, -negn)
+            break
+        if best is None or best[2] < min_count:
+            break
+        a, b, _n = best
+        merges.append((a, b))
+        changed: set = set()
+        for idx in sorted(pair_words.get((a, b), ())):
+            syms, cnt = words[idx]
+            old = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+            new_syms = _rewrite(syms, a, b)
+            new = [(new_syms[i], new_syms[i + 1])
+                   for i in range(len(new_syms) - 1)]
+            for p in old:
+                pair_counts[p] -= cnt
+                changed.add(p)
+            for p in new:
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+                changed.add(p)
+            olds, news = set(old), set(new)
+            for p in olds - news:
+                pair_words[p].discard(idx)
+            for p in news - olds:
+                pair_words.setdefault(p, set()).add(idx)
+            words[idx][0] = new_syms
+        for p in changed:
+            n = pair_counts.get(p, 0)
+            if n > 0:
+                heapq.heappush(heap, (-n, p[0], p[1]))
+            else:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+    return merges
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str,
@@ -121,6 +213,8 @@ def learn_bpe_merges(
     *,
     end_marker: str = "</w>",
     min_count: int = 2,
+    driver_vocab_limit: int = 2_000_000,
+    checkpoint_every: int = 25,
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` BPE merges (Sennrich-style: words split
     to characters plus a terminal ``end_marker`` symbol; each round
@@ -131,12 +225,27 @@ def learn_bpe_merges(
     across runs and cluster shapes (pinned against a pure-Python
     reference in tests). Stops early when no pair reaches ``min_count``.
 
-    Each round: one keyed pair-aggregate over the persisted vocab, a
-    1-row ``best pair`` fetch (the only driver traffic), and one
-    Arrow-batched rewrite of the symbol arrays; the new vocab is
-    persisted and the previous round's released, so lineage stays one
-    round deep. The corpus itself is scanned exactly once, by
-    :func:`word_counts`.
+    Cost model — the corpus is scanned exactly ONCE (by
+    :func:`word_counts`); everything after runs on the distinct-word
+    vocabulary, which Zipf keeps 4-6 orders of magnitude smaller:
+
+    * vocab ≤ ``driver_vocab_limit`` rows (the common case — even a
+      100 TB web corpus has a vocabulary in the tens of millions, and
+      2M rows of (word, cnt, syms) is ~200 MB of driver heap): the
+      vocab is collected once and the merge loop runs in driver memory
+      with an incremental pair-count index — tens of thousands of
+      merges in seconds, zero per-round Spark jobs.
+    * vocab above the limit: the distributed fallback — per round, one
+      keyed pair-aggregate over the persisted vocab, a 1-row best-pair
+      fetch, and one Arrow-batched rewrite. Each round is a Spark job
+      (~0.1-0.2 s scheduling floor), so this path is for bounding
+      driver memory, not speed; raise the limit before reaching for it.
+      Every ``checkpoint_every`` rounds the vocab is localCheckpoint-ed
+      so executor loss or cache eviction replays at most that many
+      rewrite rounds instead of the whole merge history back to the
+      corpus scan.
+
+    Both paths produce the identical merge list (pinned by test).
     """
     chars = F.split(F.col("word"), "")
     syms = (
@@ -149,9 +258,16 @@ def learn_bpe_merges(
         .select("word", "cnt", syms.alias("syms"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_vocab = wc.count()
+    if n_vocab <= driver_vocab_limit:
+        try:
+            rows = [(r["word"], r["cnt"], r["syms"]) for r in wc.collect()]
+        finally:
+            wc.unpersist()
+        return _learn_bpe_driver(rows, num_merges, min_count)
     merges: list[tuple[str, str]] = []
     try:
-        for _ in range(num_merges):
+        for round_no in range(num_merges):
             best = (
                 wc.select(F.explode(F.expr(_ADJ_PAIRS)).alias("p"), "cnt")
                 .groupBy("p.a", "p.b")
@@ -166,8 +282,17 @@ def learn_bpe_merges(
             merges.append((a, b))
             nxt = wc.withColumn(
                 "syms", _merge_pair_udf(a, b)(F.col("syms"))
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            nxt.count()  # materialize before dropping the previous round
+            )
+            if (round_no + 1) % checkpoint_every == 0:
+                # truncate lineage: persist alone leaves each round's
+                # cache depending on the previous round's (evictable)
+                # cache, so a lost executor replays every merge UDF back
+                # to the corpus scan; a localCheckpoint bounds the replay
+                # to checkpoint_every rounds
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+                nxt.count()  # materialize before dropping previous round
             wc.unpersist()
             wc = nxt
     finally:
@@ -191,15 +316,7 @@ def _segment_word(word: str, ranks: dict[tuple[str, str], int],
         if r is None:
             break
         a, b = pairs[r]
-        out, i, n = [], 0, len(s)
-        while i < n:
-            if i + 1 < n and s[i] == a and s[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(s[i])
-                i += 1
-        s = out
+        s = _rewrite(s, a, b)
     return s
 
 

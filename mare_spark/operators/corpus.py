@@ -978,12 +978,14 @@ def epoch_shuffle(
     order (and resuming mid-epoch becomes unreplayable).
 
     Mechanics: ``ord = md5(key:epoch:salt)`` (engine-identical lowercase
-    hex, the registry-wide sampler convention); the shard is the first 4
-    hex digits mod ``n_shards`` — so shard membership ALSO reshuffles
-    every epoch, keeping any shard-level parallel reader balanced — and
-    the position is ``row_number()`` over the shard ordered by the full
-    hash (key appended as a tie-guard; md5 collisions on 4-digit
-    prefixes don't matter, full-hash ties are broken by the unique key).
+    hex, the registry-wide sampler convention); the shard is the first 15
+    hex digits (60 bits — a 4-digit prefix would fold the keyspace to
+    65536 values, a ~17% shard-size spread at 10k shards and empty shards
+    above 65536) taken mod ``n_shards`` — so shard membership ALSO
+    reshuffles every epoch, keeping any shard-level parallel reader
+    balanced — and the position is ``row_number()`` over the shard
+    ordered by the full hash (key appended as a tie-guard: full-hash
+    ties are broken by the unique key).
 
     Scale: one hash exchange on shard + an independent per-shard sort —
     embarrassingly parallel across shards, so pick ``n_shards`` at least
@@ -995,13 +997,21 @@ def epoch_shuffle(
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    reserved = {"_ord", "shard", "position"}
+    clash = reserved.intersection({id_col, *keep_cols})
+    if clash:
+        raise ValueError(
+            f"id_col/keep_cols clash with epoch_shuffle output columns: "
+            f"{sorted(clash)} (reserved: {sorted(reserved)})"
+        )
     ordkey = F.md5(
         F.concat_ws(":", F.col(id_col).cast("string"),
                     F.lit(str(epoch)), F.lit(salt))
     )
-    shard = (
-        F.conv(F.substring(ordkey, 1, 4), 16, 10).cast("int") % n_shards
-    )
+    shard = F.pmod(
+        F.conv(F.substring(ordkey, 1, 15), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
     w = Window.partitionBy("shard").orderBy("_ord", id_col)
     return (
         df.select(

@@ -102,8 +102,9 @@ def corpus_bpe_segment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT doc_id,
                md5(CAST(doc_id AS VARCHAR) || ':0:') AS ord,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0:'),
-                                    1, 4)) AS INT) % {_N_SHARDS} AS shard
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                             || ':0:'), 1, 15)) AS BIGINT)
+                    % {_N_SHARDS} AS INT) AS shard
         FROM documents
       )
     )

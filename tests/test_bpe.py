@@ -254,3 +254,81 @@ def test_epoch_shuffle_validates_shards(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="n_shards"):
         epoch_shuffle(df, "doc_id", n_shards=0)
+
+
+# --- driver-path learning (bounded vocab) -----------------------------------
+
+def test_driver_and_distributed_learning_agree(spark):
+    """Both learn_bpe_merges paths — driver in-memory loop (vocab within
+    driver_vocab_limit) and distributed per-round jobs (limit=0 forces
+    the fallback) — must produce the identical merge table."""
+    from mare_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    fast = learn_bpe_merges(df, "text", 12)
+    slow = learn_bpe_merges(df, "text", 12, driver_vocab_limit=0)
+    want = py_learn_bpe(CORPUS, 12)
+    assert fast == slow == want
+
+
+def test_distributed_checkpoint_rounds_agree(spark):
+    """A checkpoint_every that fires mid-run (lineage truncation via
+    localCheckpoint) may not change a single merge."""
+    from mare_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = learn_bpe_merges(
+        df, "text", 8, driver_vocab_limit=0, checkpoint_every=3
+    )
+    assert got == py_learn_bpe(CORPUS, 8)
+
+
+def test_driver_loop_learns_1k_merges_fast(spark):
+    """Production merge counts are viable: ≥1000 merges learned with full
+    merge-table equality to the pure-Python reference, in seconds (the
+    incremental driver loop does the 1000 rounds in well under a second;
+    the distributed fallback would pay 1000 Spark jobs)."""
+    import random
+    import time
+
+    from mare_spark.operators.bpe import learn_bpe_merges
+
+    rng = random.Random(42)
+    alpha = "abcdefghij"
+    words = sorted({"".join(rng.choice(alpha) for _ in range(12))
+                    for _ in range(400)})
+    corpus = [" ".join(words)]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    t0 = time.time()
+    got = learn_bpe_merges(df, "text", 1000, min_count=1)
+    elapsed = time.time() - t0
+    assert got == py_learn_bpe(corpus, 1000, min_count=1)
+    assert len(got) == 1000
+    assert elapsed < 60  # driver loop: ~1 Spark job + in-memory rounds
+
+
+def test_epoch_shuffle_rejects_reserved_column_names(spark):
+    from mare_spark.operators.corpus import epoch_shuffle
+
+    df = spark.range(3).withColumnRenamed("id", "shard")
+    with pytest.raises(ValueError, match="reserved"):
+        epoch_shuffle(df, "shard", n_shards=2)
+    from pyspark.sql import functions as F
+
+    df2 = (spark.range(3).withColumnRenamed("id", "doc_id")
+           .withColumn("position", F.lit(0)))
+    with pytest.raises(ValueError, match="reserved"):
+        epoch_shuffle(df2, "doc_id", n_shards=2, keep_cols=("position",))
+
+
+def test_epoch_shuffle_shard_width_unbiased(spark):
+    """Shard assignment uses 60 hash bits, not 16: with n_shards above
+    65536 every shard must still be reachable (the old 4-hex-digit
+    prefix left shards ≥65536 permanently empty)."""
+    from mare_spark.operators.corpus import epoch_shuffle
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    shards = {r.shard for r in
+              epoch_shuffle(df, "doc_id", n_shards=100_000).collect()}
+    assert max(shards) > 65536  # 16-bit prefix could never reach these
+    assert min(shards) >= 0
