@@ -147,6 +147,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "text", "doc_id", max_hamming=7, shingle_n=2)
 
 
+@register("dedup_simhash_capped", category="llm", oracle=None)
+def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs under the CAPPED contract — the corpus-scale
+    call shape, with ``bucket_cap`` stated at the call site (caps are
+    opt-in, never silent library defaults): a (chunk_idx, chunk) bucket of
+    k docs emits k²/2 candidates that no AQE split can shrink, so scale
+    callers accept dropping >10k-doc buckets — pairs in a dropped bucket
+    still qualify through any other agreeing chunk, and a pair agreeing
+    ONLY in saturated buckets is verbatim duplication owned by the
+    exact-dedup tier that runs first. At the fixture SFs no bucket nears
+    the cap, so this returns the identical pair set as the uncapped
+    ``dedup_simhash`` (pinned in tests/test_llm_ops.py); the drop/recall
+    behavior of the cap itself is pinned there too."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs, "text", "doc_id", max_hamming=7, shingle_n=2,
+        bucket_cap=10_000,
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     category="llm",

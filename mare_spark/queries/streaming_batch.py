@@ -390,6 +390,94 @@ def streaming_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "streaming_sessionize_replay",
+    category="streaming",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '1 hour'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT min(ts)                         AS session_start,
+           max(ts) + INTERVAL '1 hour'     AS session_end,
+           user_id,
+           count(*)                        AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming sessionization checked against the exact batch
+    answer: the events table is range-split on ``ts`` into 4 files,
+    replayed through the file-source stream one file per micro-batch, and
+    session-windowed by :func:`mare_spark.streaming.session_aggregate`
+    (1-hour gap). Sessions that straddle a file boundary must merge
+    across micro-batches through Spark's session-window state store —
+    that cross-batch merge is exactly what this row proves; a session
+    computed per-batch would fragment and hash-fail.
+
+    Why a streaming run can hash-match an EXACT oracle: the watermark is
+    set beyond the fixture's time span, so no row is ever late-dropped,
+    and the memory sink runs in COMPLETE mode, so the final emission
+    carries every session including ones a real deployment would still
+    hold open. The DuckDB oracle is the classic gaps-and-islands
+    construction (lag → new-session flag → running sum), identical to
+    the green ``events_session_window`` batch row.
+
+    Scale story: session_window state is per-user and watermark-bounded
+    in production (the huge watermark here is the equivalence harness,
+    not the deployment setting); the aggregation shuffles once on
+    user_id per micro-batch, and the state store holds only open
+    sessions. Restart/exactly-once properties of the streaming tier are
+    pinned in tests/test_streaming.py.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from mare_spark import streaming as S
+
+    scratch = tempfile.mkdtemp(prefix="mare_sess_replay_")
+    try:
+        landing = f"{scratch}/landing"
+        # time-range split: sessions crossing the 4 range boundaries can
+        # only be recovered by cross-batch session-window state merging
+        read_table(spark, sf_dir, "events").repartitionByRange(
+            4, "ts"
+        ).write.parquet(landing)
+        stream = S.session_aggregate(
+            S.read_events_stream(spark, landing),
+            gap="1 hour",
+            watermark="3650 days",  # never late-drop: exact-equivalence run
+        )
+        name = "sess_replay_" + uuid.uuid4().hex[:8]
+        q = S.run_to_memory_sink(stream, name, "complete")
+        try:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "session_start timestamp, session_end timestamp, user_id long, "
+        "n_events long, total double",
+    )
+
+
+@register(
     "events_cohort_retention",
     category="streaming",
     oracle="""

@@ -81,63 +81,57 @@ def register(
 # registrations sit in section 2 below, inside the first-50 window, so
 # the backlog after CORRECTNESS_r04 is zero.
 #
-# ROUND-5 ROTATION (executes the plan written here in round 4): after
-# r04 every registered query has at least one driver row, so the budget
-# shifts to RE-checking staleness —
-#   1. queries whose operator path the round-5 diff touched and which
-#      therefore need fresh evidence: the LSH-family bucket_cap became
-#      opt-in (ADVICE r4) with the scale-facing entries now passing the
-#      cap explicitly (dedup_minhash_lsh, dedup_crawl_vs_index) and
-#      dedup_simhash reverting to uncapped pigeonhole completeness;
-#   2. the q1/q5/pipeline anchors — convention canaries in every round;
-#   3. the 30 remaining queries whose only green rows date to ROUND 1,
-#      in registration order;
-#   4. round-2-stale queries whose operator families saw round-4 edits
-#      (decontaminate drop-set pin; grouped-map cost-model pass), then
-#      the oldest-registered round-2-stale scalar/UDF rows to fill 50.
-#   5. round-5 registrations (check-before-register: each lands inside
-#      the first-50 immediately, displacing the tail of section 4, so
-#      the never-checked backlog stays 0 at end of round).
-# The ~16 remaining r2-stale rows (multimodal_decode, text_pii_scrub,
-# q_asof_join, the r2-only TPC-H bodies, ...) head the r6 rotation.
+# ROUND-6 ROTATION (executes the plan written here in round 5 and
+# VERDICT r5 "Next round" #1): the staleness ledger after r5 is
+# 19 rows last-green in ROUND 2, 33 in round 3, 45 in round 4, 50 in
+# round 5 —
+#   1. queries whose operator path the round-6 diff touched:
+#      corpus_epoch_shuffle (shard now derived from 60 hash bits, oracle
+#      updated in lockstep) and the BPE rows (learn_bpe_merges gained the
+#      driver-side merge loop that corpus_bpe_segment_report executes);
+#   2. round-6 registrations (check-before-register): the capped-contract
+#      simhash row (VERDICT r5 #6) and the live-streaming sessionize
+#      replay (VERDICT r5 #7);
+#   3. the q1/q5/pipeline anchors — convention canaries in every round;
+#   4. ALL 19 round-2-stale rows (the oldest evidence in the ledger:
+#      multimodal_decode, text_pii_scrub, the UDF-surface rows, the
+#      r2-only TPC-H bodies), in registration order;
+#   5. round-3-stale rows in registration order to fill the 50 budget,
+#      with events_sessionize swapped in for q14 (its gaps-and-islands
+#      construction is the oracle template the new replay row reuses —
+#      refreshing both in one round pins the convention from both ends).
+# The 10 r3-stale rows left over (q14, q7, q11, q15, q19, q22, q8,
+# events_tumbling/sliding/session_window) head the r7 rotation, followed
+# by the 45 r4-stale rows in registration order.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 1. round-5-touched operator paths --
-    "dedup_minhash_lsh", "dedup_crawl_vs_index", "dedup_simhash",
-    # -- 2. anchors --
+    # -- 1. round-6-touched operator paths --
+    "corpus_epoch_shuffle", "corpus_bpe_segment_report",
+    "corpus_bpe_pair_counts",
+    # -- 2. round-6 registrations --
+    "dedup_simhash_capped", "streaming_sessionize_replay",
+    # -- 3. anchors --
     "q1_pricing_summary", "q5_local_supplier_volume", "pipeline_clean_corpus",
-    # -- 3. last green row dates to round 1 (registration order) --
-    "dedup_embedding_cosine", "dedup_clusters_resolve", "dedup_embedding_lsh",
-    "sim_filtered_topk", "sim_ann_lsh", "sim_ann_ivf",
-    "text_quality_stats", "text_lang_id", "text_fingerprint",
-    "text_token_stats", "sample_stratified_by_lang",
-    "pipe_gc_count", "pipe_map_upper", "pipe_token_total",
-    "q_join_right_outer", "q_join_full_outer", "q_join_left_semi",
-    "q_join_left_anti", "q_join_cross",
-    "q_agg_count_distinct", "q_agg_approx_distinct",
-    "q_window_rank", "q_window_topk_per_group", "q_window_lag_lead",
-    "q_window_range_frame", "q_window_ntile_first_last",
-    "q_orderby_limit", "q_sort_nulls_last",
-    "q_union_all", "q_union_distinct",
-    # -- 4. round-2-stale: r4-touched families first, then oldest funcs --
-    "decontaminate_vs_eval", "pack_training_sequences",
-    "q_intersect", "q_except", "q_filter_predicates",
-    "q_string_funcs", "q_date_funcs", "q_array_funcs",
-    "q_explode_word_count", "q_json_funcs", "q_from_json_map",
-    # -- 5. round-5 registrations (check-before-register: in the first-50
-    #       immediately; q_percentiles_approx/q_unpivot/q_apply_in_pandas
-    #       displaced from section 4 into the r6 head below) --
-    "corpus_bpe_pair_counts", "corpus_bpe_segment_report",
-    "corpus_epoch_shuffle",
-    # -- 6. remaining r2-stale rows: the head of the r6 rotation --
-    "q_percentiles_approx", "q_unpivot", "q_apply_in_pandas",
-    "q_map_in_pandas", "q_udf_python_rowwise",
+    # -- 4. all 19 round-2-stale rows (registration order) --
     "multimodal_decode", "text_repetition_stats", "text_quality_gates",
-    "text_pii_scrub", "q_asof_join", "q_percentiles_exact",
+    "text_pii_scrub", "q_asof_join",
+    "q_percentiles_exact", "q_percentiles_approx", "q_unpivot",
+    "q_apply_in_pandas", "q_map_in_pandas", "q_udf_python_rowwise",
     "q2_cheapest_supplier_per_part", "q4_priority_with_late_items",
     "q12_priority_by_linestatus", "q13_customer_order_distribution",
     "q16_supplier_part_counts", "q18_large_orders",
     "q20_promo_volume_suppliers", "q21_sole_returning_supplier",
-    # -- 7. the rest of the corpus follows in registration order --
+    # -- 5. round-3-stale rows (registration order; events_sessionize
+    #       swapped in for q14 — see rotation note above) --
+    "text_rolling_fingerprint", "pipeline_clean_corpus_semantic",
+    "corpus_mix_report", "text_unigram_logprob", "dedup_semantic",
+    "sample_temperature_rates", "corpus_ngram_heavy_hitters",
+    "text_tfidf_keywords", "corpus_length_histogram",
+    "cross_source_contamination", "embedding_norm_stats",
+    "sample_apply_mixture", "corpus_vocab_stats", "corpus_lang_confusion",
+    "q_join_left_outer", "q_join_range_band", "q_having", "q_pivot",
+    "q_intersect_all", "q_except_all", "q_sql_returned_items",
+    "q_subquery_above_avg", "events_sessionize",
+    # -- 6. the rest of the corpus follows in registration order --
 )
 
 

@@ -847,3 +847,25 @@ def test_simhash_bucket_cap_drops_saturated_groups(spark):
         (r.doc_a, r.doc_b) for r in uncapped.select("doc_a", "doc_b").collect()
     }
     assert sum(1 for a, b in got_u if a < 20 and b < 20) == 20 * 19 // 2
+
+
+def test_simhash_capped_query_matches_uncapped_at_fixture_sf(spark):
+    """The driver-registered capped entry (dedup_simhash_capped,
+    bucket_cap=10k) returns the IDENTICAL pair set as the uncapped
+    pigeonhole-complete entry at the fixture SF — no bucket nears the cap
+    there, so the cap is pure scale insurance, not a result change."""
+    from mare_spark.registry import all_queries
+    from tests.conftest import SF_ORACLE
+
+    qs = all_queries()
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in qs["dedup_simhash_capped"].fn(spark, SF_ORACLE)
+        .select("doc_a", "doc_b").collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in qs["dedup_simhash"].fn(spark, SF_ORACLE)
+        .select("doc_a", "doc_b").collect()
+    }
+    assert capped == uncapped and len(capped) > 0
