@@ -198,3 +198,87 @@ def test_pipe_failure_raises(spark, dna_df):
     with pytest.raises(Exception) as ei:
         m.df.collect()
     assert "code 7" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
+
+
+def test_gzipped_directory_input_parity(spark, tmp_path):
+    """Compressed-input parity (MaReTest.scala:100-148, 'GC count gzipped
+    DNA files'): the same DNA corpus produces the identical GC total read
+    three ways —
+    (a) uncompressed directory via read_text,
+    (b) the gzipped copy via read_text (the text source decompresses
+        ``*.gz`` transparently, the sc.textFile behavior the reference's
+        own oracle relies on at MaReTest.scala:144-146),
+    (c) the gzipped copy via read_binary with gunzip running INSIDE the
+        piped container (the reference's parallel path, :103-137).
+    All three equal the native-Spark oracle."""
+    from mare_spark.sources import read_binary, read_text
+
+    plain, zipped = tmp_path / "plain", tmp_path / "zipped"
+    plain.mkdir(), zipped.mkdir()
+    lines = _dna_lines(120, seed=23)
+    for i in range(4):
+        chunk = "\n".join(lines[i * 30:(i + 1) * 30]) + "\n"
+        (plain / f"dna_{i}.fasta").write_text(chunk)
+        (zipped / f"dna_{i}.fasta.gz").write_bytes(gzip.compress(chunk.encode()))
+
+    def gc_text_pipeline(df):
+        out = (
+            MaRe(df)
+            .repartition(3)
+            .map(
+                input_mount=TextFile("/dna"),
+                output_mount=TextFile("/count"),
+                image="busybox:1",
+                command="awk '{ n += gsub(/[gc]/, \"\") } END { print n+0 }'"
+                        " /dna > /count",
+            )
+            .reduce(
+                input_mount=TextFile("/counts"),
+                output_mount=TextFile("/sum"),
+                image="busybox:1",
+                command="awk '{ s += $1 } END { print s+0 }' /counts > /sum",
+                depth=2,
+            )
+        )
+        rows = out.df.collect()
+        assert len(rows) == 1
+        return int(rows[0].value)
+
+    expected = _native_gc_count(read_text(spark, str(plain)))
+    assert gc_text_pipeline(read_text(spark, str(plain))) == expected
+    assert gc_text_pipeline(read_text(spark, str(zipped))) == expected
+
+    # (c) gunzip inside the container, reference command shape
+    binary = (
+        MaRe(read_binary(spark, str(zipped)).select(
+            F.col("path"), F.col("content")
+        ).repartition(3))
+        .map(
+            input_mount=BinaryFiles("/dna"),
+            output_mount=BinaryFiles("/counts"),
+            image="busybox:1",
+            command=(
+                "for f in /dna/*.fasta.gz; do [ -e \"$f\" ] || continue; "
+                "gunzip -c $f | awk '{ n += gsub(/[gc]/, \"\") } "
+                "END { print n+0 }' > /counts/$(basename $f).sum; done"
+            ),
+        )
+        .reduce(
+            input_mount=BinaryFiles("/in"),
+            output_mount=BinaryFiles("/out"),
+            image="busybox:1",
+            command=(
+                "cat /in/*.sum 2>/dev/null | awk '{ s += $1 } "
+                "END { print s+0 }' > /out/$(date +%s%N).sum"
+            ),
+        )
+        .map(
+            input_mount=BinaryFiles("/sum"),
+            output_mount=TextFile("/unzipped"),
+            image="busybox:1",
+            command="cat /sum/*.sum > /unzipped",
+        )
+    )
+    rows = [r.value for r in binary.df.collect() if r.value]
+    assert len(rows) == 1
+    assert int(rows[0]) == expected
