@@ -9,6 +9,14 @@ warm times; the reported number is the MEDIAN of the 3 warm runs, so a
 single contended run on a busy driver host cannot double the recorded
 total (VERDICT r2: driver recorded 63 s where an idle re-run gave 30 s —
 uniform external CPU contention). Median-of-3 damps exactly that.
+
+The payload also carries a "calibration" block — FIXED-work probes run
+before and after the sweep whose cost is independent of any engine change
+(a codegen hash-sum over spark.range on all cores, and a single-thread
+pure-Python loop). Round-over-round totals are comparable only after
+dividing by the calibration drift: r5's +15.7% total on an untouched query
+set (VERDICT r5) was unattributable precisely because no fixed-work number
+was recorded with it.
 """
 
 from __future__ import annotations
@@ -23,6 +31,38 @@ import time
 WARM_RUNS = 3
 
 
+def _calibrate(spark) -> dict:
+    """Fixed-work load probes (engine-independent by construction):
+
+    * ``spark_fixed_sec`` — median of 3 hash-sum jobs over a constant
+      ``spark.range`` (whole-stage codegen, saturates every core): tracks
+      JVM-side throughput under whatever load the host is carrying.
+    * ``python_fixed_sec`` — MIN of 3 single-thread pure-Python loops: the
+      min is the least-contended sample, so excess over the machine's
+      known floor is external CPU contention on the driver process.
+    """
+    samples: list[float] = []
+    for i in range(1 + 3):
+        t0 = time.perf_counter()
+        # bit_xor: overflow-free under ANSI mode, unlike sum(xxhash64)
+        spark.range(0, 200_000_000).selectExpr(
+            "bit_xor(xxhash64(id))"
+        ).collect()
+        if i > 0:  # drop the cold run
+            samples.append(time.perf_counter() - t0)
+    py_samples: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for k in range(2_000_000):
+            acc += k ^ (k >> 3)
+        py_samples.append(time.perf_counter() - t0)
+    return {
+        "spark_fixed_sec": round(statistics.median(samples), 4),
+        "python_fixed_sec": round(min(py_samples), 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -33,6 +73,9 @@ def main() -> None:
 
     spark = get_spark("mare_spark_bench")
     queries = {n: q for n, q in all_queries().items() if q.bench}
+
+    calib_before = _calibrate(spark)
+    print(f"# calibration (before): {calib_before}", file=sys.stderr)
 
     from mare_spark.operators.dedup import release_caches
 
@@ -63,6 +106,9 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    calib_after = _calibrate(spark)
+    print(f"# calibration (after): {calib_after}", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -72,6 +118,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration": {"before": calib_before, "after": calib_after},
             }
         )
     )

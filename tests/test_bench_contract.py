@@ -31,7 +31,13 @@ def test_bench_emits_single_json_line_with_contract_keys(
     assert payload["metric"] == "headline_query_total"
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
-    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(payload) == {
+        "metric", "value", "unit", "queries", "sf", "calibration"
+    }
+    for probe in (payload["calibration"]["before"],
+                  payload["calibration"]["after"]):
+        assert probe["spark_fixed_sec"] > 0
+        assert probe["python_fixed_sec"] > 0
     assert payload["queries"] == {
         "q6_revenue_change": payload["queries"]["q6_revenue_change"]
     }
