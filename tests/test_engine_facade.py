@@ -48,3 +48,13 @@ def test_jdbc_requires_bounds_with_partition_column(spark):
 def test_delta_stub_fails_actionably(spark):
     with pytest.raises(NotImplementedError, match="delta-spark"):
         read_delta(spark, "/tmp/nonexistent")
+
+
+def test_delta_merge_stub_fails_actionably(spark):
+    """merge_delta shares the readers' gate: without the Delta jar it must
+    fail with the install hint before touching the table or the updates."""
+    from mare_spark.sources.external import merge_delta
+
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        merge_delta(spark, "/tmp/nonexistent", df, "id")
