@@ -26,6 +26,10 @@ from mare_spark.operators.bpe import (
     learn_bpe_merges,
 )
 from mare_spark.operators.corpus import epoch_shuffle
+from mare_spark.operators.dsir import (
+    dsir_importance_weights,
+    dsir_logratios,
+)
 from mare_spark.operators.scale import bucketed_table, join_bucketed, salted_join
 from mare_spark.operators.similarity import (
     ann_lsh_topk,
@@ -54,6 +58,8 @@ __all__ = [
     "char_pair_counts",
     "learn_bpe_merges",
     "epoch_shuffle",
+    "dsir_logratios",
+    "dsir_importance_weights",
     "salted_join",
     "bucketed_table",
     "join_bucketed",

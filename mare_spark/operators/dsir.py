@@ -1,0 +1,172 @@
+"""DSIR-style importance resampling for pretraining-data selection.
+
+The published method (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling", NeurIPS — public paper): score every RAW
+document by how much more likely its hashed word-n-gram features are under
+a TARGET distribution (a small high-quality corpus: Wikipedia, curated
+books, an in-domain eval mix) than under the raw-corpus distribution, then
+keep the top slice / resample proportionally to the importance weight
+``log w(x) = Σ_features [log p_target(b) − log p_raw(b)]``.
+
+The reference engine has no data-selection layer (its per-record logic
+lives in user containers, MaRe.scala:63-100); this extends the
+corpus-preparation family the same way the samplers and quality scorers do.
+
+Scale shape — everything is aggregates over a FIXED bucket space:
+
+* feature extraction is scan-side expression code (normalize → split →
+  n-gram slices → md5 bucket), zero Python, fused into the scan;
+* the two distributions are one map-side-combined groupBy each over
+  ``num_buckets`` keys (8-65k rows — broadcastable by construction, no
+  matter how big the corpora are);
+* per-document scoring joins the exploded features to the broadcast
+  log-ratio table and sums — ONE shuffle keyed on the document id.
+  At 100 TB nothing in the plan grows beyond the corpus scan itself.
+
+Hash-stability (the registry-wide conventions, mare_spark/numeric.py):
+with integer ``alpha`` the smoothed ratio is a division of two EXACT
+int64 products (counts are bounded by total gram occurrences; the
+products stay far under 2^53, so both engines build the identical IEEE
+double), ``ln`` of identical doubles agrees across engines (the
+unigram_logprob precedent), each log-ratio is snapped to the 6dp grid,
+and the per-document sum runs in DECIMAL so partition order can't flip
+the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mare_spark.numeric import fround
+from mare_spark.operators.analysis import word_ngrams
+
+
+def hashed_gram_buckets(
+    text_col: Column, *, ns: tuple[int, ...] = (1, 2), num_buckets: int = 8192
+) -> Column:
+    """``array<long>`` of hashed word-n-gram feature buckets (DSIR's
+    hashed-ngram featurization: unigrams+bigrams by default, md5 → 32-bit
+    prefix → mod ``num_buckets`` — the established md5→int parity pattern,
+    so a DuckDB oracle replays it byte-for-byte)."""
+    grams = F.concat(*[word_ngrams(text_col, n) for n in ns])
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % num_buckets,
+    )
+
+
+def bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    *,
+    ns: tuple[int, ...] = (1, 2),
+    num_buckets: int = 8192,
+) -> DataFrame:
+    """``(bucket, cnt)`` feature-occurrence counts — the distribution
+    estimate for one corpus. One explode + one map-side-combined aggregate
+    over at most ``num_buckets`` output rows."""
+    b = hashed_gram_buckets(F.col(text_col), ns=ns, num_buckets=num_buckets)
+    return (
+        df.select(F.explode(b).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_logratios(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str,
+    *,
+    ns: tuple[int, ...] = (1, 2),
+    num_buckets: int = 8192,
+    alpha: int = 1,
+) -> DataFrame:
+    """The dense per-bucket importance table ``(bucket, logratio)`` over
+    the FULL bucket range:
+
+    ``logratio_b = round6(ln( ((t_b+α)·(R+αB)) / ((r_b+α)·(T+αB)) ))``
+
+    i.e. ``log p_target(b) − log p_raw(b)`` with add-α smoothing, algebra
+    arranged as ONE division of two exact integer products so both engines
+    hit identical doubles (see module docstring). Dense (unseen buckets
+    carry the smoothed prior) so scoring never drops a feature. ``α`` is
+    an integer by contract — a float α would reintroduce cross-engine
+    floating-point drift for zero gain.
+
+    Output is ≤ ``num_buckets`` rows: broadcast it into the scoring join.
+    """
+    if alpha < 1:
+        raise ValueError("alpha must be a positive integer")
+    spark = raw_df.sparkSession
+    t = bucket_counts(target_df, text_col, ns=ns, num_buckets=num_buckets)
+    r = bucket_counts(raw_df, text_col, ns=ns, num_buckets=num_buckets)
+    tot_t = t.agg(F.sum("cnt").alias("T"))
+    tot_r = r.agg(F.sum("cnt").alias("R"))
+    dense = (
+        spark.range(num_buckets).withColumnRenamed("id", "bucket")
+        .join(t.withColumnRenamed("cnt", "t_cnt"), "bucket", "left")
+        .join(r.withColumnRenamed("cnt", "r_cnt"), "bucket", "left")
+        .join(F.broadcast(tot_t))
+        .join(F.broadcast(tot_r))
+    )
+    a = F.lit(alpha)
+    num = (F.coalesce("t_cnt", F.lit(0)) + a) * (
+        F.col("R") + a * F.lit(num_buckets)
+    )
+    den = (F.coalesce("r_cnt", F.lit(0)) + a) * (
+        F.col("T") + a * F.lit(num_buckets)
+    )
+    return dense.select(
+        "bucket",
+        fround(F.log(num.cast("double") / den.cast("double")), 6).alias(
+            "logratio"
+        ),
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    logratios: DataFrame,
+    *,
+    ns: tuple[int, ...] = (1, 2),
+    num_buckets: int = 8192,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document log importance weight under a learned
+    :func:`dsir_logratios` table: ``(id, n_feats, log_weight)`` where
+    ``log_weight = Σ_features logratio[bucket]`` (6dp-grid terms summed in
+    DECIMAL — order-independent). Documents with zero features (empty
+    text normalizes to one empty token, which IS a feature, so only
+    genuinely featureless inputs drop) are absent from the output.
+
+    Selection policies compose downstream: top-k by weight for the
+    deterministic slice, or pair ``log_weight`` with the Gumbel trick /
+    ``deterministic_uniform`` for the paper's sampled variant.
+
+    ``ns``/``num_buckets`` MUST match the values the log-ratio table was
+    learned with — the bucket id is meaningless across featurizations.
+    """
+    b = hashed_gram_buckets(F.col(text_col), ns=ns, num_buckets=num_buckets)
+    feats = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.explode(b).alias("bucket"),
+    )
+    lr6 = F.col("logratio").cast("decimal(28,6)")
+    return (
+        feats.join(F.broadcast(logratios), "bucket")
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum(lr6).cast("double").alias("_lw"),
+        )
+        .select(
+            id_col, *keep_cols,
+            "n_feats",
+            fround(F.col("_lw"), 6).alias("log_weight"),
+        )
+    )

@@ -14,6 +14,7 @@ from mare_spark.queries import (  # noqa: F401
     llm4,
     llm5,
     llm6,
+    llm7,
     pipe,
     relational,
     relational2,

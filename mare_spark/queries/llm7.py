@@ -1,0 +1,87 @@
+"""Round-6 registrations: DSIR-style importance resampling — scoring the
+raw corpus against a target distribution over hashed n-gram features, the
+published data-selection method (Xie et al. 2023) a pretraining pipeline
+runs between quality gating and sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mare_spark.queries.llm2 import _duck_ngrams, _WORDS
+from mare_spark.registry import register
+from mare_spark.tables import read_table
+
+_B = 4096  # feature buckets (DSIR hashes unigrams+bigrams into a fixed space)
+_TARGET = "src0"  # the fixture's stand-in "high-quality" target source
+
+
+@register(
+    "corpus_dsir_weights",
+    category="llm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, {_WORDS} AS w FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_concat({_duck_ngrams(1)}, {_duck_ngrams(2)})) AS gram
+      FROM w
+    ),
+    f AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % {_B}
+               AS bucket
+      FROM g
+    ),
+    tc AS (SELECT bucket, count(*) AS t_cnt FROM f
+           WHERE source = '{_TARGET}' GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS r_cnt FROM f
+           WHERE source <> '{_TARGET}' GROUP BY bucket),
+    tt AS (SELECT count(*) AS t_tot FROM f WHERE source = '{_TARGET}'),
+    rt AS (SELECT count(*) AS r_tot FROM f WHERE source <> '{_TARGET}'),
+    lr AS (
+      SELECT b.bucket,
+             (floor(ln(
+                CAST((COALESCE(t_cnt, 0) + 1) * (r_tot + {_B}) AS DOUBLE)
+                / CAST((COALESCE(r_cnt, 0) + 1) * (t_tot + {_B}) AS DOUBLE)
+              ) * 1000000.0 + 0.5) / 1000000.0) AS logratio
+      FROM range({_B}) b(bucket)
+      LEFT JOIN tc ON tc.bucket = b.bucket
+      LEFT JOIN rc ON rc.bucket = b.bucket
+      CROSS JOIN tt CROSS JOIN rt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           (floor(CAST(sum(CAST(lr.logratio AS DECIMAL(28,6))) AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0) AS log_weight
+    FROM f JOIN lr ON f.bucket = lr.bucket
+    WHERE f.source <> '{_TARGET}'
+    GROUP BY doc_id
+    ORDER BY log_weight DESC, doc_id
+    LIMIT 100
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: the 100 raw documents (source != src0)
+    whose hashed unigram+bigram features look most like the target
+    source's distribution — ``log w = Σ_feats [log p_target − log p_raw]``
+    with add-1 smoothing over {_B} md5 buckets.
+
+    Plan: two map-side-combined bucket aggregates (≤{_B} rows each, dense
+    log-ratio table built over spark.range and BROADCAST into the scoring
+    join), one explode + doc-keyed aggregate for the scores, TakeOrdered
+    for the slice. Ties break on doc_id; every float is grid-snapped and
+    the per-doc sum is DECIMAL (hash-stable by the registry conventions —
+    the smoothed ratio is one division of two exact int64 products, so
+    both engines ln() the identical double).
+    """
+    from mare_spark.operators.dsir import (
+        dsir_importance_weights,
+        dsir_logratios,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == _TARGET)
+    raw = docs.filter(F.col("source") != _TARGET)
+    lr = dsir_logratios(raw, target, "text", num_buckets=_B)
+    w = dsir_importance_weights(raw, "text", "doc_id", lr, num_buckets=_B)
+    return w.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(100)

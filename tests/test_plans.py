@@ -221,6 +221,7 @@ _NESTED_LOOP_OK = {
     "q22_idle_wealthy_customers",  # scalar avg-balance threshold, 1-row broadcast
     "text_tfidf_keywords",  # scalar corpus-size (n_docs), 1-row broadcast
     "text_unigram_logprob",  # scalar token-total normalizer, 1-row broadcast
+    "corpus_dsir_weights",  # two scalar corpus-total normalizers, 1-row broadcasts
 }
 
 
