@@ -170,3 +170,47 @@ def dsir_importance_weights(
             fround(F.col("_lw"), 6).alias("log_weight"),
         )
     )
+
+
+def dsir_gumbel_topk(
+    weights_df: DataFrame,
+    id_col: str,
+    k: int,
+    *,
+    weight_col: str = "log_weight",
+    salt: str = "",
+) -> DataFrame:
+    """The paper's resampling step: sample ``k`` documents WITHOUT
+    replacement with probability proportional to the importance weight,
+    via the Gumbel top-k trick — ``key = log w + g`` with
+    ``g = −ln(−ln(u))`` and take the k largest keys.
+
+    ``u`` is the md5-uniform of ``(id, salt)`` offset by +0.5/2^32 so it
+    is strictly inside (0, 1) (``deterministic_uniform`` itself can land
+    exactly on 0, where the Gumbel blows up) — a pure function of the
+    key, so the sample is reproducible across runs, partition layouts,
+    and engines, and a new ``salt`` draws a fresh sample. Each ``ln`` is
+    6dp-grid-snapped before the next stage consumes it, so a DuckDB
+    oracle replays the key bit-for-bit.
+
+    Plan: scan-side key arithmetic + TakeOrderedAndProject — no sort of
+    the full weight table materializes.
+
+    Appends ``gumbel_key`` (kept in the output on purpose: re-auditing a
+    selection months later needs the realized keys, not just the ranks).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    inner = fround(F.log(u), 6)  # ln(u) < 0, snapped
+    g = fround(-F.log(-inner), 6)
+    return (
+        weights_df.withColumn("gumbel_key", F.col(weight_col) + g)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+    )

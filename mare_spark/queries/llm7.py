@@ -1,7 +1,8 @@
 """Round-6 registrations: DSIR-style importance resampling — scoring the
-raw corpus against a target distribution over hashed n-gram features, the
-published data-selection method (Xie et al. 2023) a pretraining pipeline
-runs between quality gating and sampling.
+raw corpus against a target distribution over hashed n-gram features and
+resampling proportionally to the weights, the published data-selection
+method (Xie et al. 2023) a pretraining pipeline runs between quality
+gating and sampling.
 """
 
 from __future__ import annotations
@@ -16,11 +17,9 @@ from mare_spark.tables import read_table
 _B = 4096  # feature buckets (DSIR hashes unigrams+bigrams into a fixed space)
 _TARGET = "src0"  # the fixture's stand-in "high-quality" target source
 
-
-@register(
-    "corpus_dsir_weights",
-    category="llm",
-    oracle=f"""
+# Shared oracle CTE chain ending in sc(doc_id, n_feats, log_weight): the
+# importance weight of every raw (source != target) document.
+_DSIR_WEIGHT_CTES = f"""
     WITH w AS (SELECT doc_id, source, {_WORDS} AS w FROM documents),
     g AS (
       SELECT doc_id, source,
@@ -49,31 +48,21 @@ _TARGET = "src0"  # the fixture's stand-in "high-quality" target source
       LEFT JOIN tc ON tc.bucket = b.bucket
       LEFT JOIN rc ON rc.bucket = b.bucket
       CROSS JOIN tt CROSS JOIN rt
+    ),
+    sc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             (floor(CAST(sum(CAST(lr.logratio AS DECIMAL(28,6))) AS DOUBLE)
+                    * 1000000.0 + 0.5) / 1000000.0) AS log_weight
+      FROM f JOIN lr ON f.bucket = lr.bucket
+      WHERE f.source <> '{_TARGET}'
+      GROUP BY doc_id
     )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-           (floor(CAST(sum(CAST(lr.logratio AS DECIMAL(28,6))) AS DOUBLE)
-                  * 1000000.0 + 0.5) / 1000000.0) AS log_weight
-    FROM f JOIN lr ON f.bucket = lr.bucket
-    WHERE f.source <> '{_TARGET}'
-    GROUP BY doc_id
-    ORDER BY log_weight DESC, doc_id
-    LIMIT 100
-    """,
-)
-def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights: the 100 raw documents (source != src0)
-    whose hashed unigram+bigram features look most like the target
-    source's distribution — ``log w = Σ_feats [log p_target − log p_raw]``
-    with add-1 smoothing over {_B} md5 buckets.
+"""
 
-    Plan: two map-side-combined bucket aggregates (≤{_B} rows each, dense
-    log-ratio table built over spark.range and BROADCAST into the scoring
-    join), one explode + doc-keyed aggregate for the scores, TakeOrdered
-    for the slice. Ties break on doc_id; every float is grid-snapped and
-    the per-doc sum is DECIMAL (hash-stable by the registry conventions —
-    the smoothed ratio is one division of two exact int64 products, so
-    both engines ln() the identical double).
-    """
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights of every raw document (the Spark twin of the
+    oracle's ``sc`` CTE)."""
     from mare_spark.operators.dsir import (
         dsir_importance_weights,
         dsir_logratios,
@@ -83,5 +72,63 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(F.col("source") == _TARGET)
     raw = docs.filter(F.col("source") != _TARGET)
     lr = dsir_logratios(raw, target, "text", num_buckets=_B)
-    w = dsir_importance_weights(raw, "text", "doc_id", lr, num_buckets=_B)
+    return dsir_importance_weights(raw, "text", "doc_id", lr, num_buckets=_B)
+
+
+@register(
+    "corpus_dsir_weights",
+    category="llm",
+    oracle=f"""
+    {_DSIR_WEIGHT_CTES}
+    SELECT doc_id, n_feats, log_weight
+    FROM sc ORDER BY log_weight DESC, doc_id LIMIT 100
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: the 100 raw documents (source != src0)
+    whose hashed unigram+bigram features look most like the target
+    source's distribution — ``log w = Σ_feats [log p_target − log p_raw]``
+    with add-1 smoothing over md5 buckets.
+
+    Plan: two map-side-combined bucket aggregates (≤4096 rows each, dense
+    log-ratio table built over spark.range and BROADCAST into the scoring
+    join), one explode + doc-keyed aggregate for the scores, TakeOrdered
+    for the slice. Ties break on doc_id; every float is grid-snapped and
+    the per-doc sum is DECIMAL (hash-stable by the registry conventions —
+    the smoothed ratio is one division of two exact int64 products, so
+    both engines ln() the identical double).
+    """
+    w = _dsir_weights(spark, sf_dir)
     return w.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(100)
+
+
+@register(
+    "sample_dsir_gumbel",
+    category="llm",
+    oracle=f"""
+    {_DSIR_WEIGHT_CTES},
+    keyed AS (
+      SELECT doc_id, n_feats, log_weight,
+             log_weight + (floor(-ln(-(
+                 floor(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || 'epoch0'), 1, 8))
+                                AS BIGINT) + 0.5) / 4294967296.0)
+                       * 1000000.0 + 0.5) / 1000000.0
+               )) * 1000000.0 + 0.5) / 1000000.0) AS gumbel_key
+      FROM sc
+    )
+    SELECT doc_id, n_feats, log_weight, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
+    """,
+)
+def sample_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR resampling step, driver-visible: 50 raw documents drawn
+    WITHOUT replacement with probability ∝ importance weight via the
+    Gumbel top-k trick (``key = log w − ln(−ln(u))``, u = md5-uniform of
+    (doc_id, salt) — reproducible across runs/layouts/engines, new salt
+    = fresh draw). Scan-side key arithmetic + TakeOrderedAndProject; the
+    oracle replays the snapped double-ln chain bit-for-bit."""
+    from mare_spark.operators.dsir import dsir_gumbel_topk
+
+    w = _dsir_weights(spark, sf_dir)
+    return dsir_gumbel_topk(w, "doc_id", 50, salt="epoch0")

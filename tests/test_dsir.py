@@ -104,3 +104,61 @@ def test_weights_keep_cols_and_feature_counts(spark):
     ).collect()[0]
     assert row.grp == "a"
     assert row.n_feats == 5  # 3 unigrams + 2 bigrams
+
+
+def test_gumbel_topk_deterministic_without_replacement(spark, weights):
+    from mare_spark.operators.dsir import dsir_gumbel_topk
+
+    wdf = spark.createDataFrame(
+        [(d, r.n_feats, r.log_weight) for d, r in weights.items()],
+        "doc_id long, n_feats long, log_weight double",
+    )
+    a = [(r.doc_id, r.gumbel_key)
+         for r in dsir_gumbel_topk(wdf, "doc_id", 2, salt="s1").collect()]
+    b = [(r.doc_id, r.gumbel_key)
+         for r in dsir_gumbel_topk(wdf.repartition(5), "doc_id", 2,
+                                   salt="s1").collect()]
+    assert a == b  # reproducible across layouts
+    assert len({d for d, _ in a}) == 2  # without replacement
+    c = [r.doc_id for r in
+         dsir_gumbel_topk(wdf, "doc_id", 3, salt="s2").collect()]
+    assert len(c) == 3  # a new salt is a valid fresh draw over all docs
+
+
+def test_gumbel_selection_follows_weights(spark):
+    """Inclusion frequency must track the importance weight: across many
+    salts, a doc with weight gap >> Gumbel noise is picked ~always, and a
+    mid-weight doc beats a low-weight doc in selection rate."""
+    from mare_spark.operators.dsir import dsir_gumbel_topk
+
+    wdf = spark.createDataFrame(
+        [(1, 1, 50.0), (2, 1, 0.0), (3, 1, -3.0)],
+        "doc_id long, n_feats long, log_weight double",
+    )
+    picks = []
+    for s in range(30):
+        picks += [
+            r.doc_id
+            for r in dsir_gumbel_topk(wdf, "doc_id", 1, salt=f"e{s}").collect()
+        ]
+    assert picks.count(1) == 30  # 50-nat gap: Gumbel noise can't flip it
+    w2 = wdf.filter("doc_id != 1")
+    picks2 = []
+    for s in range(30):
+        picks2 += [
+            r.doc_id
+            for r in dsir_gumbel_topk(w2, "doc_id", 1, salt=f"e{s}").collect()
+        ]
+    assert picks2.count(2) > picks2.count(3)  # 3-nat gap: strong majority
+
+
+def test_gumbel_plans_take_ordered(spark, weights):
+    from mare_spark.operators.dsir import dsir_gumbel_topk
+    from mare_spark.plans import formatted_plan
+
+    wdf = spark.createDataFrame(
+        [(d, r.n_feats, r.log_weight) for d, r in weights.items()],
+        "doc_id long, n_feats long, log_weight double",
+    )
+    plan = formatted_plan(dsir_gumbel_topk(wdf, "doc_id", 2))
+    assert "TakeOrderedAndProject" in plan, plan
