@@ -326,6 +326,19 @@ def pack_sequences(
             RuntimeWarning,
             stacklevel=2,
         )
+    reserved = {"n_tokens", "seq_id", "seq_offset"} | (
+        {"pack_shard"} if shards is not None else set()
+    )
+    clash = reserved.intersection(
+        {id_col, token_col} | ({group_col} if group_col else set())
+    ) - {token_col if token_col == "n_tokens" else ""}
+    # (token_col == "n_tokens" is the one benign case: it is re-aliased to
+    # that exact name, producing no duplicate)
+    if clash:
+        raise ValueError(
+            f"column names clash with pack_sequences output columns: "
+            f"{sorted(clash)} (reserved: {sorted(reserved)})"
+        )
     keys = [group_col] if group_col else []
     shard_key = None
     if shards is not None:

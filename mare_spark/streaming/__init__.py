@@ -283,6 +283,40 @@ def purchases_with_recent_view(
     ).select("purchase_id", "p_user", "p_ts", "purchase_value", "v_ts")
 
 
+def enrich_with_static(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str,
+    how: str = "left",
+    *,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joined to a STATIC
+    dimension DataFrame — the standard lookup-enrichment shape (user
+    profile, product catalog, geo table) and the stateless counterpart of
+    the stream-stream interval join above (no watermark, no state: the
+    static side is re-planned per micro-batch, so a dim backed by a live
+    table picks up updates batch-to-batch).
+
+    ``how`` is limited to the forms Spark supports with a static right
+    side (inner / left outer / left semi); a right/full outer against a
+    stream is rejected by Spark itself. The dim is broadcast-hinted by
+    default — enrichment dims are small by contract, and per-micro-batch
+    re-shuffles of the stream side are exactly what the hint avoids;
+    pass ``hint_broadcast=False`` for a dim that outgrows the threshold
+    (the join then shuffles EVERY micro-batch — at that size prefer
+    re-keying the pipeline so the dim join happens downstream in batch).
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi"}
+    if how not in allowed:
+        raise ValueError(
+            f"stream-static join supports {sorted(allowed)}, got {how!r}"
+        )
+    dim = F.broadcast(dim_df) if hint_broadcast else dim_df
+    return stream_df.join(dim, on, how)
+
+
 def write_foreach_batch(stream_df: DataFrame, batch_fn, checkpoint_dir: str):
     """foreachBatch sink: exactly-once-per-epoch delivery of each
     micro-batch DataFrame to ``batch_fn(df, epoch_id)`` — the idiomatic

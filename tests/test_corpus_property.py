@@ -535,3 +535,23 @@ def test_overlap_report_is_exactly_the_dropped_set(spark, secret_words, pad):
     for r in report.values():
         assert 0 < r.overlap_frac <= 1.0
         assert 1 <= r.n_matched <= r.n_grams
+
+
+def test_pack_sequences_rejects_reserved_column_names(spark):
+    from mare_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 5, "a")], "seq_id long, nt long, grp string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        pack_sequences(df, "nt", "seq_id", group_col="grp", max_len=8)
+    df2 = spark.createDataFrame(
+        [(1, 5, "a")], "id long, nt long, pack_shard string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        pack_sequences(df2, "nt", "id", group_col="pack_shard",
+                       max_len=8, shards=2)
+    # benign: token_col literally named n_tokens re-aliases to itself
+    df3 = spark.createDataFrame([(1, 5)], "id long, n_tokens long")
+    assert pack_sequences(df3, "n_tokens", "id", max_len=8,
+                          shards=2).count() == 1

@@ -473,3 +473,41 @@ def test_scrub_corpus_stream_incremental(spark, tmp_path):
         for r in spark.read.parquet(out2).collect()
     }
     assert streamed == batch
+
+
+def test_stream_static_enrichment_equals_batch_join(spark, events_dir):
+    """enrich_with_static: the streamed events left-joined to a static
+    per-user dim must equal the batch join on the same inputs; users
+    absent from the dim survive with NULL enrichment (left join)."""
+    batch = read_table(spark, SF_SMOKE, "events")
+    # static dim: per-user totals, with half the users withheld so the
+    # left-outer NULL path is genuinely exercised
+    dim = (
+        batch.groupBy("user_id")
+        .agg(F.count("*").alias("u_events"))
+        .filter(F.col("user_id") % 2 == 0)
+    )
+    stream = S.enrich_with_static(
+        S.read_events_stream(spark, events_dir).select("event_id", "user_id"),
+        dim,
+        on="user_id",
+    )
+    got = _collect_stream(spark, stream)
+    want = (
+        batch.select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+        .toPandas()
+    )
+    key = ["event_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+        check_like=True,
+    )
+
+
+def test_stream_static_enrichment_rejects_stateful_forms(spark, events_dir):
+    dim = spark.createDataFrame([(1, "x")], "user_id long, tag string")
+    stream = S.read_events_stream(spark, events_dir)
+    with pytest.raises(ValueError, match="stream-static"):
+        S.enrich_with_static(stream, dim, on="user_id", how="full")
