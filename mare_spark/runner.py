@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 import shutil
 import subprocess
 import time
@@ -91,12 +92,26 @@ def run_container(
     )  # per-run wall-time parity with DockerHelper.scala:128-129
 
 
-def _run_subprocess(command: str, binds: list[tuple[str, str]]) -> None:
-    # Substitute longest mount paths first so '/out2' is never clobbered by
-    # a '/out' replacement.
+def _substitute_binds(command: str, binds: list[tuple[str, str]]) -> str:
+    """Rewrite each container mount path to its host path — the subprocess
+    equivalent of a bind mount. Longest mount paths first so '/out2' is
+    never clobbered by a '/out' replacement, and only at a path boundary
+    (end of string, or followed by a non-path-word character such as '/',
+    space, quote, or a shell operator): under real docker binds '/dna'
+    and '/dna_0.fasta' are unrelated paths, so 'for f in /dna/dna_*.fasta'
+    must rewrite only the directory component, never the 'dna_' file
+    prefix (the naive replace corrupted exactly that and the glob
+    silently matched nothing)."""
     cmd = command
     for host, mount in sorted(binds, key=lambda b: -len(b[1])):
-        cmd = cmd.replace(mount, host)
+        cmd = re.sub(
+            re.escape(mount) + r"(?![A-Za-z0-9_.\-])", lambda _: host, cmd
+        )
+    return cmd
+
+
+def _run_subprocess(command: str, binds: list[tuple[str, str]]) -> None:
+    cmd = _substitute_binds(command, binds)
     r = subprocess.run(["sh", "-c", cmd], capture_output=True, text=True, check=False)
     if r.stdout:
         log.info("pipe stdout: %s", r.stdout[-4000:])

@@ -230,3 +230,38 @@ def test_whole_text_source(spark, tmp_path):
     df = src.read_whole_text(spark, str(d))
     got = {os.path.basename(r.path): r.content for r in df.collect()}
     assert got == {"one.txt": "hello", "two.txt": "world"}
+
+
+def test_subprocess_substitution_respects_path_boundaries(tmp_path):
+    """The subprocess backend's bind emulation must rewrite a mount path
+    only at a path boundary — under real docker binds '/dna' and
+    '/dna_0.fasta' are unrelated, so 'for f in /dna/dna_*.fasta' rewrites
+    the directory component only (the naive replace corrupted it to
+    '<host>/<host>_*.fasta' and the glob silently matched nothing)."""
+    from mare_spark.runner import _substitute_binds, run_container
+
+    # pure substitution contract
+    got = _substitute_binds(
+        "for f in /dna/dna_*.fasta; do cat $f > /out/x; done; "
+        "touch /out2/y /outer",
+        [("/h/a", "/dna"), ("/h/b", "/out"), ("/h/c", "/out2")],
+    )
+    assert got == (
+        "for f in /h/a/dna_*.fasta; do cat $f > /h/b/x; done; "
+        "touch /h/c/y /outer"
+    )
+
+    # end-to-end through the backend
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "dna_0.fasta").write_text("gcgc\n")
+    (src / "dna_1.fasta").write_text("atgc\n")
+    out = tmp_path / "out"
+    out.mkdir()
+    run_container(
+        "busybox:1",
+        "ls /in/dna_*.fasta | wc -l > /out/n.txt",
+        [(str(src), "/in"), (str(out), "/out")],
+        backend="subprocess",
+    )
+    assert (out / "n.txt").read_text().strip() == "2"

@@ -282,3 +282,91 @@ def test_gzipped_directory_input_parity(spark, tmp_path):
     rows = [r.value for r in binary.df.collect() if r.value]
     assert len(rows) == 1
     assert int(rows[0]) == expected
+
+
+def test_collect_reduce_whole_files(spark, tmp_path):
+    """MaReTest.scala:223-259 ('GC count on whole files with
+    collectReduce'): WholeTextFiles map → driver-side collectReduce into a
+    local DIRECTORY; exactly one output file whose value equals the
+    native-Spark GC count."""
+    from mare_spark.sources import read_text, read_whole_text
+
+    src = tmp_path / "fasta"
+    src.mkdir()
+    lines = _dna_lines(90, seed=31)
+    for i in range(3):
+        (src / f"dna_{i}.fasta").write_text(
+            "\n".join(lines[i * 30:(i + 1) * 30]) + "\n"
+        )
+    expected = _native_gc_count(read_text(spark, str(src)))
+
+    out_dir = str(tmp_path / "out")
+    MaRe(read_whole_text(spark, str(src)).repartition(3)).map(
+        input_mount=WholeTextFiles("/dna"),
+        output_mount=WholeTextFiles("/counts"),
+        image="busybox:1",
+        command=(
+            "for f in /dna/dna_*.fasta; do [ -e \"$f\" ] || continue; "
+            "grep -o '[gc]' $f | wc -l > /counts/$(basename $f).sum; done"
+        ),
+    ).collect_reduce(
+        input_mount=WholeTextFiles("/counts"),
+        output_mount=WholeTextFiles("/sum"),
+        image="busybox:1",
+        command="awk '{ s += $1 } END { print s+0 }' /counts/*.sum"
+                " > /sum/total.sum",
+        local_out_path=out_dir,
+    )
+    assert os.listdir(out_dir) == ["total.sum"]
+    assert open(os.path.join(out_dir, "total.sum")).read().strip() == str(
+        expected
+    )
+
+
+def test_collect_reduce_gzipped_binary_files(spark, tmp_path):
+    """MaReTest.scala:261-303 ('GC count gzipped files with
+    collectReduce'): gzipped BinaryFiles in, gunzip inside both the piped
+    map and the driver-side reduce command, plain-text total out."""
+    from mare_spark.sources import read_binary, read_text
+
+    plain, zipped = tmp_path / "plain", tmp_path / "zipped"
+    plain.mkdir(), zipped.mkdir()
+    lines = _dna_lines(90, seed=37)
+    for i in range(3):
+        chunk = "\n".join(lines[i * 30:(i + 1) * 30]) + "\n"
+        (plain / f"dna_{i}.fasta").write_text(chunk)
+        (zipped / f"dna_{i}.fasta.gz").write_bytes(
+            gzip.compress(chunk.encode())
+        )
+    expected = _native_gc_count(read_text(spark, str(plain)))
+
+    out_dir = str(tmp_path / "out")
+    MaRe(
+        read_binary(spark, str(zipped))
+        .select("path", "content")
+        .repartition(3)
+    ).map(
+        input_mount=BinaryFiles("/dna"),
+        output_mount=BinaryFiles("/counts"),
+        image="busybox:1",
+        command=(
+            "for f in /dna/dna_*.fasta.gz; do [ -e \"$f\" ] || continue; "
+            "gunzip -c $f | grep -o '[gc]' | wc -l "
+            "> /counts/$(basename $f).sum; "
+            "gzip /counts/$(basename $f).sum; done"
+        ),
+    ).collect_reduce(
+        input_mount=BinaryFiles("/counts"),
+        output_mount=BinaryFiles("/sum"),
+        image="busybox:1",
+        command=(
+            "gunzip /counts/*.sum.gz && "
+            "awk '{ s += $1 } END { print s+0 }' /counts/*.sum"
+            " > /sum/total.sum"
+        ),
+        local_out_path=out_dir,
+    )
+    assert os.listdir(out_dir) == ["total.sum"]
+    assert open(os.path.join(out_dir, "total.sum")).read().strip() == str(
+        expected
+    )
