@@ -21,8 +21,8 @@ from mare_spark.tables import read_table
     WITH b AS (
       SELECT lang,
              length(string_split(text, ' ')) AS n_tokens,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
-               % 100 AS bucket
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 100 AS INT) AS bucket
       FROM documents
     )
     SELECT CASE WHEN bucket < 98 THEN 'train'
@@ -38,7 +38,10 @@ from mare_spark.tables import read_table
 def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split report (98/1/1 by md5 bucket).
 
-    The split key is ``md5(doc_id) mod 100`` — content-independent,
+    The split key is ``md5(doc_id) mod 100`` (60-bit hash prefix — a
+    16-bit prefix would give 65536 % 100 = 36 buckets one extra value, a
+    measurable train-fraction skew; same fix class as epoch_shuffle r6) —
+    content-independent,
     engine-independent (both engines emit the same lowercase hex for the
     same string), and stable across re-runs/re-partitions, which is the
     property a training split MUST have: re-materializing the corpus can
@@ -53,10 +56,12 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fraction.
     """
     d = read_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100
-    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(100),
+    ).cast("int")
     split = (
         F.when(bucket < 98, "train").when(bucket == 98, "val").otherwise("test")
     )

@@ -87,8 +87,10 @@ def register(
 # round 5 —
 #   1. queries whose operator path the round-6 diff touched:
 #      corpus_epoch_shuffle (shard now derived from 60 hash bits, oracle
-#      updated in lockstep) and the BPE rows (learn_bpe_merges gained the
-#      driver-side merge loop that corpus_bpe_segment_report executes);
+#      updated in lockstep), the BPE rows (learn_bpe_merges gained the
+#      driver-side merge loop that corpus_bpe_segment_report executes),
+#      and corpus_train_val_split (same 60-bit-prefix fix as the shuffle,
+#      oracle in lockstep);
 #   2. round-6 registrations (check-before-register): the capped-contract
 #      simhash row (VERDICT r5 #6) and the live-streaming sessionize
 #      replay (VERDICT r5 #7);
@@ -102,15 +104,16 @@ def register(
 #      refreshing both in one round pins the convention from both ends);
 #      q_subquery_above_avg and q_sql_returned_items displaced by the
 #      third and fourth r6 registrations (corpus_dsir_weights,
-#      sample_dsir_gumbel — check-before-register).
-# The 12 r3-stale rows left over (q_sql_returned_items,
+#      sample_dsir_gumbel — check-before-register), q_except_all by the
+#      r6-touched corpus_train_val_split.
+# The 13 r3-stale rows left over (q_except_all, q_sql_returned_items,
 # q_subquery_above_avg, q14, q7, q11, q15, q19, q22, q8,
 # events_tumbling/sliding/session_window) head the r7 rotation, followed
 # by the 45 r4-stale rows in registration order.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 1. round-6-touched operator paths --
     "corpus_epoch_shuffle", "corpus_bpe_segment_report",
-    "corpus_bpe_pair_counts",
+    "corpus_bpe_pair_counts", "corpus_train_val_split",
     # -- 2. round-6 registrations --
     "dedup_simhash_capped", "streaming_sessionize_replay",
     "corpus_dsir_weights", "sample_dsir_gumbel",
@@ -134,7 +137,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cross_source_contamination", "embedding_norm_stats",
     "sample_apply_mixture", "corpus_vocab_stats", "corpus_lang_confusion",
     "q_join_left_outer", "q_join_range_band", "q_having", "q_pivot",
-    "q_intersect_all", "q_except_all",
+    "q_intersect_all",
     "events_sessionize",
     # -- 6. the rest of the corpus follows in registration order --
 )
