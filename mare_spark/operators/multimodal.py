@@ -135,3 +135,146 @@ def decode_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL header sniffing — magic bytes + container headers, no media libraries
+# ---------------------------------------------------------------------------
+
+_SOF_MARKERS = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff_bytes(b) -> tuple:
+    """Parse ``(mime, width, height, channels, sample_rate)`` from raw
+    bytes — REAL metadata extraction (unlike the decode stubs): magic-byte
+    dispatch + the container's own header layout, pure ``struct``
+    arithmetic, no media libraries. Unknown/truncated payloads degrade to
+    ``application/octet-stream`` with NULL fields, never an exception —
+    at corpus scale a crawler's corrupt tail must not kill the scan.
+
+    Formats: PNG (IHDR dims + color-type channels), GIF87a/89a, BMP
+    (BITMAPINFOHEADER, top-down negative heights normalized), JPEG (walks
+    the segment chain to the first SOFn frame header), canonical WAV
+    (fmt chunk channels + sample rate).
+    """
+    import struct
+
+    none = ("application/octet-stream", None, None, None, None)
+    if b is None:
+        return (None, None, None, None, None)
+    b = bytes(b)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return ("image/png", w, h, _PNG_CHANNELS.get(b[25]), None)
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return ("image/gif", w, h, 3, None)
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("image/bmp", abs(w), abs(h), 3, None)
+        if b[:3] == b"\xff\xd8\xff":
+            i = 2
+            while i + 9 < len(b) and b[i] == 0xFF:
+                marker = b[i + 1]
+                if marker in _SOF_MARKERS:
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return ("image/jpeg", w, h, b[i + 9], None)
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                (seg_len,) = struct.unpack(">H", b[i + 2:i + 4])
+                i += 2 + seg_len
+            return ("image/jpeg", None, None, None, None)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt " and len(b) >= 28:
+            (channels,) = struct.unpack("<H", b[22:24])
+            (rate,) = struct.unpack("<I", b[24:28])
+            return ("audio/wav", None, None, channels, rate)
+    except (struct.error, IndexError):
+        return none
+    return none
+
+
+def synthesize_media_payload(
+    kind: str, *, width: int = 0, height: int = 0,
+    channels: int = 1, sample_rate: int = 0, body: bytes = b"",
+) -> bytes:
+    """Build a minimal VALID header of the given format around ``body`` —
+    the deterministic fixture generator for the sniffing path (the parquet
+    fixtures carry no real media, so tests and the registered query
+    synthesize payloads whose parsed metadata is known arithmetic).
+    Headers follow the real specs (PNG IHDR color type 6 = RGBA, JPEG
+    APP0+SOF0 chain, canonical 44-byte WAV preamble), so :func:`sniff_bytes`
+    is exercised on format-true layouts, not just self-consistent bytes.
+    """
+    import struct
+
+    if kind == "png":
+        ihdr = struct.pack(">II", width, height) + bytes([8, 6, 0, 0, 0])
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + ihdr + b"\x00\x00\x00\x00" + body)
+    if kind == "gif":
+        return b"GIF89a" + struct.pack("<HH", width, height) + body
+    if kind == "bmp":
+        return (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+                + struct.pack("<ii", width, height) + body)
+    if kind == "jpeg":
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (b"\xff\xc0" + struct.pack(">H", 8 + 3 * 3) + b"\x08"
+                + struct.pack(">HH", height, width) + b"\x03"
+                + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+        return b"\xff\xd8" + app0 + sof0 + body
+    if kind == "wav":
+        fmt = (b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HH", 1, channels)
+               + struct.pack("<I", sample_rate)
+               + struct.pack("<IHH", sample_rate * channels * 2,
+                             channels * 2, 16))
+        data = b"data" + struct.pack("<I", len(body)) + body
+        return (b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(data))
+                + b"WAVE" + fmt + data)
+    raise ValueError(f"unknown kind: {kind}")
+
+
+def sniff_media_metadata(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Append parsed ``(mime, width, height, channels, sample_rate)`` for a
+    binary payload column via :func:`sniff_bytes` — Arrow-batched scalar
+    UDF, scan-side (zero shuffle): the metadata-first posture the module
+    docstring prescribes (filter/dedup/route on sniffed metadata BEFORE
+    any expensive decode hop touches the bytes).
+    """
+    @F.pandas_udf(
+        "struct<mime:string,width:int,height:int,"
+        "channels:int,sample_rate:int>"
+    )
+    def sniff(payloads: pd.Series) -> pd.DataFrame:
+        rows = [sniff_bytes(p) for p in payloads]
+        # object dtype keeps None as None (no float-NaN coercion of the
+        # nullable int fields on the way into Arrow)
+        return pd.DataFrame(
+            rows,
+            columns=["mime", "width", "height", "channels", "sample_rate"],
+            dtype=object,
+        )
+
+    out = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        sniff(F.col(payload_col)).alias("_m"),
+    )
+    return out.select(
+        id_col, *keep_cols,
+        F.col("_m.mime").alias("mime"),
+        F.col("_m.width").alias("width"),
+        F.col("_m.height").alias("height"),
+        F.col("_m.channels").alias("channels"),
+        F.col("_m.sample_rate").alias("sample_rate"),
+    )

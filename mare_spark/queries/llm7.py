@@ -7,6 +7,8 @@ gating and sampling.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -132,3 +134,66 @@ def sample_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = _dsir_weights(spark, sf_dir)
     return dsir_gumbel_topk(w, "doc_id", 50, salt="epoch0")
+
+
+@register(
+    "multimodal_sniff_report",
+    category="llm",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'image/jpeg'
+                ELSE 'audio/wav' END AS mime,
+           CASE WHEN doc_id % 5 <= 3
+                THEN CAST(1 + doc_id % 64 AS INT) END AS width,
+           CASE WHEN doc_id % 5 <= 3
+                THEN CAST(1 + doc_id % 48 AS INT) END AS height,
+           CAST(CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 4 WHEN 4 THEN 1 + doc_id % 2
+                ELSE 3 END AS INT) AS channels,
+           CASE WHEN doc_id % 5 = 4
+                THEN CAST(8000 + (doc_id % 8) * 1000 AS INT)
+                END AS sample_rate
+    FROM documents
+    """,
+)
+def multimodal_sniff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media-header parsing, hash-checked: every document gets a
+    format-true synthetic payload (PNG/GIF/BMP/JPEG/WAV header by
+    doc_id % 5, dimensions/rate derived from doc_id, md5 bytes as body —
+    :func:`multimodal.synthesize_media_payload`), and the engine must
+    recover the metadata by actually PARSING the bytes
+    (:func:`multimodal.sniff_media_metadata` — magic-byte dispatch +
+    struct header walks, no media libraries). The DuckDB oracle computes
+    the expected values arithmetically from doc_id, so any drift in
+    either the builder or the parser hash-fails.
+
+    Scale shape: one Arrow-batched scan-side pass, zero shuffle — the
+    metadata-first posture for routing/filtering a multimodal corpus
+    before any decode hop."""
+    import hashlib
+
+    from mare_spark.operators.multimodal import (
+        sniff_media_metadata,
+        synthesize_media_payload,
+    )
+
+    kinds = ("png", "gif", "bmp", "jpeg", "wav")
+
+    @F.pandas_udf("binary")
+    def build(ids: pd.Series) -> pd.Series:
+        def one(i):
+            i = int(i)
+            return synthesize_media_payload(
+                kinds[i % 5],
+                width=1 + i % 64, height=1 + i % 48,
+                channels=1 + i % 2, sample_rate=8000 + (i % 8) * 1000,
+                body=hashlib.md5(str(i).encode()).digest(),
+            )
+
+        return ids.map(one)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn("payload", build(F.col("doc_id")))
+    return sniff_media_metadata(payloads, "payload", "doc_id")

@@ -869,3 +869,74 @@ def test_simhash_capped_query_matches_uncapped_at_fixture_sf(spark):
         .select("doc_a", "doc_b").collect()
     }
     assert capped == uncapped and len(capped) > 0
+
+
+# --- media header sniffing (round 6: the REAL layer of the multimodal
+# family — magic bytes + struct header walks, no media libraries) ---------
+
+
+def test_sniff_bytes_known_real_file_headers():
+    """Hand-pinned bytes from the format specs (not round-tripped through
+    our own builder): the canonical 1x1 PNG header and a 2x2 GIF89a."""
+    from mare_spark.operators.multimodal import sniff_bytes
+
+    png_1x1 = (
+        b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR"
+        b"\x00\x00\x00\x01\x00\x00\x00\x01\x08\x06\x00\x00\x00\x1f\x15\xc4\x89"
+    )
+    assert sniff_bytes(png_1x1) == ("image/png", 1, 1, 4, None)
+    gif_2x2 = b"GIF89a\x02\x00\x02\x00\x80\x00\x00"
+    assert sniff_bytes(gif_2x2) == ("image/gif", 2, 2, 3, None)
+
+
+def test_sniff_bytes_jpeg_segment_walk_and_bmp_topdown():
+    """JPEG dims live in the SOFn segment, not at a fixed offset — the
+    walk must skip APPn/COM segments; BMP top-down (negative height)
+    normalizes."""
+    import struct
+
+    from mare_spark.operators.multimodal import sniff_bytes
+
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    sof2 = (b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 77, 99) + b"\x01")
+    assert sniff_bytes(b"\xff\xd8" + com + sof2) == (
+        "image/jpeg", 99, 77, 1, None
+    )
+    bmp_td = (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+              + struct.pack("<ii", 5, -9))
+    assert sniff_bytes(bmp_td) == ("image/bmp", 5, 9, 3, None)
+
+
+def test_sniff_bytes_never_raises_on_garbage():
+    from mare_spark.operators.multimodal import sniff_bytes
+
+    for b in (b"", b"\x89PNG", b"GIF8", b"\xff\xd8\xff",  # truncated magics
+              b"RIFFxxxxWAVE", b"BM\x00", bytes(range(256))):
+        mime, *rest = sniff_bytes(b)
+        assert mime in ("application/octet-stream", "image/jpeg")
+
+
+def test_sniff_media_metadata_spark_roundtrip(spark):
+    from mare_spark.operators.multimodal import (
+        sniff_media_metadata,
+        synthesize_media_payload as syn,
+    )
+
+    rows = [
+        (1, "a", syn("png", width=640, height=480, body=b"x")),
+        (2, "b", syn("wav", channels=2, sample_rate=44100)),
+        (3, "c", b"garbage"),
+        (4, "d", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, payload binary")
+    got = {
+        r.doc_id: (r.grp, r.mime, r.width, r.height, r.channels, r.sample_rate)
+        for r in sniff_media_metadata(
+            df, "payload", "doc_id", keep_cols=("grp",)
+        ).collect()
+    }
+    assert got[1] == ("a", "image/png", 640, 480, 4, None)
+    assert got[2] == ("b", "audio/wav", None, None, 2, 44100)
+    assert got[3] == ("c", "application/octet-stream", None, None, None, None)
+    assert got[4] == ("d", None, None, None, None, None)
