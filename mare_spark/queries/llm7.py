@@ -197,3 +197,75 @@ def multimodal_sniff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.withColumn("payload", build(F.col("doc_id")))
     return sniff_media_metadata(payloads, "payload", "doc_id")
+
+
+@register(
+    "embedding_covariance",
+    category="llm",
+    oracle="""
+    WITH e AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    m2 AS (
+      SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+             sum(CAST(floor(v[i + 1] * v[j + 1] * 1000000.0 + 0.5)
+                      AS BIGINT)) AS s
+      FROM e, range(64) ri(i), range(64) rj(j)
+      WHERE i <= j GROUP BY 1, 2
+    ),
+    m1 AS (
+      SELECT CAST(i AS INT) AS d,
+             sum(CAST(floor(v[i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS s
+      FROM e, range(64) ri(i) GROUP BY 1
+    ),
+    nn AS (SELECT count(*) AS n FROM e)
+    SELECT dim_i, dim_j,
+           (floor(((m2.s / 1000000.0) / nn.n
+                   - ((a.s / 1000000.0) / nn.n)
+                     * ((b.s / 1000000.0) / nn.n)) * 1000000.0 + 0.5)
+            / 1000000.0) AS cov
+    FROM m2
+    JOIN m1 a ON a.d = m2.dim_i
+    JOIN m1 b ON b.d = m2.dim_j
+    CROSS JOIN nn
+    """,
+)
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature covariance of the 64-dim embedding table (upper triangle,
+    2080 rows) — the one-pass distributed moment estimate behind PCA and
+    whitening. Hash-checked: per-row float64 products are snapped to
+    integer micros and summed exactly (partition-order-independent), and
+    the DuckDB oracle replays the identical arithmetic via a double
+    unnest; the engine side ships O(partitions · dim²) partial rows
+    regardless of corpus size (mapInArrow numpy fold → one keyed merge).
+    """
+    from mare_spark.operators.pca import embedding_covariance
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", 64)
+
+
+@register("embedding_pca_variance", category="llm", oracle=None)
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal components of the embedding table: eigenvalue and
+    explained-variance ratio per component — the embedding-hygiene audit
+    (a near-rank-deficient or single-direction-dominated batch breaks
+    every cosine threshold downstream). Rows-only by design:
+    eigendecomposition is iterative and not SQL-expressible; the PCA tier
+    is pinned by numpy differentials in tests/test_pca.py (projection
+    equality, whitened-covariance ≈ identity, sign determinism), and its
+    input covariance is the hash-checked embedding_covariance row."""
+    from mare_spark.operators.pca import pca_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", 64, k=8)
+    ratios = model.explained_variance_ratio()
+    rows = [
+        (int(c), float(round(model.eigvals[c], 6)),
+         float(round(ratios[c], 6)))
+        for c in range(len(model.eigvals))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, variance_ratio double"
+    )
