@@ -940,3 +940,25 @@ def test_sniff_media_metadata_spark_roundtrip(spark):
     assert got[2] == ("b", "audio/wav", None, None, 2, 44100)
     assert got[3] == ("c", "application/octet-stream", None, None, None, None)
     assert got[4] == ("d", None, None, None, None, None)
+
+
+def test_sniff_bytes_fuzz_never_raises():
+    """Property: ANY byte string — including ones that start with valid
+    magics and then lie about their lengths — parses without raising."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mare_spark.operators.multimodal import sniff_bytes
+
+    magics = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"BM",
+              b"\xff\xd8\xff", b"RIFF", b""]
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=st.sampled_from(magics), body=st.binary(max_size=64))
+    def run(prefix, body):
+        mime, w, h, c, r = sniff_bytes(prefix + body)
+        assert mime is None or isinstance(mime, str)
+        for v in (w, h, c, r):
+            assert v is None or isinstance(v, int)
+
+    run()
