@@ -368,6 +368,79 @@ def pack_sequences(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str, id_col: str, *, lam: float = 0.9
+) -> DataFrame:
+    """Corpus-adaptive BIGRAM fluency score: each document's mean
+    interpolated bigram log-probability under the corpus' own statistics
+    — one rung up from :func:`unigram_logprob` toward the CCNet-style
+    KenLM perplexity filter: word-salad documents whose words are all
+    individually common (spam keyword stuffing) score high on unigrams
+    but collapse here, because their TRANSITIONS are rare.
+
+    ``p(b|a) = λ·c(ab)/c(a·) + (1−λ)·c(b)/T`` — maximum-likelihood bigram
+    interpolated with the unigram distribution (the standard Jelinek-
+    Mercer backoff; unseen corpus bigrams can't occur since the model is
+    fit on the same corpus, but the interpolation still damps one-off
+    transitions). ``c(a·)`` is the left-context total (= Σ_b c(ab)),
+    derived from the bigram table itself, not a second corpus pass.
+
+    Shape: one bigram-keyed aggregate over the corpus (the corpus-scale
+    shuffle; Zipf-hot pairs are AQE's problem, same posture as the
+    unigram pass), a context rollup and the unigram table (both
+    vocabulary-sized), a probability table re-joined to the exploded
+    bigrams (NOT hint-broadcast — a web-scale bigram vocabulary outgrows
+    any threshold; AQE broadcasts it while it measures small), and one
+    doc-keyed aggregate. Documents under 2 tokens have no transitions
+    and drop from the output (pinned by test).
+
+    Hash-stable: every count is an exact integer, the interpolation is
+    evaluated with identical association on both engines, ln of the
+    identical double agrees, each term snaps to the 6dp grid, and the
+    per-document mean sums the grid points as DECIMAL.
+    """
+    pairs = F.expr(
+        "CASE WHEN size(_w) > 1 THEN "
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> struct(_w[i - 1] AS a, _w[i] AS b)) "
+        "ELSE array() END"
+    )
+    tp = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+        .select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(F.col(id_col), F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    )
+    big = tp.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ctx = big.groupBy("a").agg(F.sum("cab").alias("ca"))
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cb"))
+    )
+    tot = uni.agg(F.sum("cb").alias("t_tokens"))
+    p = (
+        F.lit(lam) * (F.col("cab") / F.col("ca"))
+        + F.lit(1.0 - lam) * (F.col("cb") / F.col("t_tokens"))
+    )
+    lp = big.join(ctx, "a").join(uni, "b").join(F.broadcast(tot)).select(
+        "a", "b", fround(F.log(p), 6).alias("_lp")
+    )
+    lp6 = F.col("_lp").cast("decimal(28,6)")
+    return (
+        tp.join(lp, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(lp6).cast("double").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            fround(F.col("_s") / F.col("n_bigrams"), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Corpus-adaptive fluency score: each document's mean unigram
     log-probability under the corpus' own empirical word distribution —

@@ -269,3 +269,44 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, variance_ratio double"
     )
+
+
+@register(
+    "text_bigram_logprob",
+    category="llm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    tp AS (
+      SELECT doc_id, w[i] AS a, w[i + 1] AS b
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w)
+    ),
+    big AS (SELECT a, b, count(*) AS cab FROM tp GROUP BY 1, 2),
+    ctx AS (SELECT a, sum(cab) AS ca FROM big GROUP BY 1),
+    uni AS (SELECT t AS b, count(*) AS cb
+            FROM (SELECT unnest(w) AS t FROM w) GROUP BY 1),
+    tot AS (SELECT count(*) AS t_tokens
+            FROM (SELECT unnest(w) AS t FROM w)),
+    lp AS (
+      SELECT big.a, big.b,
+             (floor(ln(0.9 * (cab / ca) + 0.1 * (cb / t_tokens))
+                    * 1000000.0 + 0.5) / 1000000.0) AS lp
+      FROM big JOIN ctx USING (a) JOIN uni USING (b) CROSS JOIN tot
+    )
+    SELECT tp.doc_id, count(*) AS n_bigrams,
+           (floor(CAST(sum(CAST(lp.lp AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*) * 1000000.0 + 0.5) / 1000000.0) AS avg_logprob
+    FROM tp JOIN lp ON tp.a = lp.a AND tp.b = lp.b
+    GROUP BY tp.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM fluency score per document (λ=0.9 bigram ML
+    + 0.1 unigram ML, fit on the corpus itself) — the transition-aware
+    step from text_unigram_logprob toward CCNet's KenLM filter: keyword-
+    stuffed word salad scores high on unigrams but collapses here. All
+    counts exact integers, interpolation association pinned on both
+    engines, 6dp-snapped ln terms summed as DECIMAL (hash-stable)."""
+    from mare_spark.operators.corpus import bigram_logprob
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "text", "doc_id")

@@ -555,3 +555,35 @@ def test_pack_sequences_rejects_reserved_column_names(spark):
     df3 = spark.createDataFrame([(1, 5)], "id long, n_tokens long")
     assert pack_sequences(df3, "n_tokens", "id", max_len=8,
                           shards=2).count() == 1
+
+
+def test_bigram_logprob_penalizes_word_salad(spark):
+    """Same unigram distribution, different transitions: a fluent doc
+    whose bigrams repeat corpus-wide outscores a shuffled word salad of
+    the SAME words (the failure mode unigram scoring cannot see)."""
+    from mare_spark.operators.corpus import bigram_logprob
+
+    fluent = "the cat sat on the mat"
+    salad = "mat the on cat the sat"
+    corpus = [(i, fluent) for i in range(9)] + [(100, salad)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r.avg_logprob for r in
+           bigram_logprob(df, "text", "doc_id").collect()}
+    assert got[0] > got[100]
+    # repeated fluent docs all share one score
+    assert len({got[i] for i in range(9)}) == 1
+
+
+def test_bigram_logprob_short_docs_drop_and_layout_independent(spark):
+    from mare_spark.operators.corpus import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two words"), (4, "two words here")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bigram_logprob(df, "text", "doc_id").collect()))
+    assert [t[0] for t in a] == [3, 4]  # <2-token docs have no transitions
+    b = sorted(map(tuple,
+                   bigram_logprob(df.repartition(7), "text",
+                                  "doc_id").collect()))
+    assert a == b

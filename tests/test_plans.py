@@ -224,6 +224,7 @@ _NESTED_LOOP_OK = {
     "corpus_dsir_weights",  # two scalar corpus-total normalizers, 1-row broadcasts
     "sample_dsir_gumbel",  # same weight pipeline, same scalar broadcasts
     "embedding_covariance",  # scalar vector-count normalizer, 1-row broadcast
+    "text_bigram_logprob",  # scalar token-total normalizer, 1-row broadcast
 }
 
 
