@@ -720,3 +720,129 @@ def kmeans_refine(
         for r in means:
             cents[r.cid, r.dim_idx] = r.m
     return cents
+
+
+def hard_negatives(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 1,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the ``k`` most-cosine-similar vectors with a DIFFERENT label —
+    exactly the pairs a contrastive objective learns most from
+    (similar-looking, semantically distinct).
+
+    This is the EXACT tier: an all-pairs theta self-join on label
+    inequality (O(N²) BroadcastNestedLoop — allowlisted like the other
+    exact embedding tiers) + a per-anchor top-k window. Correct and
+    oracle-checkable at fixture scale; for a corpus that outgrows it use
+    :func:`hard_negatives_ivf`, which blocks candidates through the
+    anchor's probed IVF cells (keyed equi-join, no cartesian) and is
+    pinned to this tier by recall tests.
+
+    Output: ``(anchor_id, neg_id, cosine, rnk)``, ties broken on
+    (cosine desc, neg_id asc) — deterministic across layouts.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).alias("v"),
+    )
+    a = base.withColumnsRenamed(
+        {"vid": "anchor_id", "lbl": "anchor_label", "v": "v_a"}
+    )
+    b = base.withColumnsRenamed(
+        {"vid": "neg_id", "lbl": "neg_label", "v": "v_b"}
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("neg_id")
+    )
+    return (
+        a.join(b, F.col("anchor_label") != F.col("neg_label"))
+        .withColumn(
+            "cosine", fround(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6)
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("anchor_id", "neg_id", "cosine", "rnk")
+    )
+
+
+def _probe_cells_udf(centroids: np.ndarray, nprobe: int):
+    """array<int> of each vector's ``nprobe`` nearest centroid cells —
+    the multi-probe assignment (one batch matmul + argsort)."""
+    import pandas as pd
+
+    cent = centroids.astype(np.float64)
+
+    def probes(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.array(list(vecs), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cent.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    probes.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(probes, "array<int>")
+
+
+def hard_negatives_ivf(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 1,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale tier of :func:`hard_negatives`: candidates are blocked
+    through the IVF index — each anchor explodes its ``nprobe`` nearest
+    cells and equi-joins vectors ASSIGNED to those cells, so the pair
+    space is ~nprobe/nlist of N² and the join is KEYED (hash exchange on
+    the cell id — no cartesian, AQE splits hot cells). Exact cosine
+    verify + the same per-anchor top-k window. ``nprobe == nlist``
+    degenerates to the exact tier (pinned by test); below it, recall
+    follows the usual IVF dial.
+    """
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, nlist=nlist, vec_col=vec_col, seed=seed
+        )
+    anchors = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("v_a"),
+        F.explode(
+            _probe_cells_udf(centroids, nprobe)(F.col(vec_col))
+        ).alias("cell"),
+    )
+    negs = ivf_assign(df, centroids, vec_col=vec_col, cell_col="cell").select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("v_b"),
+        "cell",
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("neg_id")
+    )
+    return (
+        anchors.join(negs, "cell")
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .drop("cell")
+        .dropDuplicates(["anchor_id", "neg_id"])  # multi-probe overlap
+        .withColumn(
+            "cosine", fround(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6)
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("anchor_id", "neg_id", "cosine", "rnk")
+    )

@@ -310,3 +310,44 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bigram_logprob(docs, "text", "doc_id")
+
+
+@register(
+    "sim_hard_negatives",
+    category="llm",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             (floor(
+               list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x*x))))
+               * 1000000.0 + 0.5) / 1000000.0) AS cosine
+      FROM e a JOIN e b ON a.label <> b.label
+    ),
+    r AS (
+      SELECT anchor_id, neg_id, cosine,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine DESC, neg_id) AS rnk
+      FROM p
+    )
+    SELECT anchor_id, neg_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 1
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's
+    single most-cosine-similar OTHER-label vector (the pair a contrastive
+    loss learns most from). Exact tier, hash-checked against the full
+    DuckDB all-pairs replay; the IVF-blocked scale tier (keyed equi-join
+    through probed cells, no cartesian) is pinned to this one by recall
+    tests in tests/test_llm_ops.py."""
+    from mare_spark.operators.similarity import hard_negatives
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, "embedding", "vec_id", "label", k=1)

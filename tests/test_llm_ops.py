@@ -962,3 +962,102 @@ def test_sniff_bytes_fuzz_never_raises():
             assert v is None or isinstance(v, int)
 
     run()
+
+
+# --- hard-negative mining (round 6) ---------------------------------------
+
+
+def _clustered_labeled_vectors(n_per=40, n_labels=4, dim=16, seed=5):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_labels, dim) * 3
+    rows = []
+    i = 0
+    for lbl in range(n_labels):
+        for _ in range(n_per):
+            v = centers[lbl] + rng.randn(dim) * 0.5
+            rows.append((i, lbl, [float(x) for x in v]))
+            i += 1
+    return rows
+
+
+def test_hard_negatives_exact_matches_numpy(spark):
+    import numpy as np
+
+    from mare_spark.operators.similarity import hard_negatives
+
+    rows = _clustered_labeled_vectors()
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = {
+        r.anchor_id: r.neg_id
+        for r in hard_negatives(df, "embedding", "vec_id", "label").collect()
+    }
+    x = np.array([r[2] for r in rows])
+    lbl = np.array([r[1] for r in rows])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    for i in range(len(rows)):
+        mask = lbl != lbl[i]
+        # replicate the 6dp snap + (cosine desc, neg_id asc) tie-break
+        cand = [
+            (-(np.floor(sims[i, j] * 1e6 + 0.5) / 1e6), j)
+            for j in np.where(mask)[0]
+        ]
+        want = min(cand)[1]
+        assert got[i] == want, (i, got[i], want)
+    # no anchor ever pairs with its own label
+    lbl_of = {r[0]: r[1] for r in rows}
+    for a, n in got.items():
+        assert lbl_of[a] != lbl_of[n]
+
+
+def test_hard_negatives_ivf_full_probe_equals_exact(spark):
+    from mare_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+    )
+
+    df = spark.createDataFrame(
+        _clustered_labeled_vectors(),
+        "vec_id long, label int, embedding array<double>",
+    )
+    exact = sorted(
+        (r.anchor_id, r.neg_id)
+        for r in hard_negatives(df, "embedding", "vec_id", "label").collect()
+    )
+    full = sorted(
+        (r.anchor_id, r.neg_id)
+        for r in hard_negatives_ivf(
+            df, "embedding", "vec_id", "label", nlist=8, nprobe=8
+        ).collect()
+    )
+    assert exact == full
+
+
+def test_hard_negatives_ivf_recall_at_partial_probe(spark):
+    from mare_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+    )
+
+    df = spark.createDataFrame(
+        _clustered_labeled_vectors(),
+        "vec_id long, label int, embedding array<double>",
+    )
+    exact = {
+        r.anchor_id: r.neg_id
+        for r in hard_negatives(df, "embedding", "vec_id", "label").collect()
+    }
+    approx = {
+        r.anchor_id: r.neg_id
+        for r in hard_negatives_ivf(
+            df, "embedding", "vec_id", "label", nlist=8, nprobe=4
+        ).collect()
+    }
+    hits = sum(1 for a, n in exact.items() if approx.get(a) == n)
+    assert hits / len(exact) >= 0.8, hits / len(exact)
+    for a, n in approx.items():  # still never same-label
+        assert (a // 40) != (n // 40)

@@ -225,6 +225,7 @@ _NESTED_LOOP_OK = {
     "sample_dsir_gumbel",  # same weight pipeline, same scalar broadcasts
     "embedding_covariance",  # scalar vector-count normalizer, 1-row broadcast
     "text_bigram_logprob",  # scalar token-total normalizer, 1-row broadcast
+    "sim_hard_negatives",  # exact all-pairs tier (scale tier: the IVF block)
 }
 
 
