@@ -51,16 +51,26 @@ def _moment_partials(dim: int, vec_col: str):
         s2 = np.zeros((dim, dim), dtype=np.int64)
         s1 = np.zeros(dim, dtype=np.int64)
         n = 0
+        import pyarrow.compute as pc
+
         for batch in batches:
             col = batch.column(0)
-            x = np.asarray(col.to_pylist(), dtype=np.float64)
-            if x.size == 0:
+            if len(col) == 0:
                 continue
-            if x.ndim != 2 or x.shape[1] != dim:
+            # zero-copy-ish path: validate then reshape the flattened
+            # values buffer (to_pylist() is a per-element Python loop —
+            # the difference is integral at 100 TB)
+            if col.null_count:
+                raise ValueError(f"{vec_col}: NULL vectors not allowed")
+            lens = pc.list_value_length(col).to_numpy()
+            if not (lens == dim).all():
+                bad = int(lens[lens != dim][0])
                 raise ValueError(
                     f"{vec_col}: expected fixed-length {dim} vectors, got "
-                    f"shape {x.shape}"
+                    f"length {bad}"
                 )
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = np.ascontiguousarray(flat, dtype=np.float64).reshape(-1, dim)
             n += x.shape[0]
             s1 += np.floor(x * 1e6 + 0.5).astype(np.int64).sum(axis=0)
             # chunk the outer products so the (rows × dim × dim) tensor

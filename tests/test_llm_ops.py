@@ -1061,3 +1061,24 @@ def test_hard_negatives_ivf_recall_at_partial_probe(spark):
     assert hits / len(exact) >= 0.8, hits / len(exact)
     for a, n in approx.items():  # still never same-label
         assert (a // 40) != (n // 40)
+
+
+def test_hard_negatives_routes_to_ivf_above_guard(spark):
+    """Above exact_max_rows the exact tier must hand off to the IVF block
+    (no BroadcastNestedLoopJoin in the routed plan)."""
+    from mare_spark.operators.similarity import hard_negatives
+    from mare_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        _clustered_labeled_vectors(n_per=10, n_labels=2),
+        "vec_id long, label int, embedding array<double>",
+    )
+    routed = hard_negatives(
+        df, "embedding", "vec_id", "label", exact_max_rows=5
+    )
+    assert "BroadcastNestedLoopJoin" not in formatted_plan(routed)
+    # a 6-cell/1-probe index on well-separated clusters may legitimately
+    # find no cross-label candidates — recall at realistic probe widths
+    # is pinned by the dedicated IVF tests above; this pins the HANDOFF
+    assert routed.count() >= 0
+    assert routed.columns == ["anchor_id", "neg_id", "cosine", "rnk"]
