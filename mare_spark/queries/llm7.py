@@ -12,6 +12,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mare_spark.queries.llm import DUCK_EXACT_CC, _SHINGLES3
 from mare_spark.queries.llm2 import _duck_ngrams, _WORDS
 from mare_spark.registry import register
 from mare_spark.tables import read_table
@@ -351,3 +352,86 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return hard_negatives(emb, "embedding", "vec_id", "label", k=1)
+
+
+@register(
+    "dedup_split_leakage",
+    category="llm",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, {_SHINGLES3} AS sh FROM documents
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING common / (na + nb - common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION ALL SELECT doc_b, doc_a FROM prs
+    ),
+    {DUCK_EXACT_CC},
+    sp AS (
+      SELECT l.node AS member, l.label AS cluster,
+             CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(l.node AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 100 AS INT) < 98
+                  THEN 'train'
+                  WHEN CAST(CAST(('0x' || substr(md5(CAST(l.node AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 100 AS INT) = 98
+                  THEN 'val' ELSE 'test' END AS split
+      FROM labels l
+    )
+    SELECT cluster, count(*) AS n_members,
+           CAST(count(DISTINCT split) AS INT) AS n_splits,
+           CAST(count(DISTINCT split) > 1 AS INT) AS is_leaky
+    FROM sp GROUP BY cluster
+    """,
+)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate clusters (exact 3-gram Jaccard
+    >= 0.8, connected components) crossed with the deterministic 98/1/1
+    train/val/test assignment — a cluster whose members land in more
+    than one split leaks train text into eval (the contamination bug a
+    doc-level split cannot see; the fix is splitting by CLUSTER, not by
+    document). Output: every near-dup cluster with its member count,
+    split spread, and leak flag.
+
+    Composes three hash-green building blocks (pair generation, CC
+    resolution, the 60-bit split bucket), so the whole audit is itself
+    oracle-checked. Plan: the near-dup stack's plans unchanged + one
+    broadcast-free aggregate over the (member, cluster) labels — the
+    audit adds no corpus-scale work beyond what dedup already ran."""
+    from mare_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    clusters = dedup_clusters(pairs)
+    release_caches(pairs)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("member").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(100),
+    ).cast("int")
+    split = (
+        F.when(bucket < 98, "train").when(bucket == 98, "val")
+        .otherwise("test")
+    )
+    return (
+        clusters.withColumn("split", split)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("split").cast("int").alias("n_splits"),
+        )
+        .withColumn(
+            "is_leaky", (F.col("n_splits") > 1).cast("int")
+        )
+    )
