@@ -353,3 +353,39 @@ def sliding_chunks(
         F.size(F.split("chunk_text", " ")).alias("chunk_tokens"),
         "chunk_text",
     )
+
+
+def normalize_nfc(
+    df: DataFrame, text_col: str, out_col: str = "text_nfc"
+) -> DataFrame:
+    """Append the Unicode NFC normalization of a text column — the step
+    that belongs BEFORE every hash-keyed operator in the engine: composed
+    ("é" U+00E9) and decomposed ("e"+U+0301) spellings are visually
+    identical but byte-different, so without canonical normalization
+    exact dedup, digest-keyed chunk scrubbing, and md5 sampling all treat
+    equal texts as distinct (pinned by test: NFC twins survive
+    exact_dedup until normalized).
+
+    Arrow-batched scan-side pass, zero shuffle. Fast path:
+    ``unicodedata.is_normalized`` short-circuits already-NFC strings
+    (ASCII always is) without allocating — on web corpora that is almost
+    every row. Engine-parity: Python's unicodedata NFC and DuckDB's
+    ``nfc_normalize`` produce identical strings (verified across scripts
+    in tests), so NFC-derived digests stay oracle-checkable.
+    """
+    import pandas as pd
+
+    def nfc(texts):
+        import unicodedata
+
+        def one(t):
+            if t is None:
+                return None
+            if unicodedata.is_normalized("NFC", t):
+                return t
+            return unicodedata.normalize("NFC", t)
+
+        return texts.map(one)
+
+    nfc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, F.pandas_udf(nfc, "string")(F.col(text_col)))

@@ -435,3 +435,43 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_leaky", (F.col("n_splits") > 1).cast("int")
         )
     )
+
+
+@register(
+    "text_nfc_report",
+    category="llm",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(coalesce(sum(CAST(text <> nfc_normalize(text) AS BIGINT)), 0)
+                AS BIGINT) AS n_changed,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_raw,
+           CAST(count(DISTINCT md5(nfc_normalize(text))) AS BIGINT)
+             AS n_distinct_nfc
+    FROM documents
+    """,
+)
+def text_nfc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization audit: how many documents change under NFC,
+    and how many distinct content digests exist before vs after —
+    ``n_distinct_raw > n_distinct_nfc`` means byte-different spellings of
+    identical text are defeating every hash-keyed operator downstream
+    (exact dedup, chunk scrub, md5 samplers) and the corpus needs
+    :func:`text.normalize_nfc` before them. The oracle replays via
+    DuckDB's ``nfc_normalize`` — engine NFC parity is pinned across
+    scripts in tests (the fixture itself is ASCII, so n_changed = 0
+    there; the operator's real behavior is exercised on crafted
+    composed/decomposed twins)."""
+    from mare_spark.operators.text import normalize_nfc
+
+    docs = normalize_nfc(
+        read_table(spark, sf_dir, "documents"), "text"
+    )
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(
+            F.sum((F.col("text") != F.col("text_nfc")).cast("bigint")),
+            F.lit(0),
+        ).alias("n_changed"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_raw"),
+        F.countDistinct(F.md5("text_nfc")).alias("n_distinct_nfc"),
+    )

@@ -102,19 +102,19 @@ def register(
 #      with events_sessionize swapped in for q14 (its gaps-and-islands
 #      construction is the oracle template the new replay row reuses —
 #      refreshing both in one round pins the convention from both ends);
-#      nine r3-stale fill rows (q_subquery_above_avg,
+#      ten r3-stale fill rows (q_subquery_above_avg,
 #      q_sql_returned_items, q_intersect_all, q_having, q_pivot,
 #      q_join_range_band, q_join_left_outer, corpus_lang_confusion,
-#      corpus_vocab_stats) displaced by the nine r6 registrations
-#      (corpus_dsir_weights, sample_dsir_gumbel,
+#      corpus_vocab_stats, sample_apply_mixture) displaced by the ten r6
+#      registrations (corpus_dsir_weights, sample_dsir_gumbel,
 #      multimodal_sniff_report, embedding_covariance,
 #      embedding_pca_variance, text_bigram_logprob, sim_hard_negatives,
-#      dedup_split_leakage, maintenance_merge_report —
+#      dedup_split_leakage, maintenance_merge_report, text_nfc_report —
 #      check-before-register), q_except_all by the r6-touched
 #      corpus_train_val_split.
-# The 20 r3-stale rows left over (corpus_vocab_stats,
-# corpus_lang_confusion, q_join_left_outer, q_join_range_band,
-# q_having, q_pivot, q_intersect_all, q_except_all,
+# The 21 r3-stale rows left over (sample_apply_mixture,
+# corpus_vocab_stats, corpus_lang_confusion, q_join_left_outer,
+# q_join_range_band, q_having, q_pivot, q_intersect_all, q_except_all,
 # q_sql_returned_items, q_subquery_above_avg, q14, q7, q11, q15, q19,
 # q22, q8, events_tumbling/sliding/session_window) head the r7
 # rotation, followed by the 45 r4-stale rows in registration order.
@@ -128,7 +128,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_sniff_report", "embedding_covariance",
     "embedding_pca_variance", "text_bigram_logprob",
     "sim_hard_negatives", "dedup_split_leakage",
-    "maintenance_merge_report",
+    "maintenance_merge_report", "text_nfc_report",
     # -- 3. anchors --
     "q1_pricing_summary", "q5_local_supplier_volume", "pipeline_clean_corpus",
     # -- 4. all 19 round-2-stale rows (registration order) --
@@ -147,7 +147,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_temperature_rates", "corpus_ngram_heavy_hitters",
     "text_tfidf_keywords", "corpus_length_histogram",
     "cross_source_contamination", "embedding_norm_stats",
-    "sample_apply_mixture",
     "events_sessionize",
     # -- 6. the rest of the corpus follows in registration order --
 )

@@ -246,3 +246,63 @@ def test_sliding_chunks_property_reconstruction(spark):
             " ".join(r.chunk_text.split()[:4]) for r in rows
         )
         assert rebuilt == text
+
+
+# --- Unicode NFC normalization (round 6) -----------------------------------
+
+
+def test_nfc_twins_defeat_exact_dedup_until_normalized(spark):
+    """The selling point: composed ("é") and decomposed ("e"+combining
+    acute) spellings are byte-different, so exact dedup keeps both —
+    after normalize_nfc they collapse to one."""
+    from mare_spark.operators.dedup import exact_dedup
+    from mare_spark.operators.text import normalize_nfc
+
+    composed = "café menu"
+    decomposed = "café menu"
+    assert composed != decomposed  # byte-different...
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed)], "doc_id long, text string"
+    )
+    assert exact_dedup(df, "text", "doc_id").count() == 2  # ...so both kept
+
+    norm = normalize_nfc(df, "text").select(
+        "doc_id", F.col("text_nfc").alias("text")
+    )
+    assert exact_dedup(norm, "text", "doc_id").count() == 1
+
+
+def test_nfc_matches_duckdb_across_scripts(spark):
+    """Engine parity behind the oracle: Python unicodedata NFC ==
+    DuckDB nfc_normalize, across latin/ligature/hangul/combining-mark
+    samples (ASCII passes through identically)."""
+    import duckdb
+
+    from mare_spark.operators.text import normalize_nfc
+
+    samples = [
+        "plain ascii",
+        "café", "café",            # composed / decomposed
+        "ﬁle ligature",                   # U+FB01 (NFC keeps it)
+        "ångström",                # combining ring/diaeresis
+        "한국어",                  # hangul syllables
+        "ẛ̣",                        # multi-mark reordering
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.text_nfc for r in normalize_nfc(df, "text").collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        want = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        assert got[i] == want, (s, got[i], want)
+    con.close()
+
+
+def test_nfc_null_passthrough(spark):
+    from mare_spark.operators.text import normalize_nfc
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert normalize_nfc(df, "text").collect()[0].text_nfc is None
