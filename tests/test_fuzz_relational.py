@@ -1,0 +1,293 @@
+"""Randomized differential fuzz of the relational family vs DuckDB.
+
+Each seed deterministically generates a query spec — predicate tree,
+grouping set, aggregate list, join shape, or window top-k — and builds it
+TWICE: once through the PySpark DataFrame API (the engine under test) and
+once as ANSI SQL for DuckDB (the oracle). ``tests.oracle.compare`` then
+requires exact canonical equality (row count, column names, dtype kinds,
+values) — the same gate the driver's CORRECTNESS harness applies to the
+hand-written registry.
+
+Why: the registry pins ~160 hand-chosen plans; this sweep crosses
+predicates × groupings × aggregates far beyond what hand-writing covers,
+so convention drift (decimal rounding, dtype kinds, null semantics,
+join-type edge cases) surfaces here before a driver round does.
+
+Determinism contract (mirrors registry.py's):
+* seeds are pinned via pytest parametrize — a failure reproduces exactly;
+* money sums go through ``CAST(x AS DECIMAL(18,2))`` on BOTH engines, so
+  the sum is exact and summation order can't flip a rounding boundary
+  (the stored doubles sit on the 2dp grid, so the decimal cast is
+  tie-free); the result is cast back to double on both sides;
+* ``l_quantity`` is integer-valued, so its double sum is exact as-is;
+* order-sensitive results (window top-k) break ties with unique keys.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mare_spark.tables import read_table
+
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare
+
+# ---------------------------------------------------------------------------
+# predicate pool: (builder(rng) -> (spark Column fn over df, sql string))
+# ---------------------------------------------------------------------------
+
+
+def _p_qty_between(rng):
+    lo = rng.randint(1, 40)
+    hi = lo + rng.randint(0, 15)
+    return (
+        lambda df: df["l_quantity"].between(float(lo), float(hi)),
+        f"l_quantity BETWEEN {lo} AND {hi}",
+    )
+
+
+def _p_discount_ge(rng):
+    d = rng.randint(0, 10) / 100.0  # exact 2dp literal, same double both sides
+    return (lambda df: df["l_discount"] >= F.lit(d), f"l_discount >= {d!r}")
+
+
+def _p_shipdate_range(rng):
+    y = rng.randint(1992, 1998)
+    m = rng.randint(1, 12)
+    lit = f"{y}-{m:02d}-01"
+    if rng.random() < 0.5:
+        return (
+            lambda df: df["l_shipdate"] >= F.lit(datetime(y, m, 1)),
+            f"l_shipdate >= TIMESTAMP '{lit}'",
+        )
+    return (
+        lambda df: df["l_shipdate"] < F.lit(datetime(y, m, 1)),
+        f"l_shipdate < TIMESTAMP '{lit}'",
+    )
+
+
+def _p_returnflag_in(rng):
+    flags = sorted(rng.sample(["A", "N", "R"], rng.randint(1, 2)))
+    quoted = ", ".join(f"'{f_}'" for f_ in flags)
+    return (
+        lambda df: df["l_returnflag"].isin(flags),
+        f"l_returnflag IN ({quoted})",
+    )
+
+
+def _p_linenumber_le(rng):
+    k = rng.randint(1, 6)
+    return (lambda df: df["l_linenumber"] <= k, f"l_linenumber <= {k}")
+
+
+def _p_suppkey_mod(rng):
+    m = rng.randint(2, 7)
+    r = rng.randint(0, m - 1)
+    return (
+        lambda df: (df["l_suppkey"] % m) == r,
+        f"(l_suppkey % {m}) = {r}",
+    )
+
+
+def _p_tax_lt(rng):
+    t = rng.randint(1, 8) / 100.0
+    return (lambda df: df["l_tax"] < F.lit(t), f"l_tax < {t!r}")
+
+
+_PREDICATES = (
+    _p_qty_between,
+    _p_discount_ge,
+    _p_shipdate_range,
+    _p_returnflag_in,
+    _p_linenumber_le,
+    _p_suppkey_mod,
+    _p_tax_lt,
+)
+
+
+def _random_predicate(rng):
+    """1-3 leaf predicates combined with AND/OR (parenthesized in SQL)."""
+    n = rng.randint(1, 3)
+    leaves = [rng.choice(_PREDICATES)(rng) for _ in range(n)]
+    ops = [rng.choice(["AND", "OR"]) for _ in range(n - 1)]
+
+    def col(df):
+        acc = leaves[0][0](df)
+        for op, leaf in zip(ops, leaves[1:]):
+            acc = (acc & leaf[0](df)) if op == "AND" else (acc | leaf[0](df))
+        return acc
+
+    sql = leaves[0][1]
+    for op, leaf in zip(ops, leaves[1:]):
+        sql = f"({sql}) {op} ({leaf[1]})"
+    return col, sql
+
+
+# ---------------------------------------------------------------------------
+# aggregate pool: (spark Column, select-list sql, output name)
+# ---------------------------------------------------------------------------
+
+_AGGS = (
+    lambda: (F.count(F.lit(1)).alias("cnt"), "COUNT(*) AS cnt"),
+    # integer-valued double: plain sum is exact
+    lambda: (
+        F.sum("l_quantity").alias("sum_qty"),
+        "SUM(l_quantity) AS sum_qty",
+    ),
+    # money: exact decimal sum, cast back to double on both sides
+    lambda: (
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+        " AS sum_price",
+    ),
+    lambda: (F.min("l_discount").alias("min_disc"), "MIN(l_discount) AS min_disc"),
+    lambda: (F.max("l_tax").alias("max_tax"), "MAX(l_tax) AS max_tax"),
+    lambda: (
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        "ROUND(AVG(l_quantity), 6) AS avg_qty",
+    ),
+    lambda: (
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        "COUNT(DISTINCT l_suppkey) AS nd_supp",
+    ),
+)
+
+_GROUP_COLS = ("l_returnflag", "l_linestatus")
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_filter_agg(spark, seed):
+    rng = random.Random(1000 + seed)
+    li = read_table(spark, SF_SMOKE, "lineitem")
+
+    pred_col, pred_sql = _random_predicate(rng)
+    group = sorted(rng.sample(_GROUP_COLS, rng.randint(0, 2)))
+    # always include cnt (index 0) so HAVING has a stable target
+    idx = [0] + rng.sample(range(1, len(_AGGS)), rng.randint(1, 3))
+    aggs = [_AGGS[i]() for i in idx]
+    having = rng.randint(1, 20) if rng.random() < 0.4 and group else None
+
+    df = li.filter(pred_col(li))
+    if group:
+        df = df.groupBy(*group).agg(*[a[0] for a in aggs])
+    else:
+        df = df.agg(*[a[0] for a in aggs])
+    if having is not None:
+        df = df.filter(F.col("cnt") >= having)
+
+    select = ", ".join(group + [a[1] for a in aggs])
+    sql = f"SELECT {select} FROM lineitem WHERE {pred_sql}"
+    if group:
+        sql += f" GROUP BY {', '.join(group)}"
+    if having is not None:
+        sql += f" HAVING COUNT(*) >= {having}"
+
+    compare(df, sql, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# join family: customer ⋈ orders across join types
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_join_agg(spark, seed):
+    rng = random.Random(2000 + seed)
+    cust = read_table(spark, SF_SMOKE, "customer")
+    orders = read_table(spark, SF_SMOKE, "orders")
+
+    price_lo = rng.randint(1, 150) * 1000
+    o_filtered = orders.filter(orders["o_totalprice"] > float(price_lo))
+    o_sql = f"SELECT * FROM orders WHERE o_totalprice > {price_lo}"
+
+    join_type = rng.choice(["inner", "left", "left_semi", "left_anti"])
+    seg = rng.sample(_SEGMENTS, rng.randint(1, 3))
+    seg_sql = ", ".join(f"'{s}'" for s in sorted(seg))
+
+    c_filtered = cust.filter(cust["c_mktsegment"].isin(seg))
+    c_sql = f"SELECT * FROM customer WHERE c_mktsegment IN ({seg_sql})"
+
+    joined = c_filtered.join(
+        o_filtered, c_filtered["c_custkey"] == o_filtered["o_custkey"], join_type
+    )
+
+    if join_type in ("left_semi", "left_anti"):
+        df = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        op = "IN" if join_type == "left_semi" else "NOT IN"
+        sql = (
+            "SELECT c_mktsegment, COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal "
+            f"FROM ({c_sql}) c WHERE c.c_custkey {op} "
+            f"(SELECT o_custkey FROM ({o_sql}) o) GROUP BY c_mktsegment"
+        )
+    else:
+        # inner/left: count order rows per segment; in a LEFT join,
+        # unmatched customers contribute a row with NULL o_orderkey, so
+        # count the join-side key (NULL-skipping on both engines).
+        df = joined.groupBy("c_mktsegment").agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        jt_sql = "JOIN" if join_type == "inner" else "LEFT JOIN"
+        sql = (
+            "SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders, "
+            f"COUNT(*) AS n_rows FROM ({c_sql}) c {jt_sql} ({o_sql}) o "
+            "ON c.c_custkey = o.o_custkey GROUP BY c_mktsegment"
+        )
+
+    compare(df, sql, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# window family: top-k per group with unique tie-break
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_window_topk(spark, seed):
+    rng = random.Random(3000 + seed)
+    li = read_table(spark, SF_SMOKE, "lineitem")
+
+    k = rng.randint(1, 5)
+    part = sorted(rng.sample(_GROUP_COLS, rng.randint(1, 2)))
+    desc = rng.random() < 0.5
+    order_col = rng.choice(["l_extendedprice", "l_quantity"])
+
+    order = [
+        F.col(order_col).desc() if desc else F.col(order_col).asc(),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    ]
+    w = Window.partitionBy(*part).orderBy(*order)
+    df = (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*part, "l_orderkey", "l_linenumber", order_col, "rk")
+    )
+
+    dir_sql = "DESC" if desc else "ASC"
+    part_sql = ", ".join(part)
+    sel = f"{part_sql}, l_orderkey, l_linenumber, {order_col}"
+    sql = (
+        f"SELECT {sel}, rk FROM ("
+        f"SELECT {sel}, ROW_NUMBER() OVER (PARTITION BY {part_sql} "
+        f"ORDER BY {order_col} {dir_sql}, l_orderkey, l_linenumber) AS rk "
+        "FROM lineitem) WHERE rk <= "
+        f"{k}"
+    )
+
+    compare(df, sql, SF_SMOKE)
