@@ -30,6 +30,10 @@ from mare_spark.operators.dsir import (
     dsir_importance_weights,
     dsir_logratios,
 )
+from mare_spark.operators.export import (
+    export_training_shards,
+    verify_export,
+)
 from mare_spark.operators.scale import bucketed_table, join_bucketed, salted_join
 from mare_spark.operators.similarity import (
     ann_lsh_topk,
@@ -60,6 +64,8 @@ __all__ = [
     "epoch_shuffle",
     "dsir_logratios",
     "dsir_importance_weights",
+    "export_training_shards",
+    "verify_export",
     "salted_join",
     "bucketed_table",
     "join_bucketed",

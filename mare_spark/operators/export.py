@@ -1,0 +1,217 @@
+"""Training-shard export: the last mile between a cleaned corpus and a
+training job's data loader.
+
+``export_training_shards`` materializes a DataFrame as N deterministic,
+hash-assigned shards (one directory per shard, parquet or JSON-lines) and
+writes a manifest — per-shard row counts, token totals, and an
+order-insensitive id digest — computed FROM THE WRITTEN FILES, so the
+manifest certifies what landed on disk, not what the plan intended.
+``verify_export`` re-derives the same stats from the files later and diffs
+them against the manifest: a truncated copy, a lost shard, or a partial
+overwrite surfaces as a named shard mismatch instead of a silent
+short-count epoch.
+
+Scale shape (100 TB): one optional aggregate job to size the shard count
+from a token budget, then ONE hash exchange on the shard key followed by
+embarrassingly-parallel sorted writes — no global order, no driver data
+path. The manifest aggregate is a bounded ``n_shards``-row result; the id
+digest uses ``bit_xor`` over the 60-bit md5 prefix (order-insensitive and
+overflow-free, unlike a sum), the registry-wide 60-bit hash convention
+(`corpus.epoch_shuffle`).
+
+Determinism: shard membership is a pure function of the row key (same
+md5-prefix convention as `epoch_shuffle`/`train_val_split`), and rows are
+sorted by key within each shard — two exports of the same data are
+byte-comparable at the manifest level regardless of input partition
+layout. Pair with `corpus.epoch_shuffle` when the TRAINING ORDER should
+change per epoch; the export layout itself stays stable so epochs re-read
+the same files.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_manifest.json"
+
+_RESERVED = ("shard",)
+
+
+class ExportIntegrityError(RuntimeError):
+    """A shard's on-disk stats no longer match the export manifest."""
+
+
+def _shard_col(id_col: str, n_shards: int):
+    """Deterministic shard id from the 60-bit md5 prefix of the row key
+    (15 hex digits — wide enough that modulo bias is negligible at any
+    practical shard count; see epoch_shuffle's rationale)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+
+
+def _shard_stats(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """Bounded (n_shards rows) per-shard fingerprint: row count, token
+    total, and an order-insensitive 60-bit id digest."""
+    prefix = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return df.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col(token_col).cast("long")).alias("tokens"),
+        F.bit_xor(prefix).alias("id_xor"),
+    )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    token_col: str,
+    n_shards: int | None = None,
+    shard_token_budget: int | None = None,
+    keep_cols: tuple[str, ...] = (),
+    fmt: str = "parquet",
+) -> dict:
+    """Write ``df`` as hash-sharded training data plus a manifest.
+
+    Exactly one of ``n_shards`` / ``shard_token_budget`` sizes the layout;
+    with a budget, one aggregate job computes ``ceil(total_tokens /
+    budget)`` (hash assignment balances shards to ~budget tokens each by
+    the law of large numbers — no bin-packing pass, no global sort). Each
+    shard is a ``shard=K`` directory holding ONE file (the write is
+    repartitioned on the shard key), rows sorted by ``id_col``.
+
+    Returns the manifest dict, also written to ``<path>/_manifest.json``
+    AFTER the data write commits — manifest presence is the export's
+    completion marker (the ``_SUCCESS``-with-checksums pattern).
+    """
+    if (n_shards is None) == (shard_token_budget is None):
+        raise ValueError(
+            "pass exactly one of n_shards / shard_token_budget"
+        )
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
+    clash = set(_RESERVED).intersection({id_col, token_col, *keep_cols})
+    if clash:
+        raise ValueError(
+            f"column names clash with export output columns: "
+            f"{sorted(clash)} (reserved: {list(_RESERVED)})"
+        )
+    # refuse remote URIs BEFORE the write: the manifest side walks the
+    # local filesystem (same contract as the maintenance ops)
+    spark_path, manifest_local = _manifest_path(path)
+
+    cols = [id_col, token_col, *keep_cols]
+    slim = df.select(*cols)
+
+    if shard_token_budget is not None:
+        if shard_token_budget < 1:
+            raise ValueError("shard_token_budget must be >= 1")
+        total = slim.agg(
+            F.sum(F.col(token_col).cast("long")).alias("t")
+        ).collect()[0]["t"]
+        total = int(total or 0)
+        n_shards = max(1, math.ceil(total / shard_token_budget))
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+
+    sharded = slim.withColumn("shard", _shard_col(id_col, n_shards))
+    writer = (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if fmt == "parquet":
+        writer.parquet(spark_path)
+    else:
+        writer.json(spark_path)
+
+    # fingerprint what actually landed, not the plan that produced it
+    spark = df.sparkSession
+    written = _read_shards(spark, spark_path, fmt)
+    stats = (
+        _shard_stats(written, id_col, token_col)
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "format": fmt,
+        "id_col": id_col,
+        "token_col": token_col,
+        "n_shards": n_shards,
+        "total_rows": sum(r["rows"] for r in stats),
+        "total_tokens": sum(r["tokens"] for r in stats),
+        "shards": [
+            {
+                "shard": r["shard"],
+                "rows": r["rows"],
+                "tokens": r["tokens"],
+                "id_xor": r["id_xor"],
+            }
+            for r in stats
+        ],
+    }
+    with open(manifest_local, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def _manifest_path(path: str) -> tuple[str, str]:
+    from mare_spark.operators.scale import _require_local_path
+
+    spark_path, local = _require_local_path(path, "export_training_shards")
+    return spark_path, os.path.join(local, MANIFEST_NAME)
+
+
+def _read_shards(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    reader = spark.read.format(fmt)
+    if fmt == "json":
+        # JSON-lines carries no schema; shard comes from the dir name
+        reader = reader.option("inferSchema", "true")
+    return reader.option("basePath", path).load(path)
+
+
+def verify_export(spark: SparkSession, path: str) -> dict:
+    """Re-derive per-shard stats from the files and diff against the
+    manifest. Returns the manifest on success; raises
+    :class:`ExportIntegrityError` naming every mismatched or missing
+    shard otherwise. One bounded aggregate job — cheap enough to run at
+    the top of every training epoch."""
+    spark_path, manifest_file = _manifest_path(path)
+    if not os.path.exists(manifest_file):
+        raise ExportIntegrityError(
+            f"no {MANIFEST_NAME} under {path!r} — export incomplete or "
+            "not an export directory"
+        )
+    with open(manifest_file, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+
+    written = _read_shards(spark, spark_path, manifest["format"])
+    got = {
+        r["shard"]: (r["rows"], r["tokens"], r["id_xor"])
+        for r in _shard_stats(
+            written, manifest["id_col"], manifest["token_col"]
+        ).collect()
+    }
+    bad = []
+    for s in manifest["shards"]:
+        want = (s["rows"], s["tokens"], s["id_xor"])
+        if got.pop(s["shard"], None) != want:
+            bad.append(s["shard"])
+    bad.extend(got)  # shards on disk but not in the manifest
+    if bad:
+        raise ExportIntegrityError(
+            f"shard stats diverge from manifest for shards "
+            f"{sorted(bad)} under {path!r}"
+        )
+    return manifest

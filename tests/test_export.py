@@ -1,0 +1,153 @@
+"""export_training_shards / verify_export: layout determinism, manifest
+integrity, budget sizing, and the corruption-detection contract."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mare_spark.operators.export import (
+    ExportIntegrityError,
+    export_training_shards,
+    verify_export,
+)
+from mare_spark.tables import read_table
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return read_table(spark, SF_SMOKE, "documents")
+
+
+def test_roundtrip_all_rows_one_file_per_shard(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "shards")
+    man = export_training_shards(
+        docs, out, id_col="doc_id", token_col="n_chars",
+        n_shards=8, keep_cols=("text", "lang"),
+    )
+    assert man["n_shards"] == 8
+    assert man["total_rows"] == docs.count()
+    assert man["total_tokens"] == docs.agg(F.sum("n_chars")).collect()[0][0]
+
+    back = spark.read.option("basePath", out).parquet(out)
+    assert back.count() == man["total_rows"]
+    assert sorted(back.columns) == ["doc_id", "lang", "n_chars", "shard", "text"]
+    # no doc lost or duplicated
+    assert (
+        back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+    )
+    assert (
+        docs.select("doc_id").exceptAll(back.select("doc_id")).count() == 0
+    )
+    # one data file per shard directory
+    for sd in glob.glob(os.path.join(out, "shard=*")):
+        files = [f for f in os.listdir(sd) if f.endswith(".parquet")]
+        assert len(files) == 1, sd
+
+
+def test_manifest_layout_independent(spark, tmp_path):
+    docs = _docs(spark)
+    a = export_training_shards(
+        docs.repartition(1), str(tmp_path / "a"),
+        id_col="doc_id", token_col="n_chars", n_shards=6,
+    )
+    b = export_training_shards(
+        docs.repartition(7), str(tmp_path / "b"),
+        id_col="doc_id", token_col="n_chars", n_shards=6,
+    )
+    assert a == b  # shard membership + digests are layout-pure
+
+
+def test_budget_sizes_shard_count(spark, tmp_path):
+    docs = _docs(spark)
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    budget = total // 5
+    man = export_training_shards(
+        docs, str(tmp_path / "s"), id_col="doc_id",
+        token_col="n_chars", shard_token_budget=budget,
+    )
+    assert man["n_shards"] == -(-total // budget)
+    assert man["total_tokens"] == total
+    # hash balance: every shard within 3x of the mean at fixture scale
+    mean = total / man["n_shards"]
+    for s in man["shards"]:
+        assert s["tokens"] < 3 * mean
+
+
+def test_verify_detects_lost_shard(spark, tmp_path):
+    out = str(tmp_path / "s")
+    export_training_shards(
+        _docs(spark), out, id_col="doc_id", token_col="n_chars", n_shards=5,
+    )
+    assert verify_export(spark, out)["n_shards"] == 5
+
+    # lose one shard's data file
+    victim = glob.glob(os.path.join(out, "shard=2", "*.parquet"))[0]
+    os.remove(victim)
+    with pytest.raises(ExportIntegrityError, match=r"\[2\]"):
+        verify_export(spark, out)
+
+
+def test_verify_detects_manifest_tamper(spark, tmp_path):
+    out = str(tmp_path / "s")
+    export_training_shards(
+        _docs(spark), out, id_col="doc_id", token_col="n_chars", n_shards=3,
+    )
+    mf = os.path.join(out, "_manifest.json")
+    man = json.load(open(mf))
+    man["shards"][0]["rows"] += 1
+    json.dump(man, open(mf, "w"))
+    with pytest.raises(ExportIntegrityError):
+        verify_export(spark, out)
+
+
+def test_verify_requires_manifest(spark, tmp_path):
+    with pytest.raises(ExportIntegrityError, match="export incomplete"):
+        verify_export(spark, str(tmp_path))
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    docs = _docs(spark).select("doc_id", "n_chars", "lang")
+    out = str(tmp_path / "j")
+    man = export_training_shards(
+        docs, out, id_col="doc_id", token_col="n_chars",
+        n_shards=4, keep_cols=("lang",), fmt="json",
+    )
+    assert man["format"] == "json"
+    assert verify_export(spark, out)["total_rows"] == docs.count()
+    back = spark.read.option("basePath", out).json(out)
+    assert back.count() == docs.count()
+
+
+def test_argument_contract(spark, tmp_path):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        export_training_shards(
+            docs, str(tmp_path / "x"), id_col="doc_id", token_col="n_chars",
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        export_training_shards(
+            docs, str(tmp_path / "x"), id_col="doc_id", token_col="n_chars",
+            n_shards=2, shard_token_budget=10,
+        )
+    with pytest.raises(ValueError, match="clash"):
+        export_training_shards(
+            docs.withColumnRenamed("lang", "shard"), str(tmp_path / "x"),
+            id_col="doc_id", token_col="n_chars", n_shards=2,
+            keep_cols=("shard",),
+        )
+    with pytest.raises(ValueError, match="fmt"):
+        export_training_shards(
+            docs, str(tmp_path / "x"), id_col="doc_id", token_col="n_chars",
+            n_shards=2, fmt="csv",
+        )
+    with pytest.raises(ValueError, match="local filesystem"):
+        export_training_shards(
+            docs, "s3a://bucket/x", id_col="doc_id", token_col="n_chars",
+            n_shards=2,
+        )
