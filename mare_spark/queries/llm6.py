@@ -125,3 +125,65 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return epoch_shuffle(docs, "doc_id", n_shards=_N_SHARDS, epoch=0)
+
+
+@register(
+    "corpus_export_shards",
+    category="llm",
+    oracle=f"""
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+           CAST(bit_xor(prefix) AS BIGINT) AS id_xor
+    FROM (
+      SELECT n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS prefix,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_N_SHARDS} AS shard
+      FROM documents
+    )
+    GROUP BY shard
+    """,
+)
+def corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export executed FOR REAL and hash-checked: the
+    documents table is exported through
+    ``operators.export.export_training_shards`` to a scratch directory
+    (8 hash shards, one file each, manifest fingerprinting the written
+    files), ``verify_export`` re-derives the stats from disk, and the
+    MANIFEST is returned as the result. The oracle computes the expected
+    per-shard (rows, token total, bit_xor id digest) straight from the
+    sharding algebra — it never sees the files — so a lost row, a
+    misassigned shard, or a digest drift between the written data and
+    the manifest all hash-fail.
+
+    Scale: one hash exchange on the 60-bit-md5 shard key + parallel
+    sorted writes; the manifest aggregate is a bounded n_shards-row
+    result (SCALE.md, export module docstring)."""
+    import shutil
+    import tempfile
+
+    from mare_spark.operators.export import (
+        export_training_shards,
+        verify_export,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="mare_export_q_")
+    try:
+        out = f"{scratch}/shards"
+        export_training_shards(
+            docs, out, id_col="doc_id", token_col="n_chars",
+            n_shards=_N_SHARDS, keep_cols=("lang",),
+        )
+        manifest = verify_export(spark, out)  # files still on disk here
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    rows = [
+        (s["shard"], s["rows"], s["tokens"], s["id_xor"])
+        for s in manifest["shards"]
+    ]
+    return spark.createDataFrame(
+        rows, "shard int, n_rows long, n_tokens long, id_xor long"
+    )

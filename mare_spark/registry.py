@@ -111,13 +111,16 @@ def register(
 #      embedding_pca_variance, text_bigram_logprob, sim_hard_negatives,
 #      dedup_split_leakage, maintenance_merge_report, text_nfc_report —
 #      check-before-register), q_except_all by the r6-touched
-#      corpus_train_val_split.
-# The 21 r3-stale rows left over (sample_apply_mixture,
+#      corpus_train_val_split, and embedding_norm_stats by the 11th r6
+#      registration corpus_export_shards (the export family's
+#      hash-checked row — it exercises the real write path).
+# The 22 r3-stale rows left over (sample_apply_mixture,
 # corpus_vocab_stats, corpus_lang_confusion, q_join_left_outer,
 # q_join_range_band, q_having, q_pivot, q_intersect_all, q_except_all,
-# q_sql_returned_items, q_subquery_above_avg, q14, q7, q11, q15, q19,
-# q22, q8, events_tumbling/sliding/session_window) head the r7
-# rotation, followed by the 45 r4-stale rows in registration order.
+# q_sql_returned_items, q_subquery_above_avg, embedding_norm_stats,
+# q14, q7, q11, q15, q19, q22, q8,
+# events_tumbling/sliding/session_window) head the r7 rotation,
+# followed by the 45 r4-stale rows in registration order.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 1. round-6-touched operator paths --
     "corpus_epoch_shuffle", "corpus_bpe_segment_report",
@@ -129,6 +132,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_pca_variance", "text_bigram_logprob",
     "sim_hard_negatives", "dedup_split_leakage",
     "maintenance_merge_report", "text_nfc_report",
+    "corpus_export_shards",
     # -- 3. anchors --
     "q1_pricing_summary", "q5_local_supplier_volume", "pipeline_clean_corpus",
     # -- 4. all 19 round-2-stale rows (registration order) --
@@ -146,7 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_mix_report", "text_unigram_logprob", "dedup_semantic",
     "sample_temperature_rates", "corpus_ngram_heavy_hitters",
     "text_tfidf_keywords", "corpus_length_histogram",
-    "cross_source_contamination", "embedding_norm_stats",
+    "cross_source_contamination",
     "events_sessionize",
     # -- 6. the rest of the corpus follows in registration order --
 )
