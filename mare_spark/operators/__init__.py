@@ -32,6 +32,7 @@ from mare_spark.operators.dsir import (
 )
 from mare_spark.operators.export import (
     export_training_shards,
+    refresh_training_shards,
     verify_export,
 )
 from mare_spark.operators.scale import bucketed_table, join_bucketed, salted_join
@@ -65,6 +66,7 @@ __all__ = [
     "dsir_logratios",
     "dsir_importance_weights",
     "export_training_shards",
+    "refresh_training_shards",
     "verify_export",
     "salted_join",
     "bucketed_table",

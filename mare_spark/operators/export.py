@@ -166,6 +166,116 @@ def export_training_shards(
     return manifest
 
 
+def refresh_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    keep_cols: tuple[str, ...] = (),
+) -> tuple[dict, list[int]]:
+    """Incremental re-export: rewrite ONLY the shards whose content
+    changed since the manifest at ``path`` was written.
+
+    The daily-refresh shape at 100 TB: a crawl snapshot replaces a small
+    slice of the corpus, but shard membership is a pure function of the
+    row key — so most shards are byte-for-byte what the last export
+    produced. One bounded aggregate computes the NEW per-shard
+    fingerprints from ``df``; shards whose (rows, tokens, id_xor) match
+    the manifest are never read, never shuffled, and never rewritten.
+    Changed shards are rewritten through Spark's dynamic partition
+    overwrite (only ``shard=K`` dirs with new data are replaced); a
+    shard that lost all its rows is deleted explicitly (dynamic
+    overwrite can't express "now empty").
+
+    Returns ``(new_manifest, changed_shard_ids)``. With nothing changed
+    this is a single aggregate job and zero writes — cheap enough to run
+    unconditionally after every upstream corpus update.
+
+    Layout/schema are taken from the manifest (``n_shards``, ``fmt``,
+    id/token columns); pass the same ``keep_cols`` as the original
+    export — the rewrite writes exactly those columns.
+    """
+    spark = df.sparkSession
+    spark_path, manifest_local = _manifest_path(path)
+    if not os.path.exists(manifest_local):
+        raise ExportIntegrityError(
+            f"no {MANIFEST_NAME} under {path!r} — refresh requires a "
+            "completed export_training_shards run"
+        )
+    with open(manifest_local, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    id_col, token_col = manifest["id_col"], manifest["token_col"]
+    n_shards, fmt = manifest["n_shards"], manifest["format"]
+
+    slim = df.select(id_col, token_col, *keep_cols)
+    sharded = slim.withColumn("shard", _shard_col(id_col, n_shards))
+    sharded.persist()
+    try:
+        new_stats = {
+            r["shard"]: (r["rows"], r["tokens"], r["id_xor"])
+            for r in _shard_stats(sharded, id_col, token_col).collect()
+        }
+        old_stats = {
+            s["shard"]: (s["rows"], s["tokens"], s["id_xor"])
+            for s in manifest["shards"]
+        }
+        changed = sorted(
+            k
+            for k in set(new_stats) | set(old_stats)
+            if new_stats.get(k) != old_stats.get(k)
+        )
+        if changed:
+            to_write = sharded.filter(F.col("shard").isin(changed))
+            writer = (
+                to_write.repartition(len(changed), "shard")
+                .sortWithinPartitions("shard", id_col)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("shard")
+            )
+            if fmt == "parquet":
+                writer.parquet(spark_path)
+            else:
+                writer.json(spark_path)
+            # shards that vanished entirely: dynamic overwrite wrote no
+            # replacement dir, so drop the stale one
+            local_root = manifest_local[: -len(MANIFEST_NAME)]
+            for k in changed:
+                if k not in new_stats:
+                    import shutil
+
+                    shutil.rmtree(
+                        os.path.join(local_root, f"shard={k}"),
+                        ignore_errors=True,
+                    )
+            # the manifest certifies DISK, not the plan: re-fingerprint
+            # the rewritten shards from their files (bounded aggregate
+            # over the changed slice only)
+            rewritten = {k for k in changed if k in new_stats}
+            if rewritten:
+                disk = _read_shards(spark, spark_path, fmt).filter(
+                    F.col("shard").isin(sorted(rewritten))
+                )
+                for r in _shard_stats(disk, id_col, token_col).collect():
+                    new_stats[r["shard"]] = (
+                        r["rows"], r["tokens"], r["id_xor"],
+                    )
+    finally:
+        sharded.unpersist()
+
+    manifest = dict(
+        manifest,
+        total_rows=sum(v[0] for v in new_stats.values()),
+        total_tokens=sum(v[1] for v in new_stats.values()),
+        shards=[
+            {"shard": k, "rows": v[0], "tokens": v[1], "id_xor": v[2]}
+            for k, v in sorted(new_stats.items())
+        ],
+    )
+    with open(manifest_local, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest, changed
+
+
 def _manifest_path(path: str) -> tuple[str, str]:
     from mare_spark.operators.scale import _require_local_path
 

@@ -151,3 +151,100 @@ def test_argument_contract(spark, tmp_path):
             docs, "s3a://bucket/x", id_col="doc_id", token_col="n_chars",
             n_shards=2,
         )
+
+
+# -- incremental refresh ----------------------------------------------------
+
+
+def _file_bytes(out):
+    """{shard_dir_basename: concatenated file bytes} for change detection."""
+    result = {}
+    for sd in sorted(glob.glob(os.path.join(out, "shard=*"))):
+        blobs = []
+        for f in sorted(os.listdir(sd)):
+            if not f.startswith(("_", ".")):
+                blobs.append(open(os.path.join(sd, f), "rb").read())
+        result[os.path.basename(sd)] = b"".join(blobs)
+    return result
+
+
+def test_refresh_rewrites_only_dirty_shards(spark, tmp_path):
+    from mare_spark.operators.export import refresh_training_shards
+
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    export_training_shards(
+        docs, out, id_col="doc_id", token_col="n_chars",
+        n_shards=6, keep_cols=("lang",),
+    )
+    before = _file_bytes(out)
+
+    # mutate exactly one document's token count → exactly one dirty shard
+    victim = docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0][0]
+    updated = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == victim, F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    man, changed = refresh_training_shards(updated, out, keep_cols=("lang",))
+    assert len(changed) == 1
+
+    after = _file_bytes(out)
+    assert set(before) == set(after)
+    for name, blob in after.items():
+        if name == f"shard={changed[0]}":
+            assert blob != before[name]
+        else:
+            assert blob == before[name], f"{name} rewritten but clean"
+
+    # refreshed tree passes integrity + matches a from-scratch export
+    verify_export(spark, out)
+    fresh = export_training_shards(
+        updated, str(tmp_path / "fresh"), id_col="doc_id",
+        token_col="n_chars", n_shards=6, keep_cols=("lang",),
+    )
+    assert man == fresh
+
+
+def test_refresh_noop_is_zero_write(spark, tmp_path):
+    from mare_spark.operators.export import refresh_training_shards
+
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    export_training_shards(
+        docs, out, id_col="doc_id", token_col="n_chars", n_shards=4,
+    )
+    before = _file_bytes(out)
+    man, changed = refresh_training_shards(docs, out)
+    assert changed == []
+    assert _file_bytes(out) == before
+    verify_export(spark, out)
+
+
+def test_refresh_deletes_emptied_shard(spark, tmp_path):
+    from mare_spark.operators.export import refresh_training_shards
+
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    man0 = export_training_shards(
+        docs, out, id_col="doc_id", token_col="n_chars", n_shards=4,
+    )
+    # drop every doc of one shard: recompute membership exactly as the
+    # exporter does, via a doc_id list from the manifest-era layout
+    back = spark.read.option("basePath", out).parquet(out)
+    gone = [r[0] for r in back.filter(F.col("shard") == 1).select("doc_id").collect()]
+    remaining = docs.filter(~F.col("doc_id").isin(gone))
+    man, changed = refresh_training_shards(remaining, out)
+    assert 1 in changed
+    assert not os.path.exists(os.path.join(out, "shard=1"))
+    assert all(s["shard"] != 1 for s in man["shards"])
+    verify_export(spark, out)
+    assert man["total_rows"] == man0["total_rows"] - len(gone)
+
+
+def test_refresh_requires_manifest(spark, tmp_path):
+    from mare_spark.operators.export import refresh_training_shards
+
+    with pytest.raises(ExportIntegrityError, match="refresh requires"):
+        refresh_training_shards(_docs(spark), str(tmp_path))
