@@ -35,6 +35,7 @@ from mare_spark.operators.export import (
     refresh_training_shards,
     verify_export,
 )
+from mare_spark.operators.timeseries import gapfill_locf
 from mare_spark.operators.scale import bucketed_table, join_bucketed, salted_join
 from mare_spark.operators.similarity import (
     ann_lsh_topk,
@@ -68,6 +69,7 @@ __all__ = [
     "export_training_shards",
     "refresh_training_shards",
     "verify_export",
+    "gapfill_locf",
     "salted_join",
     "bucketed_table",
     "join_bucketed",

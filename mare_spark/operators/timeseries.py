@@ -1,0 +1,110 @@
+"""Time-series regularization: time-bucket gap-fill with
+last-observation-carried-forward (LOCF).
+
+The hypertable-family op (TimescaleDB's ``time_bucket_gapfill`` +
+``locf``, InfluxDB's ``fill(previous)``) the relational surface can't
+express in one call: put every key's event stream onto a fixed time
+grid, carrying the last observed value across empty buckets — the input
+shape every downstream window/as-of/feature pipeline wants.
+
+Plan shape (the scale decision): NO dense-grid join. The naive plan
+materializes key × full-grid rows and left-joins observations into it —
+two shuffles and a row count that explodes with the time span. Instead:
+
+1. one window per ``(key, bucket)`` picks the bucket's last observation
+   (``row_number`` with a total-order tie-break);
+2. ``lead(bucket)`` over the key finds each observation's next observed
+   bucket;
+3. a scan-side ``explode(sequence(bucket, next-1))`` emits exactly the
+   grid rows each observation covers, already carrying its value.
+
+Steps 1-2 share ONE hash exchange on the key (same partitioning, Spark
+reuses it); step 3 is whole-stage-codegen expression work — so the whole
+op is one shuffle, and the output is produced pre-partitioned by key for
+whatever window comes next. Longest-gap skew bounds a single row's
+explode width (span/bucket in the worst case of a key observed once);
+keys are independent, so task skew follows the per-key event counts, not
+the grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gapfill_locf(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Regularize ``df`` onto a ``bucket_seconds`` grid per ``key_col``,
+    forward-filling ``value_col`` across empty buckets.
+
+    Output: ``(key_col, bucket_ts, value_col, is_observed)`` — one row
+    per grid bucket from each key's first observed bucket through its
+    last (no leading nulls by construction: the grid starts where the
+    data does). ``is_observed`` is False on carried-forward rows.
+
+    Within a bucket the LAST observation wins, ordered by ``ts_col``
+    then ``tiebreak_cols`` — pass a unique column (event id) to make the
+    result deterministic under ties, the registry-wide convention.
+    """
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    reserved = {"bucket_ts", "is_observed", "_bucket", "_rn", "_next"}
+    clash = reserved.intersection({ts_col, key_col, value_col, *tiebreak_cols})
+    if clash:
+        raise ValueError(
+            f"column names clash with gapfill output columns: "
+            f"{sorted(clash)} (reserved: {sorted(reserved)})"
+        )
+
+    step_us = int(bucket_seconds) * 1_000_000
+    # integer-exact floor division on int64 micros (a `/`+cast would
+    # truncate toward zero, smearing pre-epoch buckets by one). NTZ
+    # columns cast through the session TZ — pinned UTC engine-wide, so
+    # the epoch value is exact and engine-identical.
+    us = f"unix_micros(cast({ts_col} as timestamp))"
+    bucket = F.expr(
+        f"floor({us} div {step_us}) "
+        f"+ CASE WHEN {us} % {step_us} < 0 THEN -1 ELSE 0 END"
+    ).cast("long")
+
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w_last = Window.partitionBy(key_col, "_bucket").orderBy(*order)
+    w_key = Window.partitionBy(key_col).orderBy("_bucket")
+
+    observed = (
+        df.select(key_col, ts_col, value_col, *tiebreak_cols)
+        .withColumn("_bucket", bucket)
+        .withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select(key_col, "_bucket", value_col)
+    )
+    filled = (
+        observed.withColumn("_next", F.lead("_bucket").over(w_key))
+        .select(
+            key_col,
+            value_col,
+            F.col("_bucket").alias("_obs_bucket"),
+            F.explode(
+                F.sequence(
+                    F.col("_bucket"),
+                    F.coalesce(F.col("_next") - 1, F.col("_bucket")),
+                )
+            ).alias("_grid"),
+        )
+    )
+    return filled.select(
+        key_col,
+        F.timestamp_micros(F.col("_grid") * step_us)
+        .cast("timestamp_ntz")
+        .alias("bucket_ts"),
+        value_col,
+        (F.col("_grid") == F.col("_obs_bucket")).alias("is_observed"),
+    )

@@ -22,4 +22,5 @@ from mare_spark.queries import (  # noqa: F401
     relational3,
     relational4,
     streaming_batch,
+    timeseries,
 )

@@ -111,14 +111,16 @@ def register(
 #      embedding_pca_variance, text_bigram_logprob, sim_hard_negatives,
 #      dedup_split_leakage, maintenance_merge_report, text_nfc_report —
 #      check-before-register), q_except_all by the r6-touched
-#      corpus_train_val_split, and embedding_norm_stats by the 11th r6
+#      corpus_train_val_split, embedding_norm_stats by the 11th r6
 #      registration corpus_export_shards (the export family's
-#      hash-checked row — it exercises the real write path).
-# The 22 r3-stale rows left over (sample_apply_mixture,
+#      hash-checked row — it exercises the real write path), and
+#      text_rolling_fingerprint by the 12th, events_gapfill_locf
+#      (time-bucket LOCF gap-fill — the new time-series family row).
+# The 23 r3-stale rows left over (sample_apply_mixture,
 # corpus_vocab_stats, corpus_lang_confusion, q_join_left_outer,
 # q_join_range_band, q_having, q_pivot, q_intersect_all, q_except_all,
 # q_sql_returned_items, q_subquery_above_avg, embedding_norm_stats,
-# q14, q7, q11, q15, q19, q22, q8,
+# text_rolling_fingerprint, q14, q7, q11, q15, q19, q22, q8,
 # events_tumbling/sliding/session_window) head the r7 rotation,
 # followed by the 45 r4-stale rows in registration order.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -132,7 +134,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_pca_variance", "text_bigram_logprob",
     "sim_hard_negatives", "dedup_split_leakage",
     "maintenance_merge_report", "text_nfc_report",
-    "corpus_export_shards",
+    "corpus_export_shards", "events_gapfill_locf",
     # -- 3. anchors --
     "q1_pricing_summary", "q5_local_supplier_volume", "pipeline_clean_corpus",
     # -- 4. all 19 round-2-stale rows (registration order) --
@@ -146,7 +148,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q20_promo_volume_suppliers", "q21_sole_returning_supplier",
     # -- 5. round-3-stale rows (registration order; events_sessionize
     #       swapped in for q14 — see rotation note above) --
-    "text_rolling_fingerprint", "pipeline_clean_corpus_semantic",
+    "pipeline_clean_corpus_semantic",
     "corpus_mix_report", "text_unigram_logprob", "dedup_semantic",
     "sample_temperature_rates", "corpus_ngram_heavy_hitters",
     "text_tfidf_keywords", "corpus_length_histogram",

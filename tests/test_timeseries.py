@@ -1,0 +1,94 @@
+"""gapfill_locf unit tests: hand-built expected grids, tie-break
+determinism, layout independence, argument contract. (The DuckDB
+differential runs in test_queries_oracle via events_gapfill_locf.)"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from mare_spark.operators.timeseries import gapfill_locf
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts timestamp_ntz, k string, v double, id long"
+    )
+
+
+def _call(df, bucket=60):
+    return gapfill_locf(
+        df, ts_col="ts", key_col="k", value_col="v",
+        bucket_seconds=bucket, tiebreak_cols=("id",),
+    )
+
+
+def test_fills_gaps_with_last_value(spark):
+    t = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (t.replace(minute=0), "a", 1.0, 1),
+        (t.replace(minute=1), "a", 5.0, 2),   # same 2-min bucket as id=1
+        (t.replace(minute=10), "a", 9.0, 3),  # buckets 1..4 empty
+    ]
+    out = _call(_frame(spark, rows), bucket=120).orderBy("bucket_ts").collect()
+    # bucket 0 holds two events → later ts (minute 1) wins
+    assert [
+        (r["bucket_ts"].minute, r["v"], r["is_observed"]) for r in out
+    ] == [
+        (0, 5.0, True), (2, 5.0, False), (4, 5.0, False), (6, 5.0, False),
+        (8, 5.0, False), (10, 9.0, True),
+    ]
+
+
+def test_tiebreak_on_equal_ts(spark):
+    t = datetime(2024, 1, 1)
+    rows = [(t, "a", 1.0, 1), (t, "a", 2.0, 2)]  # identical ts
+    out = _call(_frame(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["v"] == 2.0  # higher id wins
+
+
+def test_keys_are_independent(spark):
+    t = datetime(2024, 1, 1)
+    rows = [
+        (t.replace(minute=0), "a", 1.0, 1),
+        (t.replace(minute=2), "a", 2.0, 2),
+        (t.replace(minute=1), "b", 7.0, 3),  # b starts at ITS first bucket
+    ]
+    out = _call(_frame(spark, rows))
+    a = out.filter("k = 'a'").count()
+    b = out.filter("k = 'b'").count()
+    assert (a, b) == (3, 1)
+    # no cross-key leakage of values
+    assert out.filter("k = 'b'").collect()[0]["v"] == 7.0
+
+
+def test_single_observation_key(spark):
+    rows = [(datetime(2024, 1, 1), "a", 3.0, 1)]
+    out = _call(_frame(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["is_observed"]
+
+
+def test_layout_independent(spark):
+    t = datetime(2024, 1, 1)
+    rows = [
+        (t.replace(minute=m), k, float(m + i), m * 10 + i)
+        for m in range(0, 30, 7)
+        for i, k in enumerate(["a", "b", "c"])
+    ]
+    df = _frame(spark, rows)
+    one = sorted(map(tuple, _call(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, _call(df.repartition(5)).collect()))
+    assert one == many
+
+
+def test_argument_contract(spark):
+    df = _frame(spark, [(datetime(2024, 1, 1), "a", 1.0, 1)])
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        _call(df, bucket=0)
+    with pytest.raises(ValueError, match="clash"):
+        gapfill_locf(
+            df.withColumnRenamed("v", "bucket_ts"), ts_col="ts",
+            key_col="k", value_col="bucket_ts", bucket_seconds=60,
+        )
