@@ -291,3 +291,85 @@ def test_fuzz_window_topk(spark, seed):
     )
 
     compare(df, sql, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# grouping-extension family: ROLLUP / CUBE over random aggregate sets
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_rollup_cube(spark, seed):
+    rng = random.Random(4000 + seed)
+    li = read_table(spark, SF_SMOKE, "lineitem")
+
+    pred_col, pred_sql = _random_predicate(rng)
+    idx = [0] + rng.sample(range(1, len(_AGGS)), rng.randint(1, 2))
+    aggs = [_AGGS[i]() for i in idx]
+    mode = rng.choice(["rollup", "cube"])
+
+    filtered = li.filter(pred_col(li))
+    grouped = (
+        filtered.rollup(*_GROUP_COLS)
+        if mode == "rollup"
+        else filtered.cube(*_GROUP_COLS)
+    )
+    df = grouped.agg(*[a[0] for a in aggs])
+
+    select = ", ".join(list(_GROUP_COLS) + [a[1] for a in aggs])
+    sql = (
+        f"SELECT {select} FROM lineitem WHERE {pred_sql} "
+        f"GROUP BY {mode.upper()} ({', '.join(_GROUP_COLS)})"
+    )
+    compare(df, sql, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# set-op family: UNION/INTERSECT/EXCEPT (+ALL) of two random projections
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_set_ops(spark, seed):
+    rng = random.Random(5000 + seed)
+    li = read_table(spark, SF_SMOKE, "lineitem")
+
+    (pa, sa), (pb, sb) = _random_predicate(rng), _random_predicate(rng)
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag"]
+    a = li.filter(pa(li)).select(*cols)
+    b = li.filter(pb(li)).select(*cols)
+
+    op = rng.choice(
+        ["union_all", "union", "intersect", "intersect_all",
+         "except", "except_all"]
+    )
+    spark_ops = {
+        "union_all": a.unionAll,
+        "union": lambda o: a.union(o).distinct(),
+        "intersect": a.intersect,
+        "intersect_all": a.intersectAll,
+        "except": a.subtract,
+        "except_all": a.exceptAll,
+    }
+    sql_ops = {
+        "union_all": "UNION ALL",
+        "union": "UNION",
+        "intersect": "INTERSECT",
+        "intersect_all": "INTERSECT ALL",
+        "except": "EXCEPT",
+        "except_all": "EXCEPT ALL",
+    }
+    combined = spark_ops[op](b)
+    # reduce to a deterministic small result set for exact compare
+    df = combined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_orderkey").alias("key_sum"),
+    )
+    sel = ", ".join(cols)
+    sql = (
+        "SELECT l_returnflag, COUNT(*) AS cnt, "
+        "CAST(SUM(l_orderkey) AS BIGINT) AS key_sum "
+        f"FROM (SELECT {sel} FROM lineitem WHERE {sa} {sql_ops[op]} "
+        f"SELECT {sel} FROM lineitem WHERE {sb}) GROUP BY l_returnflag"
+    )
+    compare(df, sql, SF_SMOKE)
