@@ -41,6 +41,7 @@ def gapfill_locf(
     value_col: str,
     bucket_seconds: int,
     tiebreak_cols: tuple[str, ...] = (),
+    mode: str = "locf",
 ) -> DataFrame:
     """Regularize ``df`` onto a ``bucket_seconds`` grid per ``key_col``,
     forward-filling ``value_col`` across empty buckets.
@@ -53,10 +54,23 @@ def gapfill_locf(
     Within a bucket the LAST observation wins, ordered by ``ts_col``
     then ``tiebreak_cols`` — pass a unique column (event id) to make the
     result deterministic under ties, the registry-wide convention.
+
+    ``mode="locf"`` carries the last value flat; ``mode="interpolate"``
+    fills each gap linearly between the surrounding observations'
+    values (TimescaleDB's ``interpolate``) — trailing buckets past a
+    key's final observation don't exist in either mode, so
+    interpolation always has both endpoints. Same plan either way: the
+    interpolated value is scan-side arithmetic over columns the explode
+    already carries.
     """
     if bucket_seconds < 1:
         raise ValueError("bucket_seconds must be >= 1")
-    reserved = {"bucket_ts", "is_observed", "_bucket", "_rn", "_next"}
+    if mode not in ("locf", "interpolate"):
+        raise ValueError(f"mode must be 'locf' or 'interpolate', got {mode!r}")
+    reserved = {
+        "bucket_ts", "is_observed", "_bucket", "_rn", "_next",
+        "_next_val", "_obs_bucket", "_grid",
+    }
     clash = reserved.intersection({ts_col, key_col, value_col, *tiebreak_cols})
     if clash:
         raise ValueError(
@@ -86,11 +100,31 @@ def gapfill_locf(
         .filter(F.col("_rn") == 1)
         .select(key_col, "_bucket", value_col)
     )
+    if mode == "locf":
+        value = F.col(value_col)
+    else:
+        # linear interpolation toward the NEXT observation's value; the
+        # expression is written identically in the DuckDB differential
+        # (same IEEE op order → bit-identical doubles cross-engine)
+        frac = (F.col("_grid") - F.col("_obs_bucket")).cast("double") / (
+            F.col("_next") - F.col("_obs_bucket")
+        ).cast("double")
+        value = F.when(
+            F.col("_next").isNull() | (F.col("_grid") == F.col("_obs_bucket")),
+            F.col(value_col),
+        ).otherwise(
+            F.col(value_col)
+            + (F.col("_next_val") - F.col(value_col)) * frac
+        )
+
     filled = (
         observed.withColumn("_next", F.lead("_bucket").over(w_key))
+        .withColumn("_next_val", F.lead(value_col).over(w_key))
         .select(
             key_col,
             value_col,
+            "_next",
+            "_next_val",
             F.col("_bucket").alias("_obs_bucket"),
             F.explode(
                 F.sequence(
@@ -105,6 +139,6 @@ def gapfill_locf(
         F.timestamp_micros(F.col("_grid") * step_us)
         .cast("timestamp_ntz")
         .alias("bucket_ts"),
-        value_col,
+        value.alias(value_col),
         (F.col("_grid") == F.col("_obs_bucket")).alias("is_observed"),
     )

@@ -92,3 +92,87 @@ def test_argument_contract(spark):
             df.withColumnRenamed("v", "bucket_ts"), ts_col="ts",
             key_col="k", value_col="bucket_ts", bucket_seconds=60,
         )
+
+
+# -- interpolate mode -------------------------------------------------------
+
+
+def test_interpolate_linear_gap(spark):
+    t = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (t.replace(minute=0), "a", 10.0, 1),
+        (t.replace(minute=4), "a", 30.0, 2),  # buckets 1..3 interpolate
+    ]
+    out = (
+        gapfill_locf(
+            _frame(spark, rows), ts_col="ts", key_col="k", value_col="v",
+            bucket_seconds=60, tiebreak_cols=("id",), mode="interpolate",
+        )
+        .orderBy("bucket_ts")
+        .collect()
+    )
+    assert [(r["bucket_ts"].minute, r["v"], r["is_observed"]) for r in out] == [
+        (0, 10.0, True), (1, 15.0, False), (2, 20.0, False),
+        (3, 25.0, False), (4, 30.0, True),
+    ]
+
+
+def test_interpolate_matches_duckdb_differential(spark):
+    """Full-engine differential on the events fixture: the identical
+    interpolation expression evaluated by DuckDB must match bit-for-bit
+    (same IEEE op order on both sides)."""
+    from mare_spark.operators.timeseries import gapfill_locf as gl
+    from mare_spark.tables import read_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    df = gl(
+        ev, ts_col="ts", key_col="user_id", value_col="value",
+        bucket_seconds=43200, tiebreak_cols=("event_id",),
+        mode="interpolate",
+    )
+    step_us = 43200 * 1_000_000
+    sql = f"""
+    WITH obs AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT user_id, epoch_us(ts) // {step_us} AS bucket, value,
+               row_number() OVER (
+                 PARTITION BY user_id, epoch_us(ts) // {step_us}
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    led AS (
+      SELECT user_id, bucket, value,
+             lead(bucket) OVER (PARTITION BY user_id ORDER BY bucket)
+               AS nxt,
+             lead(value) OVER (PARTITION BY user_id ORDER BY bucket)
+               AS nxt_val
+      FROM obs
+    ),
+    grid AS (
+      SELECT user_id, bucket, value, nxt, nxt_val,
+             unnest(generate_series(bucket, coalesce(nxt - 1, bucket)))
+               AS g
+      FROM led
+    )
+    SELECT user_id, make_timestamp(g * {step_us}) AS bucket_ts,
+           CASE WHEN nxt IS NULL OR g = bucket THEN value
+                ELSE value + (nxt_val - value)
+                     * (CAST(g - bucket AS DOUBLE)
+                        / CAST(nxt - bucket AS DOUBLE))
+           END AS value,
+           (g = bucket) AS is_observed
+    FROM grid
+    """
+    compare(df, sql, SF_SMOKE)
+
+
+def test_mode_contract(spark):
+    df = _frame(spark, [(datetime(2024, 1, 1), "a", 1.0, 1)])
+    with pytest.raises(ValueError, match="mode"):
+        gapfill_locf(
+            df, ts_col="ts", key_col="k", value_col="v",
+            bucket_seconds=60, mode="nearest",
+        )
