@@ -373,3 +373,90 @@ def test_fuzz_set_ops(spark, seed):
         f"SELECT {sel} FROM lineitem WHERE {sb}) GROUP BY l_returnflag"
     )
     compare(df, sql, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# scalar string-function family over documents (ASCII fixture — engine
+# case/collation semantics agree; split() excluded: trailing-empty rules
+# differ between Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _s_length(rng):
+    return (F.length("text").alias("f_len"), "LENGTH(text) AS f_len")
+
+
+def _s_upper_prefix(rng):
+    k = rng.randint(3, 12)
+    return (
+        F.upper(F.substring("text", 1, k)).alias("f_up"),
+        f"UPPER(SUBSTR(text, 1, {k})) AS f_up",
+    )
+
+
+def _s_lower_suffix(rng):
+    k = rng.randint(2, 8)
+    return (
+        F.lower(F.substring("text", k, 2_000_000)).alias("f_low"),
+        f"LOWER(SUBSTR(text, {k}, 2000000)) AS f_low",
+    )
+
+
+def _s_concat(rng):
+    sep = rng.choice([":", "-", "|"])
+    return (
+        F.concat(F.col("lang"), F.lit(sep), F.col("source")).alias("f_cat"),
+        f"lang || '{sep}' || source AS f_cat",
+    )
+
+
+def _s_replace(rng):
+    ch = rng.choice(["e", "a", "t", " "])
+    return (
+        F.replace(F.col("text"), F.lit(ch), F.lit("_")).alias("f_rep"),
+        f"REPLACE(text, '{ch}', '_') AS f_rep",
+    )
+
+
+def _s_trim_len(rng):
+    return (
+        F.length(F.trim(F.col("text"))).alias("f_trim"),
+        "LENGTH(TRIM(text)) AS f_trim",
+    )
+
+
+_STRING_FNS = (
+    _s_length, _s_upper_prefix, _s_lower_suffix,
+    _s_concat, _s_replace, _s_trim_len,
+)
+
+
+def _string_predicate(rng):
+    kind = rng.randrange(3)
+    if kind == 0:
+        pat = rng.choice(["%the%", "%and%", "%ing%", "%of %"])
+        return (F.col("text").like(pat), f"text LIKE '{pat}'")
+    if kind == 1:
+        lo = rng.randint(50, 400)
+        return (F.length("text") >= lo, f"LENGTH(text) >= {lo}")
+    langs = sorted(rng.sample(["en", "de", "fr", "es", "it"], 2))
+    q = ", ".join(f"'{x}'" for x in langs)
+    return (F.col("lang").isin(langs), f"lang IN ({q})")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_string_funcs(spark, seed):
+    rng = random.Random(6000 + seed)
+    docs = read_table(spark, SF_SMOKE, "documents")
+
+    fns = [f(rng) for f in rng.sample(_STRING_FNS, rng.randint(2, 4))]
+    pred_col, pred_sql = _string_predicate(rng)
+
+    df = docs.filter(pred_col).select(
+        "doc_id", *[c for c, _ in fns]
+    )
+    sql = (
+        f"SELECT doc_id, {', '.join(s for _, s in fns)} "
+        f"FROM documents WHERE {pred_sql}"
+    )
+    compare(df, sql, SF_SMOKE)
