@@ -18,12 +18,15 @@ two shuffles and a row count that explodes with the time span. Instead:
 3. a scan-side ``explode(sequence(bucket, next-1))`` emits exactly the
    grid rows each observation covers, already carrying its value.
 
-Steps 1-2 share ONE hash exchange on the key (same partitioning, Spark
-reuses it); step 3 is whole-stage-codegen expression work — so the whole
-op is one shuffle, and the output is produced pre-partitioned by key for
-whatever window comes next. Longest-gap skew bounds a single row's
-explode width (span/bucket in the worst case of a key observed once);
-keys are independent, so task skew follows the per-key event counts, not
+Two exchanges, both SMALL (plan-pinned in tests/test_plans.py): Spark
+rewrites step 1's rn=1 filter into a PARTIAL ``WindowGroupLimit``
+executed before the shuffle, so the first exchange carries at most one
+row per (key, bucket) per input task — the map-side-combine effect —
+and the second (on the key, for the lead) carries only the observed
+bucket rows, never the raw events. Step 3 is whole-stage-codegen
+expression work. Longest-gap skew bounds a single row's explode width
+(span/bucket in the worst case of a key observed once); keys are
+independent, so task skew follows per-key observed-bucket counts, not
 the grid.
 """
 

@@ -49,11 +49,13 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``is_observed`` marks fills). In-bucket ties break by
     (ts, event_id) — a total order, so both engines agree exactly.
 
-    Scale (operators.timeseries docstring): no dense-grid join — one
-    hash exchange on the key shared by both windows, then a scan-side
+    Scale (operators.timeseries docstring): no dense-grid join — a
+    partial WindowGroupLimit prunes to ≤1 row per (key, bucket) per
+    task BEFORE the first exchange, the second exchange carries only
+    observed-bucket rows, and a scan-side
     ``explode(sequence(bucket, next-1))`` emits exactly the rows each
     observation covers. Output row count is the grid, but it is
-    PRODUCED distributed and pre-partitioned by key."""
+    PRODUCED distributed, never an intermediate."""
     from mare_spark.operators.timeseries import gapfill_locf
 
     events = read_table(spark, sf_dir, "events")

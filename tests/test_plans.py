@@ -401,3 +401,31 @@ def test_fixed_k_sampler_plans_two_phase_group_limit(spark):
 
     limits = re.findall(r"\(\d+\) WindowGroupLimit", plan)
     assert len(limits) >= 2, plan  # partial (pre-exchange) + final
+
+
+def test_gapfill_two_small_exchanges_with_partial_group_limit(spark):
+    """gapfill_locf's scale contract: exactly two exchanges, and the
+    rn=1 per-bucket pick must run as a PARTIAL WindowGroupLimit before
+    the first one — at most one row per (key, bucket) leaves each map
+    task, so neither exchange ever carries the raw event stream."""
+    from mare_spark import plans as P
+    from mare_spark.operators.timeseries import gapfill_locf
+    from mare_spark.tables import read_table
+    from tests.conftest import SF_SMOKE
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    df = gapfill_locf(
+        ev, ts_col="ts", key_col="user_id", value_col="value",
+        bucket_seconds=21600, tiebreak_cols=("event_id",),
+    )
+    plan = P.simple_plan(df)
+    assert P.count_shuffle_exchanges(df) == 2, plan
+    partial_lines = [
+        ln for ln in plan.splitlines()
+        if "WindowGroupLimit" in ln and ln.rstrip().endswith("Partial")
+    ]
+    assert partial_lines, plan
+    # the partial group-limit must sit BELOW (after, in toString order)
+    # the first exchange — i.e. on the map side of it
+    first_exchange = plan.index("Exchange hashpartitioning")
+    assert plan.index(partial_lines[0]) > first_exchange, plan
