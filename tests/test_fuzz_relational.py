@@ -460,3 +460,57 @@ def test_fuzz_string_funcs(spark, seed):
         f"FROM documents WHERE {pred_sql}"
     )
     compare(df, sql, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# 3-table family: lineitem ⋈ orders ⋈ customer with filters + aggregation
+# (the TPC-H join spine under randomized predicates)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_three_table_join(spark, seed):
+    rng = random.Random(7000 + seed)
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    orders = read_table(spark, SF_SMOKE, "orders")
+    cust = read_table(spark, SF_SMOKE, "customer")
+
+    li_pred, li_sql = _random_predicate(rng)
+
+    y = rng.randint(1992, 1997)
+    o_pred = orders["o_orderdate"] >= F.lit(datetime(y, 1, 1))
+    o_sql = f"o_orderdate >= TIMESTAMP '{y}-01-01'"
+
+    segs = sorted(rng.sample(_SEGMENTS, rng.randint(2, 4)))
+    seg_sql = ", ".join(f"'{s}'" for s in segs)
+
+    group = rng.choice(
+        [["c_mktsegment"], ["o_orderpriority"],
+         ["c_mktsegment", "l_returnflag"]]
+    )
+    idx = [0] + rng.sample(range(1, len(_AGGS)), rng.randint(1, 2))
+    aggs = [_AGGS[i]() for i in idx]
+
+    df = (
+        li.filter(li_pred(li))
+        .join(orders.filter(o_pred), li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            cust.filter(cust["c_mktsegment"].isin(segs)),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy(*group)
+        .agg(*[a[0] for a in aggs])
+    )
+
+    select = ", ".join(group + [a[1] for a in aggs])
+    sql = (
+        f"SELECT {select} FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        f"WHERE ({li_sql}) AND ({o_sql}) "
+        f"AND c_mktsegment IN ({seg_sql}) "
+        f"GROUP BY {', '.join(group)}"
+    )
+    compare(df, sql, SF_SMOKE)
