@@ -514,3 +514,80 @@ def test_fuzz_three_table_join(spark, seed):
         f"GROUP BY {', '.join(group)}"
     )
     compare(df, sql, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# date/time-function family over orders (argument-order and return-type
+# traps: Spark datediff(end, start) vs DuckDB datediff('day', start, end);
+# date-returning functions are cast to DATE on both sides)
+# ---------------------------------------------------------------------------
+
+
+def _d_year(rng):
+    return (F.year("o_orderdate").alias("f_y"),
+            "CAST(year(o_orderdate) AS INT) AS f_y")
+
+
+def _d_month(rng):
+    return (F.month("o_orderdate").alias("f_m"),
+            "CAST(month(o_orderdate) AS INT) AS f_m")
+
+
+def _d_day(rng):
+    return (F.dayofmonth("o_orderdate").alias("f_d"),
+            "CAST(day(o_orderdate) AS INT) AS f_d")
+
+
+def _d_trunc(rng):
+    unit = rng.choice(["month", "quarter", "year"])
+    return (
+        F.date_trunc(unit, F.col("o_orderdate")).alias("f_tr"),
+        f"date_trunc('{unit}', o_orderdate) AS f_tr",
+    )
+
+
+def _d_diff_epoch(rng):
+    y = rng.randint(1992, 1998)
+    return (
+        F.datediff(F.col("o_orderdate"), F.lit(datetime(y, 1, 1))).alias(
+            "f_dd"
+        ),
+        f"CAST(datediff('day', TIMESTAMP '{y}-01-01', o_orderdate) AS INT)"
+        " AS f_dd",
+    )
+
+
+def _d_last_day(rng):
+    # DATE-typed outputs land as Python-date objects from Spark but
+    # datetime64 from DuckDB — normalize both sides to TIMESTAMP
+    return (
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("f_ld"),
+        "CAST(last_day(o_orderdate) AS TIMESTAMP) AS f_ld",
+    )
+
+
+_DATE_FNS = (_d_year, _d_month, _d_day, _d_trunc, _d_diff_epoch, _d_last_day)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_date_funcs(spark, seed):
+    rng = random.Random(8000 + seed)
+    orders = read_table(spark, SF_SMOKE, "orders")
+
+    fns = [f(rng) for f in rng.sample(_DATE_FNS, rng.randint(2, 4))]
+    y = rng.randint(1992, 1997)
+    m = rng.randint(1, 12)
+    pred = orders["o_orderdate"] >= F.lit(datetime(y, m, 1))
+    pred_sql = f"o_orderdate >= TIMESTAMP '{y}-{m:02d}-01'"
+    pris = sorted(rng.sample(_PRIORITIES, rng.randint(2, 4)))
+    pri_sql = ", ".join(f"'{p}'" for p in pris)
+
+    df = (
+        orders.filter(pred & orders["o_orderpriority"].isin(pris))
+        .select("o_orderkey", *[c for c, _ in fns])
+    )
+    sql = (
+        f"SELECT o_orderkey, {', '.join(s for _, s in fns)} FROM orders "
+        f"WHERE ({pred_sql}) AND o_orderpriority IN ({pri_sql})"
+    )
+    compare(df, sql, SF_SMOKE)
