@@ -32,6 +32,7 @@ from mare_spark.operators.dsir import (
 )
 from mare_spark.operators.export import (
     export_training_shards,
+    read_training_shards,
     refresh_training_shards,
     verify_export,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "dsir_logratios",
     "dsir_importance_weights",
     "export_training_shards",
+    "read_training_shards",
     "refresh_training_shards",
     "verify_export",
     "gapfill_locf",

@@ -93,6 +93,10 @@ def export_training_shards(
     Returns the manifest dict, also written to ``<path>/_manifest.json``
     AFTER the data write commits — manifest presence is the export's
     completion marker (the ``_SUCCESS``-with-checksums pattern).
+
+    ``id_col`` need not be unique for correctness, but the xor digest is
+    strongest with unique ids: duplicate ids cancel in XOR pairs, so a
+    lost duplicate pair would be caught only by the row/token counts.
     """
     if (n_shards is None) == (shard_token_budget is None):
         raise ValueError(
@@ -325,3 +329,36 @@ def verify_export(spark: SparkSession, path: str) -> dict:
             f"{sorted(bad)} under {path!r}"
         )
     return manifest
+
+
+def read_training_shards(
+    spark: SparkSession,
+    path: str,
+    *,
+    shards: list[int] | None = None,
+    verify: bool = True,
+) -> DataFrame:
+    """Loader-side entry: read an export back, integrity-checked first.
+
+    ``verify=True`` (default) runs :func:`verify_export` before
+    returning — one bounded aggregate, so an epoch never starts on a
+    truncated tree. ``shards=[...]`` restricts the read to specific
+    shard directories via a partition-pruned filter (a data-parallel
+    reader gives each worker its shard subset without listing or
+    touching the others). Pair with :func:`mare_spark.operators.corpus.
+    epoch_shuffle` for the per-epoch training order — the export layout
+    stays fixed across epochs; only the order changes.
+    """
+    spark_path, manifest_file = _manifest_path(path)
+    if not os.path.exists(manifest_file):
+        raise ExportIntegrityError(
+            f"no {MANIFEST_NAME} under {path!r} — not a completed export"
+        )
+    with open(manifest_file, encoding="utf-8") as fh:
+        fmt = json.load(fh)["format"]
+    if verify:
+        verify_export(spark, path)
+    df = _read_shards(spark, spark_path, fmt)
+    if shards is not None:
+        df = df.filter(F.col("shard").isin(list(shards)))
+    return df

@@ -248,3 +248,33 @@ def test_refresh_requires_manifest(spark, tmp_path):
 
     with pytest.raises(ExportIntegrityError, match="refresh requires"):
         refresh_training_shards(_docs(spark), str(tmp_path))
+
+
+# -- loader-side reader -----------------------------------------------------
+
+
+def test_read_training_shards_verifies_and_prunes(spark, tmp_path):
+    from mare_spark.operators.export import read_training_shards
+
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    man = export_training_shards(
+        docs, out, id_col="doc_id", token_col="n_chars", n_shards=5,
+    )
+    back = read_training_shards(spark, out)
+    assert back.count() == man["total_rows"]
+
+    # shard restriction is partition-pruned: only the requested subset
+    subset = read_training_shards(spark, out, shards=[1, 3])
+    want = sum(s["rows"] for s in man["shards"] if s["shard"] in (1, 3))
+    assert subset.count() == want
+    assert subset.select("shard").distinct().count() == 2
+
+    # a corrupted tree refuses to load by default, loads with verify=False
+    victim = glob.glob(os.path.join(out, "shard=0", "*.parquet"))[0]
+    os.remove(victim)
+    with pytest.raises(ExportIntegrityError):
+        read_training_shards(spark, out)
+    assert read_training_shards(spark, out, verify=False).count() < man[
+        "total_rows"
+    ]
