@@ -176,3 +176,80 @@ def test_mode_contract(spark):
             df, ts_col="ts", key_col="k", value_col="v",
             bucket_seconds=60, mode="nearest",
         )
+
+
+# -- property: engine ≡ pure-python reference -------------------------------
+
+
+def _ref_gapfill(rows, step_s):
+    """Pure-python gapfill_locf reference: rows = [(k, ts_us, v, id)]."""
+    from collections import defaultdict
+
+    step_us = step_s * 1_000_000
+    by_key = defaultdict(dict)
+    for k, ts, v, i in rows:
+        b = ts // step_us
+        cur = by_key[k].get(b)
+        if cur is None or (ts, i) > (cur[0], cur[1]):
+            by_key[k][b] = (ts, i, v)
+    out = []
+    for k, buckets in by_key.items():
+        bs = sorted(buckets)
+        for j, b in enumerate(bs):
+            v = buckets[b][2]
+            end = bs[j + 1] if j + 1 < len(bs) else b + 1
+            for g in range(b, end):
+                out.append((k, g * step_us, v, g == b))
+    return sorted(out)
+
+
+def test_property_matches_python_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    step_s = 60
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=0, max_value=40 * 60 * 1_000_000),
+                st.floats(
+                    min_value=-100, max_value=100,
+                    allow_nan=False, allow_infinity=False,
+                ),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(raw):
+        rows = [(k, ts, v, i) for i, (k, ts, v) in enumerate(raw)]
+        df = spark.createDataFrame(
+            [
+                (datetime(1970, 1, 1)
+                 + __import__("datetime").timedelta(microseconds=ts),
+                 k, v, i)
+                for k, ts, v, i in rows
+            ],
+            "ts timestamp_ntz, k string, v double, id long",
+        )
+        got = sorted(
+            (
+                r["k"],
+                int(
+                    (r["bucket_ts"] - datetime(1970, 1, 1)).total_seconds()
+                    * 1_000_000
+                ),
+                r["v"],
+                r["is_observed"],
+            )
+            for r in gapfill_locf(
+                df, ts_col="ts", key_col="k", value_col="v",
+                bucket_seconds=step_s, tiebreak_cols=("id",),
+            ).collect()
+        )
+        assert got == _ref_gapfill(rows, step_s)
+
+    check()
