@@ -278,3 +278,20 @@ def test_read_training_shards_verifies_and_prunes(spark, tmp_path):
     assert read_training_shards(spark, out, verify=False).count() < man[
         "total_rows"
     ]
+
+
+def test_manifest_format_parity(spark, tmp_path):
+    """The manifest fingerprints CONTENT, not encoding: a parquet export
+    and a jsonl export of the same data agree on every per-shard stat."""
+    docs = _docs(spark).select("doc_id", "n_chars", "lang")
+    a = export_training_shards(
+        docs, str(tmp_path / "p"), id_col="doc_id", token_col="n_chars",
+        n_shards=5, keep_cols=("lang",), fmt="parquet",
+    )
+    b = export_training_shards(
+        docs, str(tmp_path / "j"), id_col="doc_id", token_col="n_chars",
+        n_shards=5, keep_cols=("lang",), fmt="json",
+    )
+    assert {k: v for k, v in a.items() if k != "format"} == {
+        k: v for k, v in b.items() if k != "format"
+    }
