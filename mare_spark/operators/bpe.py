@@ -359,3 +359,117 @@ def bpe_segment(
         return texts.map(apply)
 
     return df.withColumn(out_col, seg(F.col(text_col)))
+
+
+def corpus_alphabet(df: DataFrame, text_col: str) -> list[str]:
+    """The corpus' base symbol set: every distinct character appearing in
+    any whitespace word, sorted — the bounded driver fetch that seeds
+    :func:`build_vocab` (an alphabet is hundreds of rows for one script,
+    tens of thousands for a full-Unicode web corpus; either is a trivial
+    collect).
+
+    One corpus scan: the word-count aggregate already needed by learning,
+    then a character explode over the VOCAB (distinct words), never the
+    corpus.
+    """
+    rows = (
+        word_counts(df, text_col)
+        .select(F.explode(F.split("word", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["ch"] for r in rows)
+
+
+def build_vocab(
+    alphabet: Iterable[str],
+    merges: Iterable[tuple[str, str]],
+    *,
+    end_marker: str = "</w>",
+    specials: tuple[str, ...] = ("<unk>",),
+) -> list[str]:
+    """Deterministic token→id table: ``specials`` first, then the sorted
+    base alphabet (plus ``end_marker``), then each merge's output token in
+    learning order — the standard BPE id layout (ids are stable under
+    corpus growth as long as the merge table is, because nothing here
+    depends on token frequency). First occurrence wins when a merge
+    reproduces an existing token.
+    """
+    seen: dict[str, int] = {}
+    out: list[str] = []
+    base = sorted(set(alphabet) | ({end_marker} if end_marker else set()))
+    for tok in (*specials, *base, *(a + b for a, b in merges)):
+        if tok not in seen:
+            seen[tok] = len(out)
+            out.append(tok)
+    return out
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    merges: Iterable[tuple[str, str]],
+    vocab: list[str],
+    *,
+    end_marker: str = "</w>",
+    unk: str = "<unk>",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Append ``out_col``: the document's token ids — BPE segmentation
+    under ``merges`` followed by the ``vocab`` lookup (symbols outside the
+    vocab map to ``unk``; NULL text stays NULL). The encode half of the
+    tokenizer round trip; :func:`decode_ids` is the inverse.
+
+    Same scale shape as :func:`bpe_segment`: scan-side only, the
+    merge-rank and id tables ride the UDF closure (KBs–MBs), zero
+    shuffle, per-batch distinct-word memo. Output is ``array<int>`` —
+    feed it to ``pack_token_tape`` to materialize training sequences.
+    """
+    pairs = [tuple(p) for p in merges]
+    ranks = {p: i for i, p in enumerate(pairs)}
+    ids = {t: i for i, t in enumerate(vocab)}
+    if len(ids) != len(vocab):
+        raise ValueError("vocab contains duplicate tokens")
+    if unk not in ids:
+        raise ValueError(f"unk token {unk!r} is not in the vocab")
+    unk_id = ids[unk]
+
+    @F.pandas_udf("array<int>")
+    def enc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[int]] = {}
+
+        def apply(t):
+            if t is None:
+                return None
+            out: list[int] = []
+            for w in t.split(" "):
+                if not w:
+                    continue
+                if w not in memo:
+                    memo[w] = [
+                        ids.get(s, unk_id)
+                        for s in _segment_word(w, ranks, pairs, end_marker)
+                    ]
+                out.extend(memo[w])
+            return out
+
+        return texts.map(apply)
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def decode_ids(
+    token_ids: Iterable[int],
+    vocab: list[str],
+    *,
+    end_marker: str = "</w>",
+) -> str:
+    """Inverse of :func:`bpe_encode_ids` for loader-side spot checks:
+    concatenate tokens, turn each ``end_marker`` back into a word break.
+    Lossless for any document whose characters are all in the vocab
+    (single-space word separation, the registry's token convention)."""
+    s = "".join(vocab[i] for i in token_ids)
+    if end_marker:
+        s = s.replace(end_marker, " ")
+    return s.strip()

@@ -332,3 +332,106 @@ def test_epoch_shuffle_shard_width_unbiased(spark):
               epoch_shuffle(df, "doc_id", n_shards=100_000).collect()}
     assert max(shards) > 65536  # 16-bit prefix could never reach these
     assert min(shards) >= 0
+
+
+# --- encode-to-ids ----------------------------------------------------------
+
+def test_encode_ids_matches_segment_plus_lookup(spark):
+    """bpe_encode_ids == bpe_segment composed with the vocab lookup, and
+    the id table layout is specials + sorted alphabet + merges in order."""
+    from mare_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_segment,
+        build_vocab,
+        corpus_alphabet,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "id long, text string"
+    )
+    merges = learn_bpe_merges(df, "text", 10)
+    alphabet = corpus_alphabet(df, "text")
+    assert alphabet == sorted(set("".join(CORPUS).replace(" ", "")))
+    vocab = build_vocab(alphabet, merges)
+    assert vocab[0] == "<unk>"
+    assert vocab[1 : 1 + len(alphabet) + 1] == sorted([*alphabet, "</w>"])
+    assert vocab[1 + len(alphabet) + 1 :] == [a + b for a, b in merges]
+
+    ids = {t: i for i, t in enumerate(vocab)}
+    seg = {r.id: r.bpe_tokens
+           for r in bpe_segment(df, "text", merges).collect()}
+    got = {r.id: r.token_ids
+           for r in bpe_encode_ids(df, "text", merges, vocab).collect()}
+    for i in seg:
+        assert got[i] == [ids[t] for t in seg[i]]
+
+
+def test_encode_decode_roundtrip(spark):
+    """encode -> decode reconstructs every document up to single-space
+    word separation (the registry token convention)."""
+    from mare_spark.operators.bpe import (
+        bpe_encode_ids,
+        build_vocab,
+        corpus_alphabet,
+        decode_ids,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "id long, text string"
+    )
+    merges = learn_bpe_merges(df, "text", 12)
+    vocab = build_vocab(corpus_alphabet(df, "text"), merges)
+    got = {r.id: r.token_ids
+           for r in bpe_encode_ids(df, "text", merges, vocab).collect()}
+    for i, t in enumerate(CORPUS):
+        normalized = " ".join(w for w in t.split(" ") if w)
+        assert decode_ids(got[i], vocab) == normalized
+
+
+def test_encode_ids_unknown_symbol_and_null(spark):
+    """Symbols outside the vocab map to the unk id; NULL text stays NULL.
+    Unknowns are WORD-level after segmentation: an unseen character makes
+    unknown SYMBOLS, known characters around it still encode."""
+    from mare_spark.operators.bpe import (
+        bpe_encode_ids,
+        build_vocab,
+        corpus_alphabet,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "id long, text string"
+    )
+    merges = learn_bpe_merges(df, "text", 6)
+    vocab = build_vocab(corpus_alphabet(df, "text"), merges)
+    probe = spark.createDataFrame(
+        [(0, "cat Zat"), (1, None)], "id long, text string"
+    )
+    rows = {r.id: r.token_ids
+            for r in bpe_encode_ids(probe, "text", merges, vocab).collect()}
+    assert rows[1] is None
+    assert 0 in rows[0]  # "Z" is not in the training alphabet -> unk id 0
+    known = [i for i in rows[0] if i != 0]
+    assert known  # the surrounding known characters still encode
+
+
+def test_encode_ids_validates_vocab(spark):
+    from mare_spark.operators.bpe import bpe_encode_ids
+
+    df = spark.createDataFrame([(0, "a")], "id long, text string")
+    with pytest.raises(ValueError, match="unk"):
+        bpe_encode_ids(df, "text", [], ["a", "b"])
+    with pytest.raises(ValueError, match="duplicate"):
+        bpe_encode_ids(df, "text", [], ["<unk>", "a", "a"])
+
+
+def test_build_vocab_dedups_first_wins():
+    """A merge that reproduces an existing token (or a special) must not
+    create a second id for it."""
+    from mare_spark.operators.bpe import build_vocab
+
+    vocab = build_vocab(["a", "b"], [("a", "b"), ("a", "b")])
+    assert vocab.count("ab") == 1
+    assert vocab == ["<unk>", "</w>", "a", "b", "ab"]
