@@ -549,3 +549,53 @@ def ngram_novelty(
             6,
         ),
     )
+
+
+def column_profile(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    *,
+    approx: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """ANALYZE-style column statistics in ONE pass: for each named column,
+    ``(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)``
+    — the table profile that tells a planner (or a human) which join side
+    broadcasts, which key buckets, and which column partitions, before
+    anyone runs the 100 TB query. Values are profiled as strings so the
+    schema is column-type-independent and min/max are engine-identical.
+
+    Plan: one scan-side explode of a k-struct array (k = len(cols), so the
+    exchange carries k·rows thin (name, value) pairs) into a single keyed
+    aggregate — NOT k separate jobs over the table. ``approx=True`` swaps
+    the exact distinct count for HyperLogLog at relative error ``rsd``
+    (approx_count_distinct), the right tier when the profile itself must
+    not shuffle a 100 TB table's distinct sets; the default stays exact
+    (and oracle-checkable).
+    """
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(c).cast("string").alias("v"),
+            )
+            for c in cols
+        ]
+    )
+    n_distinct = (
+        F.approx_count_distinct("v", rsd) if approx else F.countDistinct("v")
+    )
+    return (
+        df.select(F.explode(entries).alias("e"))
+        .select("e.column_name", "e.v")
+        .groupBy("column_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("bigint")).alias("n_nulls"),
+            n_distinct.alias("n_distinct"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+    )

@@ -368,6 +368,124 @@ def pack_sequences(
     )
 
 
+def pack_token_tape(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    *,
+    group_col: str | None = None,
+    max_len: int = 2048,
+    shards: int | None = None,
+) -> DataFrame:
+    """Materialize the packed training sequences themselves: documents'
+    token-id arrays (``tokens_col``, e.g. ``bpe_encode_ids`` output), laid
+    end-to-end in ``id_col`` order per tape and cut every ``max_len``
+    tokens, are returned as one row PER SEQUENCE —
+    ``(group…, [pack_shard,] seq_id, token_ids, n_tokens)``. This is the
+    step after :func:`pack_sequences` (which only computes placements):
+    what a dataloader actually consumes. Documents straddle cuts (pad-free
+    GPT-style packing); every sequence is exactly ``max_len`` tokens except
+    each tape's final tail. Empty and NULL token arrays contribute nothing
+    to the tape and are dropped.
+
+    Plan — expression code only, no UDF, no per-token explode:
+    1. the same single windowed cumulative sum as :func:`pack_sequences`
+       gives each document its tape ``start``;
+    2. each document explodes into the 1 + ``n div max_len``-ish sequences
+       it overlaps (almost always 1-2 rows), each carrying an
+       ``F.slice`` of its token array — the shuffle payload stays one
+       row per (document, sequence) pair, never one row per token;
+    3. one keyed aggregate per ``(tape, seq_id)`` sorts the pieces by tape
+       position and flattens them.
+    Two keyed exchanges total (window by tape, aggregate by tape+seq).
+    ``shards=N`` is the corpus-wide scale path, exactly as in
+    :func:`pack_sequences`; with neither ``group_col`` nor ``shards`` the
+    single-tape RuntimeWarning applies.
+    """
+    import warnings
+
+    from pyspark.sql.window import Window
+
+    if group_col is None and shards is None:
+        warnings.warn(
+            "pack_token_tape(group_col=None, shards=None) packs the whole "
+            "input through a single window partition — one task, no "
+            "parallelism. Pass group_col and/or shards=N at scale.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    reserved = {"n_tokens", "seq_id", "token_ids"} | (
+        {"pack_shard"} if shards is not None else set()
+    )
+    clash = reserved.intersection(
+        {id_col, tokens_col} | ({group_col} if group_col else set())
+    )
+    if clash:
+        raise ValueError(
+            f"column names clash with pack_token_tape output columns: "
+            f"{sorted(clash)} (reserved: {sorted(reserved)})"
+        )
+    keys = [group_col] if group_col else []
+    if shards is not None:
+        if shards < 1:
+            raise ValueError(f"shards must be >= 1, got {shards}")
+        df = df.withColumn(
+            "pack_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+        )
+        keys.append("pack_shard")
+    toks = F.col(tokens_col)
+    n = F.size(toks).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        df.filter(toks.isNotNull() & (F.size(toks) > 0))
+        .select(
+            *keys,
+            toks.alias("_toks"),
+            n.alias("_n"),
+            (F.sum(n).over(w) - n).alias("_start"),
+        )
+    )
+    L = F.lit(int(max_len)).cast("long")
+    start, nn = F.col("_start"), F.col("_n")
+    first_seq = F.expr(f"_start div {int(max_len)}")
+    last_seq = F.expr(f"(_start + _n - 1) div {int(max_len)}")
+    q = F.col("seq_id")
+    piece_lo = F.greatest(start, q * L)  # global tape position, 0-based
+    piece_hi = F.least(start + nn, (q + 1) * L)  # exclusive
+    pieces = placed.select(
+        *keys,
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        "_toks", "_start", "_n",
+    ).select(
+        *keys,
+        "seq_id",
+        piece_lo.alias("_piece_start"),
+        F.slice(
+            F.col("_toks"),
+            (piece_lo - start + 1).cast("int"),
+            (piece_hi - piece_lo).cast("int"),
+        ).alias("_piece"),
+    )
+    assembled = F.array_sort(
+        F.collect_list(F.struct(F.col("_piece_start"), F.col("_piece")))
+    )
+    flat = F.flatten(F.transform(assembled, lambda s: s["_piece"]))
+    return (
+        pieces.groupBy(*keys, "seq_id")
+        .agg(flat.alias("token_ids"))
+        .select(
+            *keys, "seq_id", "token_ids",
+            F.size("token_ids").alias("n_tokens"),
+        )
+    )
+
+
 def bigram_logprob(
     df: DataFrame, text_col: str, id_col: str, *, lam: float = 0.9
 ) -> DataFrame:

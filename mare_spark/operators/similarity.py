@@ -860,3 +860,38 @@ def hard_negatives_ivf(
         .filter(F.col("rnk") <= k)
         .select("anchor_id", "neg_id", "cosine", "rnk")
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k_clusters: int = 8,
+    per_cluster: int,
+    centroids=None,
+    salt: str = "",
+) -> DataFrame:
+    """Diversity sampling: exactly min(per_cluster, cluster size) rows
+    from every embedding cluster — nearest-centroid assignment composed
+    with the deterministic fixed-k sampler, so a dense topic can't
+    dominate the selection the way it dominates a uniform sample
+    (the DataComp-style cluster-balanced subset builder).
+
+    ``centroids=None`` uses the first ``k_clusters`` vectors by id as
+    deterministic seeds (oracle-checkable); pass ``kmeans_refine`` output
+    for trained clusters. Returns ``(id, cluster_id, sample_rank)``.
+
+    Scale: assignment is the zero-shuffle scan-side fold of
+    :func:`assign_to_centroids`; selection is ONE exchange keyed on
+    cluster_id whose map tasks pre-trim to per_cluster rows each
+    (WindowGroupLimit) — no full-cluster sort anywhere.
+    """
+    from mare_spark.operators.corpus import group_fixed_k_sample
+
+    assigned = assign_to_centroids(
+        df, vec_col, id_col, k=k_clusters, centroids=centroids
+    )
+    return group_fixed_k_sample(
+        assigned, id_col, group_col="cluster_id", k=per_cluster, salt=salt
+    )

@@ -15,6 +15,7 @@ from mare_spark.queries import (  # noqa: F401
     llm5,
     llm6,
     llm7,
+    llm8,
     maintenance,
     pipe,
     relational,

@@ -115,14 +115,23 @@ def register(
 #      registration corpus_export_shards (the export family's
 #      hash-checked row — it exercises the real write path), and
 #      text_rolling_fingerprint by the 12th, events_gapfill_locf
-#      (time-bucket LOCF gap-fill — the new time-series family row).
-# The 23 r3-stale rows left over (sample_apply_mixture,
+#      (time-bucket LOCF gap-fill — the new time-series family row),
+#      and three more fill rows (text_tfidf_keywords,
+#      corpus_length_histogram, cross_source_contamination) by the
+#      session-2 r6 registrations pack_token_ids_tape (materialized
+#      token-tape packing — the real dataloader artifact, arrays
+#      digested to scalars for the hash gate), sample_cluster_balanced
+#      (embedding-cluster-balanced diversity sampling) and
+#      corpus_column_profile (ANALYZE-style stats) — each oracle
+#      verified at all 3 SFs before entering the window.
+# The 26 r3-stale rows left over (sample_apply_mixture,
 # corpus_vocab_stats, corpus_lang_confusion, q_join_left_outer,
 # q_join_range_band, q_having, q_pivot, q_intersect_all, q_except_all,
 # q_sql_returned_items, q_subquery_above_avg, embedding_norm_stats,
-# text_rolling_fingerprint, q14, q7, q11, q15, q19, q22, q8,
-# events_tumbling/sliding/session_window) head the r7 rotation,
-# followed by the 45 r4-stale rows in registration order.
+# text_rolling_fingerprint, text_tfidf_keywords,
+# corpus_length_histogram, cross_source_contamination, q14, q7, q11,
+# q15, q19, q22, q8, events_tumbling/sliding/session_window) head the
+# r7 rotation, followed by the 45 r4-stale rows in registration order.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 1. round-6-touched operator paths --
     "corpus_epoch_shuffle", "corpus_bpe_segment_report",
@@ -135,6 +144,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_hard_negatives", "dedup_split_leakage",
     "maintenance_merge_report", "text_nfc_report",
     "corpus_export_shards", "events_gapfill_locf",
+    "pack_token_ids_tape", "sample_cluster_balanced",
+    "corpus_column_profile",
     # -- 3. anchors --
     "q1_pricing_summary", "q5_local_supplier_volume", "pipeline_clean_corpus",
     # -- 4. all 19 round-2-stale rows (registration order) --
@@ -151,8 +162,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_clean_corpus_semantic",
     "corpus_mix_report", "text_unigram_logprob", "dedup_semantic",
     "sample_temperature_rates", "corpus_ngram_heavy_hitters",
-    "text_tfidf_keywords", "corpus_length_histogram",
-    "cross_source_contamination",
     "events_sessionize",
     # -- 6. the rest of the corpus follows in registration order --
 )

@@ -306,3 +306,47 @@ def test_nfc_null_passthrough(spark):
 
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     assert normalize_nfc(df, "text").collect()[0].text_nfc is None
+
+
+def test_column_profile_counts_nulls_and_distincts(spark):
+    from mare_spark.operators.analysis import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "x int, s string",
+    )
+    prof = {r.column_name: r for r in column_profile(df, ("x", "s")).collect()}
+    assert prof["x"].n_rows == 4 and prof["x"].n_nulls == 1
+    assert prof["x"].n_distinct == 3
+    assert (prof["x"].min_value, prof["x"].max_value) == ("1", "3")
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert (prof["s"].min_value, prof["s"].max_value) == ("a", "b")
+
+
+def test_column_profile_approx_tier_close_to_exact(spark):
+    """approx=True (HLL at rsd=0.02) must land within a few percent of
+    the exact distinct count — the zero-distinct-shuffle tier for wide
+    profiles."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.analysis import column_profile
+
+    df = spark.range(5000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("u")
+    )
+    exact = {r.column_name: r.n_distinct
+             for r in column_profile(df, ("k", "u")).collect()}
+    approx = {r.column_name: r.n_distinct
+              for r in column_profile(df, ("k", "u"), approx=True).collect()}
+    assert exact == {"k": 997, "u": 5000}
+    for c in exact:
+        assert abs(approx[c] - exact[c]) / exact[c] < 0.06
+
+
+def test_column_profile_requires_columns(spark):
+    import pytest
+
+    from mare_spark.operators.analysis import column_profile
+
+    with pytest.raises(ValueError, match="at least one column"):
+        column_profile(spark.range(1), ())

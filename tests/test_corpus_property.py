@@ -587,3 +587,113 @@ def test_bigram_logprob_short_docs_drop_and_layout_independent(spark):
                    bigram_logprob(df.repartition(7), "text",
                                   "doc_id").collect()))
     assert a == b
+
+
+# --- pack_token_tape ---------------------------------------------------------
+
+def _py_tape(rows, max_len):
+    """Pure-Python tape model: rows = [(id, group, ids)] -> per (group,
+    seq_id) the flattened token slice of the group tape, docs in id order."""
+    tapes = {}
+    for _i, g, ids in sorted(rows):
+        if ids:
+            tapes.setdefault(g, []).extend(ids)
+    out = {}
+    for g, tape in tapes.items():
+        for q in range(0, (len(tape) + max_len - 1) // max_len):
+            out[(g, q)] = tape[q * max_len : (q + 1) * max_len]
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=99),
+                 min_size=0, max_size=23),
+        min_size=1, max_size=14,
+    )
+)
+def test_pack_token_tape_property(spark, docs):
+    """For any corpus of token-id arrays: the materialized sequences are
+    exactly the pure-Python tape cut every max_len, docs in id order,
+    including documents straddling cuts and multi-sequence documents."""
+    from mare_spark.operators.corpus import pack_token_tape
+
+    rows = [(i, "g" if i % 3 else "h", ids) for i, ids in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp string, ids array<int>"
+    )
+    got = {
+        (r.grp, r.seq_id): list(r.token_ids)
+        for r in pack_token_tape(
+            df, "ids", "doc_id", group_col="grp", max_len=7
+        ).collect()
+    }
+    assert got == _py_tape(rows, 7)
+    for (_g, _q), ids in got.items():
+        assert 1 <= len(ids) <= 7
+
+
+def test_pack_token_tape_agrees_with_pack_sequences(spark):
+    """The tape op and the placement op must describe the SAME tape: a
+    document whose pack_sequences placement is (seq, off) finds its first
+    token at position off of sequence seq."""
+    from mare_spark.operators.corpus import pack_sequences, pack_token_tape
+
+    rows = [(i, [i * 100 + j for j in range(n)])
+            for i, n in enumerate([3, 9, 1, 14, 2, 5])]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    placed = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences(
+            df.select("doc_id", F.size("ids").alias("n")),
+            "n", "doc_id", shards=1, max_len=8,
+        ).collect()
+    }
+    seqs = {
+        r.seq_id: list(r.token_ids)
+        for r in pack_token_tape(
+            df, "ids", "doc_id", shards=1, max_len=8
+        ).collect()
+    }
+    for doc_id, ids in rows:
+        seq, off = placed[doc_id]
+        assert seqs[seq][off] == ids[0]
+
+
+def test_pack_token_tape_drops_empty_and_null_docs(spark):
+    from mare_spark.operators.corpus import pack_token_tape
+
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, []), (2, None), (3, [3])],
+        "doc_id long, ids array<int>",
+    )
+    with pytest.warns(RuntimeWarning, match="single window partition"):
+        out = pack_token_tape(df, "ids", "doc_id", max_len=4).collect()
+    assert len(out) == 1 and list(out[0].token_ids) == [1, 2, 3]
+
+
+def test_pack_token_tape_shards_partition_the_corpus(spark):
+    """With shards=N every document's tokens land on exactly one shard
+    tape, and the multiset of all packed tokens equals the input."""
+    from mare_spark.operators.corpus import pack_token_tape
+
+    rows = [(i, list(range(i * 10, i * 10 + 1 + i % 4))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    out = pack_token_tape(df, "ids", "doc_id", shards=3, max_len=5).collect()
+    assert {r.pack_shard for r in out} <= {0, 1, 2}
+    got = sorted(t for r in out for t in r.token_ids)
+    assert got == sorted(t for _i, ids in rows for t in ids)
+
+
+def test_pack_token_tape_validates_inputs(spark):
+    from mare_spark.operators.corpus import pack_token_tape
+
+    df = spark.createDataFrame([(0, [1])], "seq_id long, ids array<int>")
+    with pytest.raises(ValueError, match="clash"):
+        pack_token_tape(df, "ids", "seq_id", shards=1)
+    df2 = spark.createDataFrame([(0, [1])], "id long, ids array<int>")
+    with pytest.raises(ValueError, match="max_len"):
+        pack_token_tape(df2, "ids", "id", shards=1, max_len=0)
+    with pytest.raises(ValueError, match="shards"):
+        pack_token_tape(df2, "ids", "id", shards=0)

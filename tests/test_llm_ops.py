@@ -1082,3 +1082,72 @@ def test_hard_negatives_routes_to_ivf_above_guard(spark):
     # is pinned by the dedicated IVF tests above; this pins the HANDOFF
     assert routed.count() >= 0
     assert routed.columns == ["anchor_id", "neg_id", "cosine", "rnk"]
+
+
+def test_cluster_balanced_sample_exact_sizes_and_membership(spark):
+    """Every cluster contributes exactly min(k, cluster size) rows, the
+    sample is a subset of the assignment, and membership is salt-keyed
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.similarity import (
+        assign_to_centroids,
+        cluster_balanced_sample,
+    )
+    from mare_spark.tables import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sizes = {
+        r.cluster_id: r.n
+        for r in assign_to_centroids(emb, "embedding", "vec_id", k=4)
+        .groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    out = cluster_balanced_sample(
+        emb, "embedding", "vec_id", k_clusters=4, per_cluster=10
+    ).collect()
+    got = {}
+    for r in out:
+        got[r.cluster_id] = got.get(r.cluster_id, 0) + 1
+        assert 1 <= r.sample_rank <= 10
+    assert got == {c: min(10, n) for c, n in sizes.items() if n}
+
+    again = cluster_balanced_sample(
+        emb, "embedding", "vec_id", k_clusters=4, per_cluster=10
+    ).collect()
+    assert {r.vec_id for r in again} == {r.vec_id for r in out}
+    salted = cluster_balanced_sample(
+        emb, "embedding", "vec_id", k_clusters=4, per_cluster=10, salt="s1"
+    ).collect()
+    assert {r.vec_id for r in salted} != {r.vec_id for r in out}
+
+
+def test_cluster_balanced_sample_with_trained_centroids(spark):
+    """The trained-centroid path (kmeans_refine output) samples against
+    the refined assignment, not the seeds."""
+    import numpy as np
+
+    from mare_spark.operators.similarity import (
+        assign_to_centroids,
+        cluster_balanced_sample,
+        kmeans_refine,
+    )
+    from mare_spark.tables import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seed = np.array(
+        [list(r.embedding) for r in emb.orderBy("vec_id").head(4)],
+        dtype=np.float64,
+    )
+    trained = kmeans_refine(emb, "embedding", seed, iters=1)
+    out = cluster_balanced_sample(
+        emb, "embedding", "vec_id",
+        k_clusters=4, per_cluster=5, centroids=trained,
+    ).collect()
+    want = {
+        r.vec_id: r.cluster_id
+        for r in assign_to_centroids(
+            emb, "embedding", "vec_id", centroids=trained
+        ).collect()
+    }
+    for r in out:
+        assert want[r.vec_id] == r.cluster_id
