@@ -376,6 +376,7 @@ def pack_token_tape(
     group_col: str | None = None,
     max_len: int = 2048,
     shards: int | None = None,
+    boundaries: bool = False,
 ) -> DataFrame:
     """Materialize the packed training sequences themselves: documents'
     token-id arrays (``tokens_col``, e.g. ``bpe_encode_ids`` output), laid
@@ -397,10 +398,19 @@ def pack_token_tape(
        row per (document, sequence) pair, never one row per token;
     3. one keyed aggregate per ``(tape, seq_id)`` sorts the pieces by tape
        position and flattens them.
-    Two keyed exchanges total (window by tape, aggregate by tape+seq).
+    ONE keyed exchange total (plan-pinned): the window's partitioning on
+    the tape keys already co-locates the aggregate's (tape, seq_id) key
+    (subset-key partitioning satisfies the superset clustering), so
+    Catalyst reuses it and sequence assembly adds no second shuffle.
     ``shards=N`` is the corpus-wide scale path, exactly as in
     :func:`pack_sequences`; with neither ``group_col`` nor ``shards`` the
     single-tape RuntimeWarning applies.
+
+    ``boundaries=True`` adds ``doc_starts``: the 0-based offsets WITHIN
+    each sequence where a new document begins (same aggregate, no extra
+    shuffle) — what a dataloader needs to build per-document attention
+    masks over packed sequences. A sequence that only continues a
+    straddling document has an empty ``doc_starts``.
     """
     import warnings
 
@@ -416,8 +426,10 @@ def pack_token_tape(
         )
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
-    reserved = {"n_tokens", "seq_id", "token_ids"} | (
-        {"pack_shard"} if shards is not None else set()
+    reserved = (
+        {"n_tokens", "seq_id", "token_ids"}
+        | ({"pack_shard"} if shards is not None else set())
+        | ({"doc_starts"} if boundaries else set())
     )
     clash = reserved.intersection(
         {id_col, tokens_col} | ({group_col} if group_col else set())
@@ -471,17 +483,37 @@ def pack_token_tape(
             (piece_lo - start + 1).cast("int"),
             (piece_hi - piece_lo).cast("int"),
         ).alias("_piece"),
+        # a piece opens a NEW document in this sequence iff it begins at
+        # the document's own tape start (not at the sequence cut)
+        (piece_lo == start).alias("_opens_doc"),
+        (piece_lo - q * L).cast("int").alias("_local"),
     )
     assembled = F.array_sort(
-        F.collect_list(F.struct(F.col("_piece_start"), F.col("_piece")))
+        F.collect_list(
+            F.struct(
+                F.col("_piece_start"), F.col("_piece"),
+                F.col("_opens_doc"), F.col("_local"),
+            )
+        )
     )
     flat = F.flatten(F.transform(assembled, lambda s: s["_piece"]))
+    aggs = [flat.alias("token_ids")]
+    extra = []
+    if boundaries:
+        aggs.append(
+            F.transform(
+                F.filter(assembled, lambda s: s["_opens_doc"]),
+                lambda s: s["_local"],
+            ).alias("doc_starts")
+        )
+        extra = ["doc_starts"]
     return (
         pieces.groupBy(*keys, "seq_id")
-        .agg(flat.alias("token_ids"))
+        .agg(*aggs)
         .select(
             *keys, "seq_id", "token_ids",
             F.size("token_ids").alias("n_tokens"),
+            *extra,
         )
     )
 

@@ -697,3 +697,32 @@ def test_pack_token_tape_validates_inputs(spark):
         pack_token_tape(df2, "ids", "id", shards=1, max_len=0)
     with pytest.raises(ValueError, match="shards"):
         pack_token_tape(df2, "ids", "id", shards=0)
+
+
+def test_pack_token_tape_boundaries_match_python_model(spark):
+    """doc_starts = 0-based in-sequence offsets where a new document
+    begins; a sequence that only continues a straddling doc has none."""
+    from mare_spark.operators.corpus import pack_token_tape
+
+    rows = [(0, list(range(3))), (1, list(range(100, 118))),
+            (2, [7]), (3, list(range(200, 206)))]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    out = {
+        r.seq_id: (list(r.token_ids), list(r.doc_starts))
+        for r in pack_token_tape(
+            df, "ids", "doc_id", shards=1, max_len=8, boundaries=True
+        ).collect()
+    }
+    # tape: doc0 [0,3) doc1 [3,21) doc2 [21,22) doc3 [22,28)
+    assert out[0][1] == [0, 3]
+    assert out[1][1] == []          # seq 1 = tokens 8..16, all inside doc1
+    assert out[2][1] == [5, 6]      # doc2 at 21, doc3 at 22
+    assert out[3][1] == []
+    # boundary offsets index the first token of each doc
+    assert out[0][0][3] == 100 and out[2][0][5] == 7 and out[2][0][6] == 200
+
+    with pytest.raises(ValueError, match="clash"):
+        pack_token_tape(
+            df.withColumnRenamed("ids", "doc_starts"),
+            "doc_starts", "doc_id", shards=1, boundaries=True,
+        )

@@ -429,3 +429,15 @@ def test_gapfill_two_small_exchanges_with_partial_group_limit(spark):
     # the first exchange — i.e. on the map side of it
     first_exchange = plan.index("Exchange hashpartitioning")
     assert plan.index(partial_lines[0]) > first_exchange, plan
+
+
+def test_pack_token_tape_single_exchange(spark):
+    """The tape query shuffles ONCE: the window's hashpartitioning(lang)
+    exchange also satisfies the (lang, seq_id) aggregate's clustered
+    distribution (a subset-key partitioning co-locates the superset key),
+    so assembling sequences adds NO second exchange — and there is no
+    per-token explode anywhere (the Generate emits (doc, seq) pairs)."""
+    from mare_spark.registry import all_queries
+
+    df = all_queries()["pack_token_ids_tape"].fn(spark, SF_ORACLE)
+    assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
