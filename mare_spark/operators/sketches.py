@@ -214,3 +214,97 @@ def merge_distinct_estimates(
             F.hll_union_agg("distinct_sketch")
         ).alias("approx_distinct")
     )
+
+
+def quantile_sketch_table(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    *,
+    k: int = 1024,
+    salt: str = "",
+) -> DataFrame:
+    """Materializable per-group QUANTILE sketches: the bottom-``k`` rows
+    by md5(id, salt) — a deterministic uniform sample whose merge is
+    EXACT (bottom-k of a union equals bottom-k over the inputs'
+    bottom-ks), the property that makes it a table you persist per
+    (day, source, ...) partition and roll up later without re-scanning
+    history. Rank error of a quantile read is the usual sampling bound
+    ~1/sqrt(k). Spark has no mergeable percentile binary the way it has
+    Datasketches HLL (`approx_percentile`'s digest stays internal), so
+    the sample IS the sketch — and unlike a digest it is
+    engine-portable and layout-independent by construction.
+
+    Scale: the per-group trim happens BEFORE the exchange (row_number ≤ k
+    triggers Catalyst's two-phase WindowGroupLimit, as in the fixed-k
+    sampler), so the shuffle carries at most k rows per group per map
+    task and no task ever sorts a whole group. One sketch row per group:
+    ``(group..., quantile_sketch: array<struct<h,v>>, sketch_rows)``.
+
+    Contract: ``id_col`` must be unique across every table the sketches
+    will be merged over (hashes are the merge dedup key — overlapping
+    re-ingestion of the same ids is tolerated, double-counting of
+    reused ids is not).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(salt))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    trimmed = (
+        df.select(
+            *group_cols,
+            h.alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return trimmed.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("h"), F.col("v")))
+        ).alias("quantile_sketch"),
+        F.count("*").cast("int").alias("sketch_rows"),
+    )
+
+
+def merge_quantile_estimates(
+    sketches: DataFrame,
+    group_cols: list[str],
+    percentiles: list[float],
+    *,
+    k: int = 1024,
+) -> DataFrame:
+    """Roll persisted quantile sketches up to ``group_cols`` granularity
+    and read nearest-rank percentiles from the merged sample. The merge
+    is flatten → dedup on hash → re-sort → trim to ``k`` (associative
+    and idempotent: batch boundaries and re-merges can't change the
+    result — pinned by test). Input is the sketch table, never the raw
+    data. Output: one ``p<NN>`` column per requested percentile."""
+    for p in percentiles:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"percentiles must be in (0, 1], got {p}")
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("quantile_sketch")))
+        ),
+        1,
+        k,
+    )
+    vals = F.array_sort(F.transform(merged, lambda e: e["v"]))
+    n = F.size(vals)
+    cols = [
+        F.element_at(
+            vals,
+            F.greatest(F.lit(1), F.ceil(F.lit(float(p)) * n).cast("int")),
+        ).alias(f"p{int(round(p * 100)):02d}")
+        for p in percentiles
+    ]
+    return sketches.groupBy(*group_cols).agg(
+        *cols, F.size(vals).alias("sample_rows")
+    )

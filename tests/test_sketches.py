@@ -156,3 +156,105 @@ def test_build_cms_ignores_null_keys(spark):
     )
     sk = build_cms(df, "k", width_bits=8, depth=3)
     assert int(sk.estimate(np.array([0], dtype=np.int64))[0]) == 2
+
+
+def test_quantile_sketch_rollup_is_merge_exact(spark):
+    """Bottom-k property: per-day sketches merged to (source) granularity
+    must produce the IDENTICAL percentile read as a sketch built directly
+    on the union — exact array-level agreement, not tolerance."""
+    import random
+
+    from mare_spark.operators.sketches import (
+        merge_quantile_estimates,
+        quantile_sketch_table,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, f"d{i % 5}", "s0" if i % 3 else "s1", rng.uniform(0, 100))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, day string, src string, v double")
+    per_day = quantile_sketch_table(df, "v", "id", ["src", "day"], k=256)
+    rolled = merge_quantile_estimates(per_day, ["src"], [0.5, 0.9], k=256)
+    direct = merge_quantile_estimates(
+        quantile_sketch_table(df, "v", "id", ["src"], k=256),
+        ["src"], [0.5, 0.9], k=256,
+    )
+    got = {r.src: (r.p50, r.p90, r.sample_rows) for r in rolled.collect()}
+    want = {r.src: (r.p50, r.p90, r.sample_rows) for r in direct.collect()}
+    assert got == want
+    assert all(n == 256 for *_v, n in got.values())
+
+
+def test_quantile_sketch_estimates_track_exact_percentiles(spark):
+    """At k=512 over 4000 uniform values the nearest-rank read must land
+    within a few rank percent of the exact percentile."""
+    import random
+
+    from mare_spark.operators.sketches import (
+        merge_quantile_estimates,
+        quantile_sketch_table,
+    )
+
+    rng = random.Random(7)
+    vals = sorted(rng.uniform(0, 1000) for _ in range(4000))
+    rows = [(i, "g", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    sk = quantile_sketch_table(df, "v", "id", ["g"], k=512)
+    est = merge_quantile_estimates(sk, ["g"], [0.5, 0.9], k=512).head()
+    import bisect
+
+    for p, e in ((0.5, est.p50), (0.9, est.p90)):
+        rank = bisect.bisect_left(vals, e) / len(vals)
+        assert abs(rank - p) < 0.07, (p, e, rank)
+
+
+def test_quantile_sketch_merge_is_idempotent_under_overlap(spark):
+    """Re-merging a sketch with itself (an overlapping re-ingestion of
+    the SAME ids) must not change the read — the hash dedup makes the
+    merge idempotent."""
+    from mare_spark.operators.sketches import (
+        merge_quantile_estimates,
+        quantile_sketch_table,
+    )
+
+    rows = [(i, "g", float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    sk = quantile_sketch_table(df, "v", "id", ["g"], k=64)
+    once = merge_quantile_estimates(sk, ["g"], [0.5], k=64).head()
+    twice = merge_quantile_estimates(sk.union(sk), ["g"], [0.5], k=64).head()
+    assert (once.p50, once.sample_rows) == (twice.p50, twice.sample_rows)
+
+
+def test_quantile_sketch_validates_inputs(spark):
+    import pytest
+
+    from mare_spark.operators.sketches import (
+        merge_quantile_estimates,
+        quantile_sketch_table,
+    )
+
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, g string, v double")
+    with pytest.raises(ValueError, match="k must"):
+        quantile_sketch_table(df, "v", "id", ["g"], k=0)
+    sk = quantile_sketch_table(df, "v", "id", ["g"], k=4)
+    with pytest.raises(ValueError, match="percentiles"):
+        merge_quantile_estimates(sk, ["g"], [1.5], k=4)
+
+
+def test_quantile_sketch_trims_before_the_exchange(spark):
+    """Scale pin: the per-group bottom-k runs as a two-phase
+    WindowGroupLimit (map-side Partial before the exchange), the same
+    guarantee as the fixed-k sampler — no whole-group sort anywhere."""
+    from mare_spark import plans as P
+    from mare_spark.operators.sketches import quantile_sketch_table
+
+    df = spark.range(2000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    plan = P.formatted_plan(
+        quantile_sketch_table(df, "v", "id", ["g"], k=16)
+    )
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Partial") >= 1, plan
