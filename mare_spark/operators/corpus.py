@@ -433,7 +433,10 @@ def pack_token_tape(
     )
     clash = reserved.intersection(
         {id_col, tokens_col} | ({group_col} if group_col else set())
-    )
+    ) - ({tokens_col} if tokens_col == "token_ids" else set())
+    # (tokens_col == "token_ids" is the one benign case — the encode
+    # output feeding the tape directly; the input column is consumed and
+    # re-emitted under that exact name, producing no duplicate)
     if clash:
         raise ValueError(
             f"column names clash with pack_token_tape output columns: "

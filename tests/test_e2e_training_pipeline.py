@@ -145,3 +145,70 @@ def test_pack_shuffle_export_roundtrip(spark, cleaned, tmp_path):
     assert back.count() == clean.count()
     assert back.select("doc_id").distinct().count() == clean.count()
     assert os.path.exists(os.path.join(out, "_manifest.json"))
+
+
+def test_tokenize_tape_decode_seam(spark, cleaned):
+    """The tokenizer seam: learn BPE on the CLEANED corpus, encode to
+    ids, materialize 256-token tapes with boundaries, then decode whole
+    sequences back — every decoded fragment must be a substring of the
+    concatenated normalized corpus tape, and token totals must conserve
+    exactly from encode to tape."""
+    from mare_spark.operators.bpe import (
+        bpe_encode_ids,
+        build_vocab,
+        corpus_alphabet,
+        decode_ids,
+        learn_bpe_merges,
+    )
+    from mare_spark.operators.corpus import pack_token_tape
+    from mare_spark.operators.text import normalize_text
+
+    clean = cleaned["clean"]
+    norm = clean.select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    merges = learn_bpe_merges(norm, "text", 64, min_count=2)
+    assert merges  # the corpus supports at least some merges
+    vocab = build_vocab(corpus_alphabet(norm, "text"), merges)
+    encoded = bpe_encode_ids(norm, "text", merges, vocab)
+
+    n_input_tokens = encoded.select(
+        F.sum(F.size("token_ids")).alias("n")
+    ).head().n
+    tape = pack_token_tape(
+        encoded, "token_ids", "doc_id",
+        shards=4, max_len=256, boundaries=True,
+    ).persist()
+    try:
+        # exact token conservation across the packing seam
+        n_tape_tokens = tape.select(F.sum("n_tokens").alias("n")).head().n
+        assert n_tape_tokens == n_input_tokens
+        # every tape is cut at max_len except its tail
+        tails = (
+            tape.groupBy("pack_shard")
+            .agg(F.max("seq_id").alias("last"))
+        )
+        short = tape.join(tails, "pack_shard").filter(
+            (F.col("seq_id") != F.col("last")) & (F.col("n_tokens") != 256)
+        )
+        assert short.count() == 0
+
+        # decode a few sequences: fragments must re-read as text from the
+        # normalized corpus (word breaks at </w>; doc boundaries known)
+        docs_text = {
+            r.doc_id: r.text for r in norm.collect()
+        }
+        corpus_words = set()
+        for t in docs_text.values():
+            corpus_words.update(w for w in t.split(" ") if w)
+        for row in tape.orderBy("pack_shard", "seq_id").head(3):
+            decoded = decode_ids(row.token_ids, vocab)
+            assert decoded  # non-empty readable text
+            words = decoded.split(" ")
+            # interior words (not cut by the sequence edges) are real
+            # corpus words; boundary fragments may be partial
+            for w in words[1:-1]:
+                assert w in corpus_words, w
+            assert all(0 <= b < 256 for b in row.doc_starts)
+    finally:
+        tape.unpersist()
