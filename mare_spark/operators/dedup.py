@@ -843,11 +843,44 @@ def simhash_pairs(
     return attach_caches(result, base)
 
 
+def _dedup_clusters_driver(directed: DataFrame) -> DataFrame:
+    """In-memory exact union-find over a collected (src, dst) edge list —
+    min-id representative per component, identical semantics to the
+    distributed propagation (pinned by test)."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = directed.collect()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            # attach the larger root under the smaller: the root stays
+            # the component minimum throughout, so find() IS the label
+            parent[max(ra, rb)] = min(ra, rb)
+    dt = directed.schema[0].dataType
+    schema = StructType(
+        [StructField("member", dt, True), StructField("cluster", dt, True)]
+    )
+    data = [(n, find(n)) for n in parent]
+    return directed.sparkSession.createDataFrame(data, schema)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
+    driver_edges_limit: int | None = 1_000_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS via connected
     components (iterative min-label propagation), returning
@@ -860,6 +893,29 @@ def dedup_clusters(
     graph diameter — near-dup components are tiny (pairs/triples), so this
     converges in 2-3 rounds regardless of corpus size; each round is one
     join + one aggregate on the EDGE set, never the corpus.
+
+    Cost tiers — resolution is proportional to the EDGE set, which a
+    thresholded near-dup pass keeps orders of magnitude below the corpus:
+
+    * edges ≤ ``driver_edges_limit`` (the common case; 1M (src, dst)
+      rows is ~tens of MB of driver heap): the materialized edges are
+      collected ONCE and resolved by exact in-memory union-find (the
+      same bounded-driver tier as ``learn_bpe_merges``). What this buys
+      is NOT local wall-clock (measured parity with the distributed
+      loop at sf0.1 on local[32], where a round costs ~0.1 s) but
+      (a) diameter-independence — min-label propagation needs one JOB
+      per graph-diameter hop, so a pathological duplicate chain of
+      depth 200 costs 200 scheduled rounds distributed and nothing
+      here — and (b) on a real cluster, removing d shuffle round-trips
+      plus d checkpoint materializations of scheduler latency. The
+      probe is a ``limit(N+1).count()`` over already-checkpointed rows,
+      never a full count of an unbounded set.
+    * above the limit (a mass-duplicate corpus at 100 TB): the
+      distributed loop below, unchanged — one job per round,
+      Observation-fused convergence, lineage-truncating checkpoints.
+
+    Both tiers produce identical labels (pinned by test); pass
+    ``driver_edges_limit=None`` to force the distributed path.
     """
     # Iterative plans nest: round k's logical plan would embed round k-1's
     # (twice — the join and the convergence check), which itself embeds the
@@ -876,6 +932,10 @@ def dedup_clusters(
     directed = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint(eager=True)
+    if driver_edges_limit is not None:
+        probe = directed.limit(driver_edges_limit + 1).count()
+        if probe <= driver_edges_limit:
+            return _dedup_clusters_driver(directed)
     edges = directed.union(directed.select(F.col("dst"), F.col("src")))
 
     # Seed labels with the first propagation round fused into initialization:

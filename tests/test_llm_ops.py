@@ -1151,3 +1151,40 @@ def test_cluster_balanced_sample_with_trained_centroids(spark):
     }
     for r in out:
         assert want[r.vec_id] == r.cluster_id
+
+
+def test_dedup_clusters_tiers_agree(spark):
+    """Driver union-find tier ≡ distributed min-label propagation on a
+    random multi-component graph (chains force multi-round propagation),
+    and the distributed path stays exercised via driver_edges_limit=None
+    / limit-0."""
+    import random
+
+    from mare_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(23)
+    edges = set()
+    for base in range(0, 400, 8):  # 50 chains of length 7 (diameter 6)
+        for i in range(7):
+            edges.add((base + i, base + i + 1))
+    for _ in range(60):  # random extra merges across chains
+        edges.add((rng.randrange(400), rng.randrange(400)))
+    pairs = spark.createDataFrame(
+        sorted(edges), "doc_a long, doc_b long"
+    ).repartition(5)
+
+    drv = {r.member: r.cluster
+           for r in dedup_clusters(pairs).collect()}  # default: driver tier
+    dist = {r.member: r.cluster
+            for r in dedup_clusters(
+                pairs, max_iterations=200,
+                driver_edges_limit=None).collect()}
+    assert drv == dist
+    dist0 = {r.member: r.cluster
+             for r in dedup_clusters(
+                 pairs, max_iterations=200,
+                 driver_edges_limit=0).collect()}
+    assert drv == dist0
+    # representatives are component minima
+    for c in set(drv.values()):
+        assert c == min(m for m, cc in drv.items() if cc == c)
