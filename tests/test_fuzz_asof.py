@@ -1,0 +1,145 @@
+"""Randomized differential fuzz of the as-of join vs DuckDB's native
+ASOF JOIN (the same seed-pinned spec discipline as test_fuzz_relational).
+
+Each seed draws a spec — key cardinality, right-side tie density (bucket
+width), direction, NULL injection on the left event time — and runs the
+join TWICE over the events fixture: through ``operators.asof.asof_join``
+(union + keyed window carry, no UDF) and as DuckDB ASOF SQL. Exact
+canonical equality via ``tests.oracle.compare``.
+
+Determinism notes:
+* event times become int64 MICROSECONDS on both engines
+  (``unix_micros(cast(ts as timestamp))`` / ``epoch_us(ts)`` — the
+  gap-fill convention), so the as-of comparison is integer-exact;
+* the right side aggregates to one row per (key, bucket) FIRST — as-of
+  matches among equal-timestamp right rows are engine-arbitrary, so the
+  fuzz keeps the right side tie-free while the bucketing itself still
+  creates heavy left-side tie pressure;
+* carried values are parquet doubles copied verbatim (no arithmetic),
+  so no rounding convention is needed;
+* NULL left event times: the engine's contract (and merge_asof's) is
+  NEVER MATCH. DuckDB's KEYED ASOF diverges — measured: with an
+  equality key it matches NULL left times against the key's rows (NULL
+  sorts high in its sort-based matcher), though the keyless form does
+  not — so the oracle models the sane contract explicitly (ASOF over
+  the NOT-NULL rows, UNION ALL the NULL rows unmatched).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mare_spark.operators.asof import asof_join
+from mare_spark.tables import read_table
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare
+
+_TYPES = ["view", "click", "purchase"]
+_US = "unix_micros(cast(ts as timestamp))"
+
+
+def _spec(seed: int) -> dict:
+    rng = random.Random(seed * 7919 + 13)
+    return {
+        "m": rng.choice([3, 10, 50]),          # key cardinality
+        "bucket_us": rng.choice([1, 60, 600]) * 1_000_000,  # tie density
+        "direction": rng.choice(["backward", "forward"]),
+        "lt": rng.choice(_TYPES),
+        "rt": rng.choice(_TYPES),
+        # left event-time NULL injection threshold (value is ~U[0,100))
+        "null_below": rng.choice([None, 5.0, 30.0]),
+    }
+
+
+def _build_spark(spark, spec):
+    e = read_table(spark, SF_SMOKE, "events")
+    us = F.expr(_US)
+    o_left = (
+        F.when(F.col("value") < spec["null_below"], F.lit(None)).otherwise(us)
+        if spec["null_below"] is not None
+        else us
+    )
+    left = e.filter(F.col("event_type") == spec["lt"]).select(
+        "event_id",
+        (F.col("user_id") % spec["m"]).alias("k"),
+        o_left.alias("o"),
+        "value",
+    )
+    right = (
+        e.filter(F.col("event_type") == spec["rt"])
+        .select(
+            (F.col("user_id") % spec["m"]).alias("k"),
+            F.expr(f"({_US} div {spec['bucket_us']}) * {spec['bucket_us']}")
+            .alias("o"),
+            "value",
+        )
+        .groupBy("k", "o")
+        .agg(
+            F.max("value").alias("r_val"),
+            F.count("*").cast("long").alias("r_n"),
+        )
+    )
+    j = asof_join(
+        left, right, on="o", by="k",
+        right_cols=["o", "r_val", "r_n"], direction=spec["direction"],
+    )
+    # carried ints go out as double on BOTH engines: unmatched left rows
+    # null them, and nullable-int pandas dtypes differ engine-to-engine
+    return j.select(
+        "event_id", "k", "o", "value",
+        F.col("o_asof").cast("double").alias("r_o"),
+        F.col("r_val_asof").alias("r_val"),
+        F.col("r_n_asof").cast("double").alias("r_n"),
+    )
+
+
+def _build_sql(spec) -> str:
+    null_case = (
+        f"CASE WHEN value < {spec['null_below']!r} THEN NULL "
+        f"ELSE epoch_us(ts) END"
+        if spec["null_below"] is not None
+        else "epoch_us(ts)"
+    )
+    cmp = ">=" if spec["direction"] == "backward" else "<="
+    return f"""
+    WITH l AS (
+      SELECT event_id, user_id % {spec['m']} AS k,
+             {null_case} AS o, value
+      FROM events WHERE event_type = '{spec['lt']}'
+    ),
+    r AS (
+      SELECT user_id % {spec['m']} AS k,
+             (epoch_us(ts) // {spec['bucket_us']}) * {spec['bucket_us']} AS o,
+             max(value) AS r_val, CAST(count(*) AS BIGINT) AS r_n
+      FROM events WHERE event_type = '{spec['rt']}'
+      GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.k, l.o, l.value,
+           CAST(r.o AS DOUBLE) AS r_o, r.r_val,
+           CAST(r.r_n AS DOUBLE) AS r_n
+    FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.o {cmp} r.o
+    WHERE l.o IS NOT NULL
+    UNION ALL
+    SELECT event_id, k, o, value, NULL, NULL, NULL
+    FROM l WHERE o IS NULL
+    """
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_fuzz_asof_vs_duckdb(spark, seed):
+    spec = _spec(seed)
+    compare(_build_spark(spark, spec), _build_sql(spec), SF_SMOKE)
+
+
+def test_fuzz_asof_specs_cover_both_directions_and_nulls():
+    """The 14 pinned seeds must actually cross the spec space (a skew in
+    random.choice could silently leave a dimension unfuzzed)."""
+    specs = [_spec(s) for s in range(14)]
+    assert {s["direction"] for s in specs} == {"backward", "forward"}
+    assert any(s["null_below"] is not None for s in specs)
+    assert any(s["null_below"] is None for s in specs)
+    assert len({s["bucket_us"] for s in specs}) >= 2
+    assert len({s["m"] for s in specs}) >= 2
