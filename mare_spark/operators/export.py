@@ -362,3 +362,81 @@ def read_training_shards(
     if shards is not None:
         df = df.filter(F.col("shard").isin(list(shards)))
     return df
+
+
+def export_token_tapes(
+    tape: DataFrame,
+    path: str,
+    *,
+    shard_col: str = "pack_shard",
+    fmt: str = "parquet",
+) -> dict:
+    """Write a :func:`~mare_spark.operators.corpus.pack_token_tape`
+    result as the on-disk training artifact: one ``shard=K`` directory
+    per tape (the shard assignment the packer ALREADY made — unlike
+    :func:`export_training_shards`, nothing re-hashes), one file per
+    shard, sequences sorted by ``seq_id``, plus the same
+    ``_manifest.json`` contract (per-shard rows / token totals /
+    order-insensitive id digest, fingerprinted from the WRITTEN files).
+    ``verify_export`` and ``read_training_shards`` work on the result
+    unchanged — a dataloader verifies then reads exactly the shards its
+    rank owns, partition-pruned.
+
+    The digest id is ``shard:seq_id`` (sequence ids restart per tape, so
+    the composite is the unique key). Extra columns — ``token_ids``,
+    ``doc_starts`` — ride along verbatim.
+    """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
+    if shard_col not in tape.columns:
+        raise ValueError(
+            f"{shard_col!r} not in {tape.columns} — pack with shards=N or "
+            "pass shard_col=<group column>"
+        )
+    spark_path, manifest_local = _manifest_path(path)
+    keep = [c for c in tape.columns if c not in (shard_col, "seq_id")]
+    sharded = tape.select(
+        F.col(shard_col).alias("shard"),
+        F.concat_ws(":", F.col(shard_col), F.col("seq_id"))
+        .alias("tape_seq_id"),
+        F.col("seq_id"),
+        *keep,
+    )
+    writer = (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", "seq_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if fmt == "parquet":
+        writer.parquet(spark_path)
+    else:
+        writer.json(spark_path)
+
+    spark = tape.sparkSession
+    written = _read_shards(spark, spark_path, fmt)
+    stats = (
+        _shard_stats(written, "tape_seq_id", "n_tokens")
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "format": fmt,
+        "id_col": "tape_seq_id",
+        "token_col": "n_tokens",
+        "n_shards": len(stats),
+        "total_rows": sum(r["rows"] for r in stats),
+        "total_tokens": sum(r["tokens"] for r in stats),
+        "shards": [
+            {
+                "shard": r["shard"],
+                "rows": r["rows"],
+                "tokens": r["tokens"],
+                "id_xor": r["id_xor"],
+            }
+            for r in stats
+        ],
+    }
+    with open(manifest_local, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
