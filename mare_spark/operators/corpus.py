@@ -1260,3 +1260,49 @@ def epoch_shuffle(
         .withColumn("position", F.row_number().over(w))
         .drop("_ord")
     )
+
+
+def intra_doc_chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_words: int = 8,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """WITHIN-document repetition removal, the per-doc complement of
+    :func:`repeated_chunk_scrub`: split each document into the same
+    non-overlapping aligned ``chunk_words``-word chunks and keep only the
+    FIRST occurrence of each distinct chunk inside that document
+    (generated/scraped text repeats its own paragraphs; corpus-level
+    frequency never sees a chunk that is unique globally but repeated
+    locally). Returns one row per document:
+    ``(id, *keep_cols, clean_text, n_chunks, n_chunks_removed)`` — the
+    same contract as the corpus-level scrub tiers.
+
+    Scale: a pure per-row expression (transform + indexed filter +
+    array_position) — zero shuffle, zero UDF, fuses into the scan. The
+    first-occurrence test is O(chunks²) per document, bounded by the
+    document length itself (a 10k-word doc is ~1.2k chunks), not by the
+    corpus.
+    """
+    from mare_spark.operators.text import tokens
+
+    w = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, i * chunk_words + 1, chunk_words)
+        ),
+    )
+    kept = F.filter(
+        chunks,
+        lambda c, i: F.array_position(chunks, c) == i + 1,
+    )
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(chunks).alias("n_chunks"),
+        (F.size(chunks) - F.size(kept)).alias("n_chunks_removed"),
+    )

@@ -202,3 +202,48 @@ def corpus_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return column_profile(docs, _PROFILE_COLS)
+
+
+_INTRA_CHUNK = 8
+
+
+@register(
+    "text_intra_doc_dedup",
+    category="llm",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    c AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(w) / {_INTRA_CHUNK}.0) AS BIGINT)),
+               i -> array_to_string(
+                 w[i * {_INTRA_CHUNK} + 1 : i * {_INTRA_CHUNK} + {_INTRA_CHUNK}],
+                 ' ')) AS chunks
+      FROM t
+    ),
+    k AS (
+      SELECT doc_id, chunks,
+             list_filter(chunks,
+               (c, i) -> list_position(chunks, c) = i) AS kept
+      FROM c
+    )
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS clean_text,
+           CAST(len(chunks) AS INT) AS n_chunks,
+           CAST(len(chunks) - len(kept) AS INT) AS n_chunks_removed
+    FROM k
+    """,
+)
+def text_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal: aligned 8-word chunks, first
+    occurrence wins INSIDE each doc (the per-doc complement of the
+    corpus-level chunk scrub — catches self-repeating generated/scraped
+    text whose chunks are globally unique). Pure per-row expression code
+    — zero shuffle, zero UDF; the oracle replays the indexed-lambda
+    filter with DuckDB's 1-based list lambdas."""
+    from mare_spark.operators.corpus import intra_doc_chunk_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return intra_doc_chunk_dedup(
+        docs, "text", "doc_id", chunk_words=_INTRA_CHUNK
+    )

@@ -122,9 +122,12 @@ def register(
 #      token-tape packing — the real dataloader artifact, arrays
 #      digested to scalars for the hash gate), sample_cluster_balanced
 #      (embedding-cluster-balanced diversity sampling) and
-#      corpus_column_profile (ANALYZE-style stats) — each oracle
-#      verified at all 3 SFs before entering the window.
-# The 26 r3-stale rows left over (sample_apply_mixture,
+#      corpus_column_profile (ANALYZE-style stats), and a fourth —
+#      sample_temperature_rates by text_intra_doc_dedup (within-doc
+#      chunk dedup, the per-doc complement of the corpus scrub) — each
+#      oracle verified at all 3 SFs before entering the window.
+# The 27 r3-stale rows left over (sample_temperature_rates,
+# sample_apply_mixture,
 # corpus_vocab_stats, corpus_lang_confusion, q_join_left_outer,
 # q_join_range_band, q_having, q_pivot, q_intersect_all, q_except_all,
 # q_sql_returned_items, q_subquery_above_avg, embedding_norm_stats,
@@ -145,7 +148,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "maintenance_merge_report", "text_nfc_report",
     "corpus_export_shards", "events_gapfill_locf",
     "pack_token_ids_tape", "sample_cluster_balanced",
-    "corpus_column_profile",
+    "corpus_column_profile", "text_intra_doc_dedup",
     # -- 3. anchors --
     "q1_pricing_summary", "q5_local_supplier_volume", "pipeline_clean_corpus",
     # -- 4. all 19 round-2-stale rows (registration order) --
@@ -161,7 +164,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #       swapped in for q14 — see rotation note above) --
     "pipeline_clean_corpus_semantic",
     "corpus_mix_report", "text_unigram_logprob", "dedup_semantic",
-    "sample_temperature_rates", "corpus_ngram_heavy_hitters",
+    "corpus_ngram_heavy_hitters",
     "events_sessionize",
     # -- 6. the rest of the corpus follows in registration order --
 )

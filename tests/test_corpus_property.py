@@ -726,3 +726,66 @@ def test_pack_token_tape_boundaries_match_python_model(spark):
             df.withColumnRenamed("ids", "doc_starts"),
             "doc_starts", "doc_id", shards=1, boundaries=True,
         )
+
+
+# --- intra_doc_chunk_dedup ---------------------------------------------------
+
+def _py_intra_dedup(text, n=4):
+    words = _norm_words(text)
+    chunks = [" ".join(words[i : i + n]) for i in range(0, len(words), n)]
+    seen, kept = set(), []
+    for c in chunks:
+        if c not in seen:
+            seen.add(c)
+            kept.append(c)
+    return " ".join(kept), len(chunks), len(chunks) - len(kept)
+
+
+def test_intra_doc_dedup_removes_planted_self_repeats(spark):
+    """A doc repeating its own paragraph loses the later copies; a doc
+    with all-distinct chunks is untouched; chunk alignment means only
+    ALIGNED repeats collapse (the documented contract, same as the
+    corpus-level scrub)."""
+    from mare_spark.operators.corpus import intra_doc_chunk_dedup
+
+    para = "alpha beta gamma delta"          # exactly one 4-word chunk
+    selfrep = f"{para} {para} {para} omega epsilon zeta eta"
+    clean = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(0, selfrep), (1, clean)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in
+            intra_doc_chunk_dedup(df, "text", "doc_id",
+                                  chunk_words=4).collect()}
+    assert rows[0].clean_text == f"{para} omega epsilon zeta eta"
+    assert rows[0].n_chunks == 4 and rows[0].n_chunks_removed == 2
+    assert rows[1].clean_text == clean
+    assert rows[1].n_chunks_removed == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_intra_doc_dedup_matches_python_model(spark, docs):
+    """For arbitrary corpora the operator equals the pure-Python
+    first-occurrence chunk model on every document."""
+    from mare_spark.operators.corpus import intra_doc_chunk_dedup
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_chunks_removed)
+        for r in intra_doc_chunk_dedup(
+            df, "text", "doc_id", chunk_words=4
+        ).collect()
+    }
+    for i, d in rows:
+        assert got[i] == _py_intra_dedup(d, 4), (i, d)
+
+
+def test_intra_doc_dedup_is_shuffle_free(spark):
+    from mare_spark import plans as P
+    from mare_spark.operators.corpus import intra_doc_chunk_dedup
+
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    out = intra_doc_chunk_dedup(df, "text", "doc_id")
+    assert P.count_shuffle_exchanges(out) == 0, P.formatted_plan(out)
