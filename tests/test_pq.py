@@ -1,0 +1,134 @@
+"""Product quantization: determinism, the ADC identity, compression
+recall, and layout independence — differential-tested against numpy
+models (iterative training is not SQL-expressible, like k-means/PCA)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mare_spark.tables import read_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_SMOKE, "embeddings").persist()
+
+
+def test_codebooks_deterministic_and_layout_independent(spark, emb):
+    from mare_spark.operators.pq import train_pq_codebooks
+
+    a = train_pq_codebooks(emb, "embedding", "vec_id", m=8, nbits=4)
+    b = train_pq_codebooks(
+        emb.repartition(7), "embedding", "vec_id", m=8, nbits=4
+    )
+    assert a.shape == (8, 16, 8)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_assign_matches_numpy_argmin(spark, emb):
+    from mare_spark.operators.pq import pq_assign, train_pq_codebooks
+
+    books = train_pq_codebooks(emb, "embedding", "vec_id", m=4, nbits=4)
+    got = {
+        r.vec_id: list(r.pq_codes)
+        for r in pq_assign(emb, "embedding", "vec_id", books).collect()
+    }
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in emb.collect()}
+    dsub = books.shape[2]
+    for vid, x in raw.items():
+        want = [
+            int((((books[j] - x[j * dsub : (j + 1) * dsub][None, :]) ** 2)
+                 .sum(axis=1)).argmin())
+            for j in range(books.shape[0])
+        ]
+        assert got[vid] == want, vid
+
+
+def test_adc_identity_exact_vs_reconstruction(spark, emb):
+    """ADC(q, codes) must equal the exact squared L2 between q and the
+    code's reconstruction — the probe arithmetic adds NO error beyond
+    quantization."""
+    from mare_spark.operators.pq import (
+        pq_assign,
+        pq_reconstruct,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, "embedding", "vec_id", m=8, nbits=4)
+    coded = pq_assign(emb, "embedding", "vec_id", books)
+    q = [r.embedding for r in emb.orderBy("vec_id").head(1)][0]
+    top = pq_topk(coded, books, q, 20).collect()
+    codes = {r.vec_id: list(r.pq_codes) for r in coded.collect()}
+    qv = np.array(q, dtype=np.float64)
+    for r in top:
+        recon = pq_reconstruct(codes[r.vec_id], books)
+        exact = float(((qv - recon) ** 2).sum())
+        assert abs(r.adc_dist - exact) < 1e-9, r.vec_id
+
+
+def test_pq_recall_against_exact_neighbors(spark, emb):
+    """The production shape: ADC shortlist (5x over-fetch) + exact
+    re-rank recovers the true L2 top-20 on the 64-dim fixture
+    (measured 1.00 at m=16/nbits=6; pinned >= 0.9 for fixture drift),
+    while the raw no-rerank ADC top-20 shows the quantization-only
+    dial (measured 0.60)."""
+    from mare_spark.operators.pq import (
+        pq_assign,
+        pq_topk,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in emb.collect()}
+    q_id = sorted(raw)[0]
+    q = raw[q_id]
+    true_top = {
+        vid for vid, _ in sorted(
+            ((vid, float(((q - x) ** 2).sum())) for vid, x in raw.items()),
+            key=lambda t: (t[1], t[0]),
+        )[:20]
+    }
+    books = train_pq_codebooks(emb, "embedding", "vec_id", m=16, nbits=6)
+    coded = pq_assign(emb, "embedding", "vec_id", books).persist()
+    adc_only = {r.vec_id for r in pq_topk(coded, books, list(q), 20).collect()}
+    assert len(adc_only & true_top) / 20 >= 0.4  # compression-only floor
+    # coded still carries the raw vectors — exactly what rerank wants
+    reranked = {
+        r.vec_id
+        for r in pq_topk_rerank(coded, books, list(q), 20).collect()
+    }
+    assert len(reranked & true_top) / 20 >= 0.9
+    coded.unpersist()
+
+
+def test_pq_validates_inputs(spark, emb):
+    from mare_spark.operators.pq import pq_topk, train_pq_codebooks
+
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(emb, "embedding", "vec_id", m=7)
+    books = train_pq_codebooks(emb, "embedding", "vec_id", m=4, nbits=3)
+    from mare_spark.operators.pq import pq_assign
+
+    coded = pq_assign(emb, "embedding", "vec_id", books)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_topk(coded, books, [0.0] * 3, 5)
+
+
+def test_pq_topk_plan_is_take_ordered(spark, emb):
+    from mare_spark import plans as P
+    from mare_spark.operators.pq import (
+        pq_assign,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, "embedding", "vec_id", m=4, nbits=4)
+    coded = pq_assign(emb, "embedding", "vec_id", books)
+    q = [r.embedding for r in emb.orderBy("vec_id").head(1)][0]
+    df = pq_topk(coded, books, q, 10)
+    assert P.uses_take_ordered(df), P.formatted_plan(df)
