@@ -132,3 +132,64 @@ def test_pq_topk_plan_is_take_ordered(spark, emb):
     q = [r.embedding for r in emb.orderBy("vec_id").head(1)][0]
     df = pq_topk(coded, books, q, 10)
     assert P.uses_take_ordered(df), P.formatted_plan(df)
+
+
+def test_ivf_pq_composition_probe(spark, emb):
+    """The two scale tiers COMPOSE into IVF-PQ: rows carry an IVF cell
+    (partition-prunable) AND PQ codes; a probe scans only the query's
+    nprobe nearest cells, ADC-shortlists inside them, and exact-reranks.
+    Recall stays high while the probe touches a fraction of the rows —
+    the structure a 100 TB deployment stores."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.pq import (
+        pq_assign,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+    from mare_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, nlist=8)
+    books = train_pq_codebooks(emb, "embedding", "vec_id", m=16, nbits=6)
+    table = pq_assign(
+        ivf_assign(emb, cents), "embedding", "vec_id", books
+    ).persist()
+    try:
+        raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+               for r in emb.collect()}
+        q_id = sorted(raw)[0]
+        q = raw[q_id]
+        true_top = {
+            vid for vid, _ in sorted(
+                ((vid, float(((q - x) ** 2).sum()))
+                 for vid, x in raw.items()),
+                key=lambda t: (t[1], t[0]),
+            )[:10]
+        }
+        # query-side probe: nprobe nearest cells by the same cosine rule
+        # ivf_assign uses (normalized centroids)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        nprobe = 4
+        probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:nprobe]]
+        probed = table.filter(F.col("ivf_cell").isin(probe_cells))
+        n_probed = probed.count()
+        assert n_probed < table.count()  # the probe prunes
+        got = {
+            r.vec_id
+            for r in pq_topk_rerank(probed, books, list(q), 10,
+                                    shortlist=100).collect()
+        }
+        # IVF adds cell-miss loss on top of PQ; half-probe floor
+        assert len(got & true_top) / 10 >= 0.5, (len(got & true_top), n_probed)
+        # full probe (every cell) + rerank degenerates to near-exact
+        all_cells = pq_topk_rerank(table, books, list(q), 10,
+                                   shortlist=100).collect()
+        assert len({r.vec_id for r in all_cells} & true_top) / 10 >= 0.9
+    finally:
+        table.unpersist()
