@@ -143,3 +143,46 @@ def test_fuzz_asof_specs_cover_both_directions_and_nulls():
     assert any(s["null_below"] is None for s in specs)
     assert len({s["bucket_us"] for s in specs}) >= 2
     assert len({s["m"] for s in specs}) >= 2
+
+
+@pytest.mark.parametrize("seed", [0, 3, 7, 11])
+def test_fuzz_asof_pandas_tier_agrees(spark, seed):
+    """The merge_asof tier must produce the identical result as the
+    window-carry tier on the fuzzed specs (NULL left times dropped from
+    the comparison frame on both sides — merge_asof forbids NaN keys, so
+    the pandas tier's contract starts at non-NULL times)."""
+    from mare_spark.operators.asof import asof_join_pandas
+
+    spec = _spec(seed)
+    e = read_table(spark, SF_SMOKE, "events")
+    us = F.expr(_US)
+    left = e.filter(
+        (F.col("event_type") == spec["lt"])
+        & (F.col("value") >= (spec["null_below"] or -1.0))
+    ).select(
+        "event_id",
+        (F.col("user_id") % spec["m"]).alias("k"),
+        us.alias("o"),
+        "value",
+    )
+    right = (
+        e.filter(F.col("event_type") == spec["rt"])
+        .select(
+            (F.col("user_id") % spec["m"]).alias("k"),
+            F.expr(f"({_US} div {spec['bucket_us']}) * {spec['bucket_us']}")
+            .alias("o"),
+            "value",
+        )
+        .groupBy("k", "o")
+        .agg(
+            F.max("value").alias("r_val"),
+            F.count("*").cast("long").alias("r_n"),
+        )
+    )
+    kw = dict(on="o", by="k", right_cols=["o", "r_val", "r_n"],
+              direction=spec["direction"])
+    a = asof_join(left, right, **kw)
+    b = asof_join_pandas(left, right, **kw)
+    cols = ["event_id", "k", "o", "value", "o_asof", "r_val_asof", "r_n_asof"]
+    assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+    assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
