@@ -212,6 +212,27 @@ def refresh_training_shards(
 
     slim = df.select(id_col, token_col, *keep_cols)
     sharded = slim.withColumn("shard", _shard_col(id_col, n_shards))
+    return _refresh_from_sharded(
+        spark, sharded, manifest, spark_path, manifest_local,
+        sort_col=id_col,
+    )
+
+
+def _refresh_from_sharded(
+    spark: SparkSession,
+    sharded: DataFrame,
+    manifest: dict,
+    spark_path: str,
+    manifest_local: str,
+    *,
+    sort_col: str,
+) -> tuple[dict, list[int]]:
+    """Shared refresh core (doc shards and token tapes): diff the NEW
+    per-shard fingerprints against the manifest, dynamic-overwrite only
+    the dirty ``shard=K`` dirs, delete emptied ones, re-fingerprint the
+    rewritten slice FROM DISK, and rewrite the manifest."""
+    id_col, token_col = manifest["id_col"], manifest["token_col"]
+    fmt = manifest["format"]
     sharded.persist()
     try:
         new_stats = {
@@ -231,7 +252,7 @@ def refresh_training_shards(
             to_write = sharded.filter(F.col("shard").isin(changed))
             writer = (
                 to_write.repartition(len(changed), "shard")
-                .sortWithinPartitions("shard", id_col)
+                .sortWithinPartitions("shard", sort_col)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("shard")
@@ -440,3 +461,49 @@ def export_token_tapes(
     with open(manifest_local, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
+
+
+def refresh_token_tapes(
+    tape: DataFrame,
+    path: str,
+    *,
+    shard_col: str = "pack_shard",
+) -> tuple[dict, list[int]]:
+    """Incremental tape re-export: recompute the packed tapes, rewrite
+    ONLY the ``shard=K`` dirs whose sequences changed since the manifest
+    at ``path``. An upstream document edit re-flows every sequence AFTER
+    it on its own tape but touches no other tape — shard granularity is
+    exactly the blast radius — and with ``pack_token_tape(shards=N)``
+    membership is a pure hash of the doc id, so unrelated tapes
+    fingerprint byte-identically and are never read or written. Same
+    diff/dynamic-overwrite/re-fingerprint core as
+    :func:`refresh_training_shards`. Returns
+    ``(new_manifest, changed_shard_ids)``."""
+    spark = tape.sparkSession
+    spark_path, manifest_local = _manifest_path(path)
+    if not os.path.exists(manifest_local):
+        raise ExportIntegrityError(
+            f"no {MANIFEST_NAME} under {path!r} — refresh requires a "
+            "completed export_token_tapes run"
+        )
+    with open(manifest_local, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    if manifest["id_col"] != "tape_seq_id":
+        raise ExportIntegrityError(
+            f"{path!r} is not a token-tape export (id_col = "
+            f"{manifest['id_col']!r})"
+        )
+    if shard_col not in tape.columns:
+        raise ValueError(f"{shard_col!r} not in {tape.columns}")
+    keep = [c for c in tape.columns if c not in (shard_col, "seq_id")]
+    sharded = tape.select(
+        F.col(shard_col).alias("shard"),
+        F.concat_ws(":", F.col(shard_col), F.col("seq_id"))
+        .alias("tape_seq_id"),
+        F.col("seq_id"),
+        *keep,
+    )
+    return _refresh_from_sharded(
+        spark, sharded, manifest, spark_path, manifest_local,
+        sort_col="seq_id",
+    )

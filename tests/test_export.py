@@ -364,3 +364,88 @@ def test_export_token_tapes_validates_inputs(spark, tmp_path):
         export_token_tapes(
             df.drop("pack_shard"), str(tmp_path / "x")
         )
+
+
+def test_refresh_token_tapes_rewrites_only_dirty_tapes(spark, tmp_path):
+    """Edit one document -> only ITS tape's shard dir rewrites; clean
+    shards stay inode-identical; the refreshed manifest equals a
+    from-scratch export's; a no-op refresh writes nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.corpus import pack_token_tape
+    from mare_spark.operators.export import (
+        export_token_tapes,
+        refresh_token_tapes,
+        verify_export,
+    )
+
+    def tape_of(df):
+        return pack_token_tape(df, "ids", "doc_id", shards=3, max_len=16)
+
+    rows = [(i, list(range(i * 10, i * 10 + 3 + i % 5))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    out = str(tmp_path / "tapes")
+    export_token_tapes(tape_of(df), out)
+
+    inodes_before = {
+        d: os.stat(os.path.join(out, d)).st_mtime_ns
+        for d in os.listdir(out) if d.startswith("shard=")
+    }
+    files_before = {
+        d: sorted(os.listdir(os.path.join(out, d)))
+        for d in inodes_before
+    }
+
+    # no-op refresh: zero changed shards, dirs untouched
+    _man, changed = refresh_token_tapes(tape_of(df), out)
+    assert changed == []
+    for d, ts in inodes_before.items():
+        assert os.stat(os.path.join(out, d)).st_mtime_ns == ts
+
+    # edit ONE doc's tokens -> exactly one tape shard changes
+    victim = rows[0][0]
+    edited = df.withColumn(
+        "ids",
+        F.when(F.col("doc_id") == victim,
+               F.expr("array(999, 998)")).otherwise(F.col("ids")),
+    )
+    man2, changed = refresh_token_tapes(tape_of(edited), out)
+    assert len(changed) == 1
+    dirty = f"shard={changed[0]}"
+    for d in files_before:
+        if d != dirty:
+            assert os.stat(os.path.join(out, d)).st_mtime_ns == \
+                inodes_before[d], d
+    verify_export(spark, out)
+
+    # refreshed tree == a from-scratch export of the edited corpus
+    out2 = str(tmp_path / "tapes_scratch")
+    man_scratch = export_token_tapes(tape_of(edited), out2)
+    assert man2["shards"] == man_scratch["shards"]
+
+
+def test_refresh_token_tapes_requires_tape_export(spark, tmp_path):
+    import pytest
+
+    from mare_spark.operators.export import (
+        ExportIntegrityError,
+        export_training_shards,
+        refresh_token_tapes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, [1], 0, 1)],
+        "doc_id long, n long, token_ids array<int>, "
+        "pack_shard long, seq_id long",
+    )
+    out = str(tmp_path / "docs")
+    export_training_shards(
+        df.select("doc_id", "n"), out, id_col="doc_id",
+        token_col="n", n_shards=1,
+    )
+    with pytest.raises(ExportIntegrityError, match="not a token-tape"):
+        refresh_token_tapes(df, out)
+    with pytest.raises(ExportIntegrityError, match="refresh requires"):
+        refresh_token_tapes(df, str(tmp_path / "nowhere"))
