@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mare_spark.numeric import fround
+
 
 def salted_join(
     left: DataFrame,
@@ -549,3 +551,32 @@ def merge_parquet_partitioned(
             os.rename(tmp, part_dir)
         rewritten.append(pv)
     return rewritten
+
+
+def partition_skew_report(df: DataFrame) -> DataFrame:
+    """Diagnose physical-partition skew BEFORE it becomes a straggler:
+    one row per RDD partition with its row count and share of the
+    total, computed as ONE aggregate keyed on ``spark_partition_id()``
+    (a bounded, partition-count-sized result). The operator every "why
+    is task 1017 still running" investigation starts with; pair with
+    `salted_join`/`repartition` once the skewed key is identified.
+
+    Returns ``(partition_id, n_rows, pct_of_total)`` sorted by size
+    descending; ``pct_of_total`` is exact (integer-ratio) so the output
+    is layout-deterministic for a fixed partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(
+        F.spark_partition_id().alias("partition_id")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = Window.partitionBy()
+    return counts.select(
+        "partition_id",
+        "n_rows",
+        fround(
+            F.col("n_rows")
+            / F.sum("n_rows").over(total).cast("double"),
+            6,
+        ).alias("pct_of_total"),
+    ).orderBy(F.desc("n_rows"), "partition_id")

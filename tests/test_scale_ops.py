@@ -839,3 +839,22 @@ def test_merge_partitioned_heals_crashed_partition_swap(spark, tmp_path):
     got = {(r.id, r.pt): r.v for r in spark.read.parquet(path).collect()}
     assert got == {(1, "p1"): "A", (2, "p2"): "b"}
     assert not any("_merge_" in d for d in os.listdir(tmp_path))
+
+
+def test_partition_skew_report_counts_and_shares(spark):
+    """Row counts per physical partition sum to the input; an engineered
+    skewed repartition surfaces as one dominant row; shares are exact
+    6dp ratios."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.scale import partition_skew_report
+
+    df = spark.range(1000).withColumn(
+        "k", F.when(F.col("id") < 900, F.lit(1)).otherwise(F.col("id"))
+    )
+    skewed = df.repartition(8, "k")
+    rep = partition_skew_report(skewed).collect()
+    assert sum(r.n_rows for r in rep) == 1000
+    assert rep[0].n_rows >= 900          # the hot key's partition leads
+    assert abs(sum(r.pct_of_total for r in rep) - 1.0) < 1e-4
+    assert rep == sorted(rep, key=lambda r: (-r.n_rows, r.partition_id))
