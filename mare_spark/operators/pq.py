@@ -230,3 +230,144 @@ def pq_topk_rerank(
         .orderBy("dist", id_col)
         .limit(k)
     )
+
+
+def fit_scalar_quantizer(
+    df: DataFrame, vec_col: str, dim: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) over the corpus — the int8 scalar
+    quantizer's whole model, from ONE distributed pass: each partition
+    reduces to a (dim, mn, mx) summary inside an Arrow batch iterator
+    (the covariance module's partial shape), the merge is a dim-keyed
+    min/max aggregate, and the driver collects 2·dim floats. Exact and
+    layout-independent (min/max are order-free)."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("d", IntegerType()),
+            StructField("mn", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    def partials(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            col = batch.column(0)
+            arr = np.array(col.to_pylist(), dtype=np.float64)
+            if arr.size == 0:
+                continue
+            if arr.ndim != 2 or arr.shape[1] != dim:
+                raise ValueError(
+                    f"expected fixed {dim}-dim vectors, got {arr.shape}"
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.arange(dim, dtype=np.int32)),
+                    pa.array(arr.min(axis=0)),
+                    pa.array(arr.max(axis=0)),
+                ],
+                names=["d", "mn", "mx"],
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInArrow(partials, schema)
+        .groupBy("d")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .collect()
+    )
+    mins = np.zeros(dim, dtype=np.float64)
+    maxs = np.zeros(dim, dtype=np.float64)
+    for r in rows:
+        mins[r.d], maxs[r.d] = r.mn, r.mx
+    return mins, maxs
+
+
+def sq_encode(
+    df: DataFrame,
+    vec_col: str,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    *,
+    out_col: str = "sq_codes",
+) -> DataFrame:
+    """Append ``out_col``: the vector quantized to int8 per dimension —
+    ``round((x−mn)/(mx−mn)·255) − 128`` (constant dims encode 0) — a 4×
+    compression with ≤ half-step (≈(mx−mn)/510) absolute error per
+    coordinate, pinned by test. Scan-side Arrow pass, model rides the
+    closure, zero shuffle."""
+    span = np.where(maxs > mins, maxs - mins, 1.0)
+    lo = mins.copy()
+
+    def enc(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            q = np.floor((x - lo) / span * 255.0 + 0.5)
+            out.append(
+                (np.clip(q, 0, 255).astype(np.int32) - 128).tolist()
+            )
+        return pd.Series(out)
+
+    enc.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, F.pandas_udf(enc, "array<int>")(
+        F.col(vec_col)
+    ))
+
+
+def sq_reconstruct(codes, mins: np.ndarray, maxs: np.ndarray) -> np.ndarray:
+    """Decode int8 codes back to the quantization-grid vector."""
+    span = np.where(maxs > mins, maxs - mins, 1.0)
+    c = np.asarray(codes, dtype=np.float64) + 128.0
+    return mins + c / 255.0 * span
+
+
+def sq_topk(
+    df: DataFrame,
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    query_vec,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    codes_col: str = "sq_codes",
+) -> DataFrame:
+    """k-nearest (squared L2) over int8-quantized vectors: each row
+    reconstructs on the quantization grid and scores against the query
+    in one vectorized Arrow pass; TakeOrdered top-k. The coarse 4×
+    tier — near-exact recall (half-step error), vs PQ's 20×+ with a
+    rerank dial."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if q.shape[0] != mins.shape[0]:
+        raise ValueError(
+            f"query dim {q.shape[0]} != model dim {mins.shape[0]}"
+        )
+    span = np.where(maxs > mins, maxs - mins, 1.0)
+    lo = mins.copy()
+
+    def dist(codes: pd.Series) -> pd.Series:
+        out = []
+        for cs in codes:
+            if cs is None:
+                out.append(None)
+                continue
+            x = lo + (np.asarray(cs, dtype=np.float64) + 128.0) / 255.0 * span
+            out.append(float(((q - x) ** 2).sum()))
+        return pd.Series(out, dtype="float64")
+
+    dist.__annotations__ = {"codes": pd.Series, "return": pd.Series}
+    d = F.pandas_udf(dist, "double")(F.col(codes_col))
+    return (
+        df.select(F.col(id_col), d.alias("dist"))
+        .filter(F.col("dist").isNotNull())
+        .orderBy("dist", id_col)
+        .limit(k)
+    )

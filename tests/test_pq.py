@@ -193,3 +193,69 @@ def test_ivf_pq_composition_probe(spark, emb):
         assert len({r.vec_id for r in all_cells} & true_top) / 10 >= 0.9
     finally:
         table.unpersist()
+
+
+def test_scalar_quantizer_error_bound_and_recall(spark, emb):
+    """int8 SQ: per-coordinate reconstruction error <= half a grid step;
+    top-10 by quantized distance matches the exact top-10 (4x tier is
+    near-exact on the fixture); the fit is layout-independent."""
+    from mare_spark.operators.pq import (
+        fit_scalar_quantizer,
+        sq_encode,
+        sq_reconstruct,
+        sq_topk,
+    )
+
+    mins, maxs = fit_scalar_quantizer(emb, "embedding", 64)
+    mins2, maxs2 = fit_scalar_quantizer(
+        emb.repartition(9), "embedding", 64
+    )
+    np.testing.assert_array_equal(mins, mins2)
+    np.testing.assert_array_equal(maxs, maxs2)
+
+    coded = sq_encode(emb, "embedding", mins, maxs).persist()
+    try:
+        raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+               for r in emb.collect()}
+        half_step = (maxs - mins) / 255.0 / 2.0 + 1e-12
+        for r in coded.limit(50).collect():
+            recon = sq_reconstruct(r.sq_codes, mins, maxs)
+            assert (np.abs(raw[r.vec_id] - recon) <= half_step).all()
+
+        q_id = sorted(raw)[0]
+        q = raw[q_id]
+        true_top = [
+            vid for vid, _ in sorted(
+                ((vid, float(((q - x) ** 2).sum()))
+                 for vid, x in raw.items()),
+                key=lambda t: (t[1], t[0]),
+            )[:10]
+        ]
+        got = [r.vec_id
+               for r in sq_topk(coded, mins, maxs, list(q), 10).collect()]
+        assert len(set(got) & set(true_top)) >= 9
+    finally:
+        coded.unpersist()
+
+
+def test_scalar_quantizer_constant_dim_and_validation(spark):
+    from mare_spark.operators.pq import (
+        fit_scalar_quantizer,
+        sq_encode,
+        sq_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mins, maxs = fit_scalar_quantizer(df, "embedding", 2)
+    assert mins[0] == maxs[0] == 1.0
+    rows = {r.vec_id: list(r.sq_codes)
+            for r in sq_encode(df, "embedding", mins, maxs).collect()}
+    assert rows[0][0] == rows[1][0] == -128  # constant dim encodes 0-code
+    import pytest
+
+    with pytest.raises(Exception, match="dim"):
+        sq_topk(sq_encode(df, "embedding", mins, maxs),
+                mins, maxs, [0.0] * 3, 1)
