@@ -591,3 +591,93 @@ def test_fuzz_date_funcs(spark, seed):
         f"WHERE ({pred_sql}) AND o_orderpriority IN ({pri_sql})"
     )
     compare(df, sql, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# window-frame fuzz: random ROWS/RANGE frames x aggregates vs DuckDB
+# ---------------------------------------------------------------------------
+
+def _frame_spec(seed: int) -> dict:
+    rng = random.Random(seed * 6101 + 5)
+    kind = rng.choice(["rows", "range"])
+    # bounds: (preceding, following) with a few unbounded variants
+    lo = rng.choice([None, 0, 1, 2, 5])          # None = UNBOUNDED PRECEDING
+    hi = rng.choice([0, 1, 3])                   # k FOLLOWING (0 = CURRENT ROW)
+    agg = rng.choice(["sum", "min", "max", "count", "avg"])
+    return {"kind": kind, "lo": lo, "hi": hi, "agg": agg}
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_window_frames_vs_duckdb(spark, seed):
+    """Random ROWS/RANGE frames over lineitem: partition by l_suppkey,
+    ROWS frames order by the unique (l_orderkey, l_linenumber) composite
+    (tie-free — frame contents identical on both engines), RANGE frames
+    order by integer-valued l_quantity (value-offset windows; ties share
+    one frame by ANSI semantics on both engines). Quantity sums/counts
+    are integer-exact; avg goes through the decimal-mean convention."""
+    spec = _frame_spec(seed)
+    li = read_table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_suppkey") % 10 == 0
+    )
+    lo_s = "UNBOUNDED PRECEDING" if spec["lo"] is None else (
+        "CURRENT ROW" if spec["lo"] == 0 else f"{spec['lo']} PRECEDING"
+    )
+    hi_s = "CURRENT ROW" if spec["hi"] == 0 else f"{spec['hi']} FOLLOWING"
+    lo_b = Window.unboundedPreceding if spec["lo"] is None else -spec["lo"]
+
+    if spec["kind"] == "rows":
+        order_sql = "l_orderkey, l_linenumber"
+        w = (
+            Window.partitionBy("l_suppkey")
+            .orderBy("l_orderkey", "l_linenumber")
+            .rowsBetween(lo_b, spec["hi"])
+        )
+        frame_sql = f"ROWS BETWEEN {lo_s} AND {hi_s}"
+    else:
+        order_sql = "l_quantity"
+        w = (
+            Window.partitionBy("l_suppkey")
+            .orderBy("l_quantity")
+            .rangeBetween(lo_b, spec["hi"])
+        )
+        frame_sql = f"RANGE BETWEEN {lo_s} AND {hi_s}"
+
+    if spec["agg"] == "count":
+        expr = F.count(F.lit(1)).over(w).cast("long")
+        agg_sql = "CAST(count(*) OVER w AS BIGINT)"
+    elif spec["agg"] == "avg":
+        # integer-valued quantities: exact decimal mean, 6dp grid
+        expr = (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w)
+            / F.count(F.lit(1)).over(w)
+        ).cast("decimal(28,6)").cast("double")
+        agg_sql = (
+            "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w"
+            " / count(*) OVER w AS DECIMAL(28,6)) AS DOUBLE)"
+        )
+    else:
+        fn = {"sum": F.sum, "min": F.min, "max": F.max}[spec["agg"]]
+        expr = fn("l_quantity").over(w)
+        agg_sql = f"{spec['agg']}(l_quantity) OVER w"
+
+    got = li.select(
+        "l_orderkey", "l_linenumber", "l_suppkey",
+        expr.alias("win_val"),
+    )
+    sql = f"""
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           {agg_sql} AS win_val
+    FROM lineitem
+    WHERE l_suppkey % 10 = 0
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY {order_sql}
+                 {frame_sql})
+    """
+    compare(got, sql, SF_SMOKE)
+
+
+def test_fuzz_window_frame_specs_cover_the_space():
+    specs = [_frame_spec(s) for s in range(10)]
+    assert {s["kind"] for s in specs} == {"rows", "range"}
+    assert len({s["agg"] for s in specs}) >= 3
+    assert any(s["lo"] is None for s in specs)
+    assert any(s["lo"] not in (None, 0) for s in specs)
