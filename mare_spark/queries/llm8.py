@@ -247,3 +247,52 @@ def text_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intra_doc_chunk_dedup(
         docs, "text", "doc_id", chunk_words=_INTRA_CHUNK
     )
+
+
+_QSK = 256
+
+
+@register(
+    "events_quantile_sketch",
+    category="llm",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR) || ':')) AS rn
+      FROM events
+    ),
+    v AS (
+      SELECT event_type, list_sort(list(value)) AS vals
+      FROM s WHERE rn <= {_QSK}
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           vals[greatest(1, CAST(ceil(0.5 * len(vals)) AS BIGINT))] AS p50,
+           vals[greatest(1, CAST(ceil(0.9 * len(vals)) AS BIGINT))] AS p90,
+           CAST(len(vals) AS INT) AS sample_rows
+    FROM v
+    """,
+)
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches, driver-checked through their defining
+    property: per-(event_type, day) bottom-256 sketches roll up to
+    event_type and read p50/p90 — and because bottom-k merges are EXACT,
+    the oracle replays the read as ONE global bottom-k per event_type
+    (per-day batching is provably invisible). Map-side WindowGroupLimit
+    trims before each exchange; the rollup touches sketch rows only."""
+    from mare_spark.operators.sketches import (
+        merge_quantile_estimates,
+        quantile_sketch_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    per_day = quantile_sketch_table(
+        ev, "value", "event_id", ["event_type", "day"], k=_QSK
+    )
+    return merge_quantile_estimates(
+        per_day, ["event_type"], [0.5, 0.9], k=_QSK
+    )

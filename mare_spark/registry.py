@@ -124,10 +124,14 @@ def register(
 #      (embedding-cluster-balanced diversity sampling) and
 #      corpus_column_profile (ANALYZE-style stats), and a fourth —
 #      sample_temperature_rates by text_intra_doc_dedup (within-doc
-#      chunk dedup, the per-doc complement of the corpus scrub) — each
-#      oracle verified at all 3 SFs before entering the window.
-# The 27 r3-stale rows left over (sample_temperature_rates,
-# sample_apply_mixture,
+#      chunk dedup, the per-doc complement of the corpus scrub), and a
+#      fifth — corpus_mix_report by events_quantile_sketch (the
+#      mergeable bottom-k quantile tables' exact-merge property
+#      hash-checked end-to-end: per-day sketches rolled up ≡ the
+#      oracle's single global bottom-k) — each oracle verified at all
+#      3 SFs before entering the window.
+# The 28 r3-stale rows left over (sample_temperature_rates,
+# corpus_mix_report, sample_apply_mixture,
 # corpus_vocab_stats, corpus_lang_confusion, q_join_left_outer,
 # q_join_range_band, q_having, q_pivot, q_intersect_all, q_except_all,
 # q_sql_returned_items, q_subquery_above_avg, embedding_norm_stats,
@@ -149,6 +153,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_export_shards", "events_gapfill_locf",
     "pack_token_ids_tape", "sample_cluster_balanced",
     "corpus_column_profile", "text_intra_doc_dedup",
+    "events_quantile_sketch",
     # -- 3. anchors --
     "q1_pricing_summary", "q5_local_supplier_volume", "pipeline_clean_corpus",
     # -- 4. all 19 round-2-stale rows (registration order) --
@@ -163,7 +168,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 5. round-3-stale rows (registration order; events_sessionize
     #       swapped in for q14 — see rotation note above) --
     "pipeline_clean_corpus_semantic",
-    "corpus_mix_report", "text_unigram_logprob", "dedup_semantic",
+    "text_unigram_logprob", "dedup_semantic",
     "corpus_ngram_heavy_hitters",
     "events_sessionize",
     # -- 6. the rest of the corpus follows in registration order --
