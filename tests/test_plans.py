@@ -441,3 +441,15 @@ def test_pack_token_tape_single_exchange(spark):
 
     df = all_queries()["pack_token_ids_tape"].fn(spark, SF_ORACLE)
     assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
+
+
+def test_cluster_balanced_sample_windowgrouplimit(spark):
+    """The diversity sampler's only exchange is the cluster-keyed top-k,
+    and Catalyst plans it two-phase (Partial WindowGroupLimit before the
+    exchange) — no whole-cluster sort; assignment itself adds no shuffle."""
+    from mare_spark.registry import all_queries
+
+    df = all_queries()["sample_cluster_balanced"].fn(spark, SF_ORACLE)
+    plan = P.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert P.count_shuffle_exchanges(df) == 1, plan
