@@ -1306,3 +1306,69 @@ def intra_doc_chunk_dedup(
         F.size(chunks).alias("n_chunks"),
         (F.size(chunks) - F.size(kept)).alias("n_chunks_removed"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    *,
+    breaks: tuple[float, ...],
+    n_shards: int,
+    epoch: int = 0,
+    salt: str = "",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Curriculum training order: documents are staged by quality score
+    against FIXED ``breaks`` (stage = how many breaks the score clears,
+    ascending — a loader reads stage 0 first, the highest stage last),
+    and WITHIN each stage the order is the deterministic epoch shuffle
+    (md5(key:epoch:salt), 60-bit shard, per-shard positions). Output:
+    ``(id, *keep_cols, stage, shard, position)`` — replay stage-major,
+    then shard, then position.
+
+    Fixed breaks, not percentiles, on purpose: percentile boundaries
+    move as the corpus grows (and engines interpolate them differently),
+    while literal thresholds keep the stage a pure function of the row —
+    reproducible, resumable, and SQL-replayable. Compute breaks once
+    from `analysis`/`quantile_sketch_table` reads and pin them in the
+    pipeline config.
+
+    Scale: stage assignment is scan-side arithmetic; the only exchange
+    is epoch_shuffle's hash exchange, keyed on (stage, shard) — per-task
+    work is one shard of one stage, never a stage-wide sort.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if list(breaks) != sorted(breaks):
+        raise ValueError(f"breaks must be ascending, got {breaks}")
+    reserved = {"_ord", "stage", "shard", "position"}
+    clash = reserved.intersection({id_col, score_col, *keep_cols})
+    if clash:
+        raise ValueError(
+            f"columns clash with curriculum_order output columns: "
+            f"{sorted(clash)} (reserved: {sorted(reserved)})"
+        )
+    stage = sum(
+        (F.col(score_col) >= F.lit(float(b))).cast("int") for b in breaks
+    )
+    ordkey = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"),
+                    F.lit(str(epoch)), F.lit(salt))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(ordkey, 1, 15), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("stage", "shard").orderBy("_ord", id_col)
+    return (
+        df.select(
+            id_col, *keep_cols,
+            stage.alias("stage"),
+            ordkey.alias("_ord"), shard.alias("shard"),
+        )
+        .withColumn("position", F.row_number().over(w))
+        .drop("_ord")
+    )

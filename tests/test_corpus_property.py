@@ -789,3 +789,84 @@ def test_intra_doc_dedup_is_shuffle_free(spark):
     df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
     out = intra_doc_chunk_dedup(df, "text", "doc_id")
     assert P.count_shuffle_exchanges(out) == 0, P.formatted_plan(out)
+
+
+# --- curriculum_order --------------------------------------------------------
+
+def test_curriculum_order_duckdb_replay(spark):
+    """Full DuckDB replay of the curriculum order over the documents
+    fixture (hashed quality score staged at fixed breaks, md5 epoch
+    order within stage) — the same oracle-grade compare the registry
+    uses, run from pytest."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.corpus import curriculum_order
+    from mare_spark.tables import read_table
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    docs = read_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", (F.col("n_chars") / 1000.0).alias("score")
+    )
+    got = curriculum_order(
+        docs, "score", "doc_id",
+        breaks=(0.2, 0.5), n_shards=4, epoch=1, salt="s",
+    )
+    compare(got, """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(n_chars / 1000.0 >= 0.2 AS INT)
+               + CAST(n_chars / 1000.0 >= 0.5 AS INT) AS stage,
+             md5(CAST(doc_id AS VARCHAR) || ':1:s') AS ord
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, stage,
+             CAST(CAST('0x' || substr(ord, 1, 15) AS BIGINT) % 4 AS INT)
+               AS shard,
+             ord
+      FROM t
+    )
+    SELECT doc_id, stage, shard,
+           CAST(row_number() OVER (
+             PARTITION BY stage, shard ORDER BY ord, doc_id) AS INT)
+             AS position
+    FROM s
+    """, SF_SMOKE)
+
+
+def test_curriculum_order_contract(spark):
+    """Stages ascend with score, (stage, shard, position) is a unique
+    replay address, epoch changes reorder within stages but never move a
+    doc ACROSS stages, and validation guards fire."""
+    import pytest
+
+    from mare_spark.operators.corpus import curriculum_order
+
+    rows = [(i, i / 10.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = curriculum_order(
+        df, "score", "doc_id", breaks=(1.0, 2.0), n_shards=3
+    ).collect()
+    stage_of = {r.doc_id: r.stage for r in out}
+    for i, s in rows:
+        assert stage_of[i] == (s >= 1.0) + (s >= 2.0)
+    addrs = [(r.stage, r.shard, r.position) for r in out]
+    assert len(set(addrs)) == len(addrs)
+
+    other = curriculum_order(
+        df, "score", "doc_id", breaks=(1.0, 2.0), n_shards=3, epoch=2
+    ).collect()
+    assert {r.doc_id: r.stage for r in other} == stage_of  # stages stable
+    assert {(r.doc_id, r.shard, r.position) for r in other} != {
+        (r.doc_id, r.shard, r.position) for r in out
+    }  # order reshuffles
+
+    with pytest.raises(ValueError, match="ascending"):
+        curriculum_order(df, "score", "doc_id", breaks=(2.0, 1.0),
+                         n_shards=2)
+    with pytest.raises(ValueError, match="clash"):
+        curriculum_order(
+            df.withColumnRenamed("score", "stage"), "stage", "doc_id",
+            breaks=(1.0,), n_shards=2,
+        )
