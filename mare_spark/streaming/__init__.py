@@ -685,3 +685,93 @@ def scrub_corpus_stream(
         .start()
     )
     return q, sketch
+
+
+class _BottomKSketch:
+    """Driver-held mergeable bottom-k sample (the streaming twin of
+    ``sketches.quantile_sketch_table``): (md5-hash, value) rows kept
+    sorted by hash, trimmed to k. Merge = concat, hash-dedup, re-trim —
+    associative, idempotent under epoch retries."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.rows: list[tuple[str, float]] = []
+
+    def fold(self, rows) -> None:
+        seen = dict(self.rows)
+        for h, v in rows:
+            seen.setdefault(h, v)
+        self.rows = sorted(seen.items())[: self.k]
+
+    def percentile(self, p: float) -> float:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"p must be in (0, 1], got {p}")
+        if not self.rows:
+            raise ValueError("empty sketch")
+        vals = sorted(v for _h, v in self.rows)
+        import math
+
+        return vals[max(1, math.ceil(p * len(vals))) - 1]
+
+
+def run_quantile_sketch_over_stream(
+    stream_df: DataFrame,
+    value_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 1024,
+    salt: str = "",
+):
+    """Accumulate a bottom-k quantile sample over a stream — latency /
+    size / score distributions during continuous ingestion with O(k)
+    state, the same exact-merge deterministic sample as the batch
+    ``quantile_sketch_table`` (pinned equal by test: any epoch slicing
+    of the same rows converges to the identical sketch).
+
+    Per micro-batch the executors take the batch's bottom-k by
+    ``md5(id:salt)`` (a TakeOrdered — per-partition heaps, no global
+    sort) and the k rows fold into the driver-held sketch inside
+    ``foreachBatch``. Same restart/retry contract as the CMS op: state
+    persists per epoch (atomic tmp+rename) and reloads at construction;
+    retried epochs fold idempotently (hash dedup makes double-folds
+    harmless anyway). Returns ``(query, sketch)``; read
+    ``sketch.percentile(p)`` as epochs commit."""
+    import numpy as np
+
+    loaded, _, save, guard = _sketch_state(
+        checkpoint_dir, "quantile_state.npz"
+    )
+    sketch = _BottomKSketch(k)
+    if loaded is not None:
+        sketch.rows = [
+            (str(h), float(v))
+            for h, v in zip(loaded["hashes"], loaded["values"])
+        ]
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        h = F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(salt))
+        )
+        rows = (
+            batch_df.select(
+                h.alias("h"), F.col(value_col).cast("double").alias("v")
+            )
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        )
+        sketch.fold([(r.h, r.v) for r in rows])
+
+    def persist() -> None:
+        save(
+            hashes=np.array([h for h, _ in sketch.rows], dtype="<U32"),
+            values=np.array([v for _, v in sketch.rows], dtype=np.float64),
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(guard(fold, persist))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return q, sketch

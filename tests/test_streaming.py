@@ -511,3 +511,67 @@ def test_stream_static_enrichment_rejects_stateful_forms(spark, events_dir):
     stream = S.read_events_stream(spark, events_dir)
     with pytest.raises(ValueError, match="stream-static"):
         S.enrich_with_static(stream, dim, on="user_id", how="full")
+
+
+def test_streaming_quantile_sketch_equals_batch(spark, tmp_path):
+    """The bottom-k sample accumulated across micro-batches equals the
+    batch quantile sketch over the union (exact merges make epoch
+    slicing invisible), and a restarted query resumes full history."""
+    from mare_spark.operators.sketches import (
+        merge_quantile_estimates,
+        quantile_sketch_table,
+    )
+
+    d = tmp_path / "vals_landing"
+    d.mkdir()
+    a = spark.range(0, 3000).selectExpr(
+        "id", "CAST(id % 997 AS DOUBLE) AS v"
+    )
+    b = spark.range(3000, 5000).selectExpr(
+        "id", "CAST(id % 499 AS DOUBLE) AS v"
+    )
+    a.write.parquet(str(d / "f0.parquet"))
+
+    stream = spark.readStream.schema("id long, v double").parquet(
+        str(d) + "/*"
+    )
+    q, sk = S.run_quantile_sketch_over_stream(
+        stream, "v", "id", str(tmp_path / "qckpt"), k=128
+    )
+    try:
+        q.processAllAvailable()
+        b.write.parquet(str(d / "f1.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union = a.unionAll(b).selectExpr("id", "v", "'g' AS g")
+    batch = quantile_sketch_table(union, "v", "id", ["g"], k=128).head()
+    want = sorted((r.h, r.v) for r in
+                  [type("R", (), dict(h=e.h, v=e.v))()
+                   for e in batch.quantile_sketch])
+    assert sk.rows == want
+    est = merge_quantile_estimates(
+        quantile_sketch_table(union, "v", "id", ["g"], k=128),
+        ["g"], [0.5], k=128,
+    ).head()
+    assert sk.percentile(0.5) == est.p50
+
+    # RESTART: new query on the same checkpoint resumes full history
+    c = spark.range(5000, 6000).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS v"
+    )
+    c.write.parquet(str(d / "f2.parquet"))
+    stream2 = spark.readStream.schema("id long, v double").parquet(
+        str(d) + "/*"
+    )
+    q2, sk2 = S.run_quantile_sketch_over_stream(
+        stream2, "v", "id", str(tmp_path / "qckpt"), k=128
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    union3 = union.unionAll(c.selectExpr("id", "v", "'g' AS g"))
+    batch3 = quantile_sketch_table(union3, "v", "id", ["g"], k=128).head()
+    assert sk2.rows == sorted((e.h, e.v) for e in batch3.quantile_sketch)
