@@ -371,3 +371,81 @@ def sq_topk(
         .orderBy("dist", id_col)
         .limit(k)
     )
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    keep_vectors: bool = False,
+) -> None:
+    """Materialize the corpus as an on-disk IVF-PQ index: every row gets
+    its IVF cell (→ PARTITION column: probes are partition-pruned scans,
+    like :func:`~mare_spark.operators.similarity.write_ivf_index`) and
+    its PQ codes (→ the scanned bytes per probed row are m·4 instead of
+    dim·4). ``keep_vectors=True`` additionally stores the raw vectors so
+    the exact re-rank reads from the index itself; the codes-only
+    default is the ~20× smaller layout — rerank then joins the original
+    vector table on the shortlist ids (a k-row semi-join). Both
+    assignment passes are scan-side Arrow; the write shuffles nothing.
+    """
+    from mare_spark.operators.similarity import ivf_assign
+
+    coded = pq_assign(
+        ivf_assign(df, centroids, vec_col=vec_col, cell_col=cell_col),
+        vec_col, id_col, codebooks,
+    )
+    cols = [id_col, "pq_codes", cell_col] + (
+        [vec_col] if keep_vectors else []
+    )
+    coded.select(*cols).write.mode("overwrite").partitionBy(
+        cell_col
+    ).parquet(path)
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int,
+    *,
+    nprobe: int = 4,
+    rerank_shortlist: int | None = None,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k probe against a :func:`write_ivfpq_index` layout: the
+    query's ``nprobe`` nearest cells become a PartitionFilter (only
+    those directories are listed/read — plan-asserted in tests), ADC
+    scores the probed codes, and — when the index stores vectors and
+    ``rerank_shortlist`` is set — the exact re-rank runs over the
+    shortlist only. Returns ``(id, adc_dist)`` or ``(id, dist)``
+    ascending."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:nprobe]]
+    probed = spark.read.parquet(index_path).filter(
+        F.col(cell_col).isin(probe_cells)
+    )
+    if rerank_shortlist is not None:
+        if vec_col not in probed.columns:
+            raise ValueError(
+                "rerank needs keep_vectors=True at write time (or join "
+                "the shortlist against the vector table yourself)"
+            )
+        return pq_topk_rerank(
+            probed, codebooks, query_vec, k,
+            shortlist=rerank_shortlist, id_col=id_col, vec_col=vec_col,
+        )
+    return pq_topk(probed, codebooks, query_vec, k, id_col=id_col)

@@ -453,3 +453,47 @@ def test_cluster_balanced_sample_windowgrouplimit(spark):
     plan = P.formatted_plan(df)
     assert "WindowGroupLimit" in plan, plan
     assert P.count_shuffle_exchanges(df) == 1, plan
+
+
+def test_ivfpq_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The IVF-PQ layout probes like the raw IVF index — PartitionFilters
+    on the cell column, fewer files opened than written — while scanning
+    CODES, not vectors; the keep_vectors rerank path returns exact-L2
+    order over the shortlist."""
+    from mare_spark.operators.pq import (
+        ivfpq_topk_indexed,
+        train_pq_codebooks,
+        write_ivfpq_index,
+    )
+    from mare_spark.operators.similarity import train_ivf_centroids
+    from mare_spark.tables import read_table
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    cents = train_ivf_centroids(emb, nlist=8)
+    books = train_pq_codebooks(emb, "embedding", "vec_id", m=16, nbits=6)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb, path, cents, books, keep_vectors=True)
+
+    q = list(emb.select("embedding").head()[0])
+    probe = ivfpq_topk_indexed(
+        spark, path, cents, books, q, 5, nprobe=2
+    )
+    plan = P.formatted_plan(probe)
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "ivf_cell" in pf and "IN" in pf, plan
+    assert probe.count() == 5
+    leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
+    n_files = None
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numFiles"):
+            n_files = m.apply("numFiles").value()
+            break
+    total_files = len(spark.read.parquet(path).inputFiles())
+    assert n_files is not None and n_files < total_files
+
+    rer = ivfpq_topk_indexed(
+        spark, path, cents, books, q, 5, nprobe=8, rerank_shortlist=50
+    ).collect()
+    assert len(rer) == 5 and rer[0].dist <= rer[-1].dist
