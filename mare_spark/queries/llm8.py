@@ -9,7 +9,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mare_spark.queries._decimal import sql_fround
 from mare_spark.queries.llm2 import _WORDS
 from mare_spark.registry import register
 from mare_spark.tables import read_table
