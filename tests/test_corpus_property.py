@@ -870,3 +870,19 @@ def test_curriculum_order_contract(spark):
             df.withColumnRenamed("score", "stage"), "stage", "doc_id",
             breaks=(1.0,), n_shards=2,
         )
+
+
+def test_pack_token_tape_layout_independent(spark):
+    """Repartitioning the corpus may not change a single sequence —
+    placements are a pure function of (group, id order)."""
+    from mare_spark.operators.corpus import pack_token_tape
+
+    rows = [(i, list(range(i * 7, i * 7 + 2 + i % 6))) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    a = {(r.pack_shard, r.seq_id): list(r.token_ids)
+         for r in pack_token_tape(df, "ids", "doc_id",
+                                  shards=2, max_len=9).collect()}
+    b = {(r.pack_shard, r.seq_id): list(r.token_ids)
+         for r in pack_token_tape(df.repartition(11), "ids", "doc_id",
+                                  shards=2, max_len=9).collect()}
+    assert a == b
