@@ -449,3 +449,86 @@ def ivfpq_topk_indexed(
             shortlist=rerank_shortlist, id_col=id_col, vec_col=vec_col,
         )
     return pq_topk(probed, codebooks, query_vec, k, id_col=id_col)
+
+
+def ivfpq_topk_batch(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int,
+    *,
+    nprobe: int = 4,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """BATCH retrieval — the "score a million queries against the corpus
+    tonight" shape: every query explodes into its ``nprobe`` nearest IVF
+    cells (one Arrow matmul per batch of queries), candidates arrive via
+    an ordinary equi-join KEYED ON THE CELL (hash exchange — no
+    cartesian; AQE splits hot cells), ADC scores each (query, candidate)
+    pair from the codes with a per-batch distance-table memo (one table
+    per distinct query per Arrow batch), and a per-query top-k window
+    finishes (row_number ≤ k ⇒ two-phase WindowGroupLimit: map tasks
+    pre-trim before the exchange). A (query, row) pair meets at most
+    once — rows live in exactly one cell.
+
+    Returns ``(qid, vec_id, adc_dist, rnk)`` with rnk 1..k per query.
+    """
+    from pyspark.sql.window import Window
+
+    m, _kk, dsub = codebooks.shape
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ cn.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    probes.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    probe_udf = F.pandas_udf(probes, "array<int>")
+
+    exploded = queries.select(
+        qid_col, qvec_col,
+        F.explode(probe_udf(F.col(qvec_col))).alias(cell_col),
+    )
+    cand = exploded.join(
+        index.select(id_col, codes_col, cell_col), cell_col
+    )
+
+    def adc(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
+        memo: dict = {}
+        out = []
+        for qv, cs in zip(qvecs, codes):
+            key = bytes(np.asarray(qv, dtype=np.float64).data)
+            table = memo.get(key)
+            if table is None:
+                q = np.asarray(qv, dtype=np.float64)
+                table = np.stack(
+                    [
+                        ((codebooks[j]
+                          - q[j * dsub : (j + 1) * dsub][None, :]) ** 2)
+                        .sum(axis=1)
+                        for j in range(m)
+                    ]
+                )
+                memo[key] = table
+            out.append(float(sum(table[j, c] for j, c in enumerate(cs))))
+        return pd.Series(out, dtype="float64")
+
+    adc.__annotations__ = {
+        "qvecs": pd.Series, "codes": pd.Series, "return": pd.Series,
+    }
+    dist = F.pandas_udf(adc, "double")(F.col(qvec_col), F.col(codes_col))
+    w = Window.partitionBy(qid_col).orderBy("adc_dist", id_col)
+    return (
+        cand.select(qid_col, id_col, dist.alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

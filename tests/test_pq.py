@@ -259,3 +259,63 @@ def test_scalar_quantizer_constant_dim_and_validation(spark):
     with pytest.raises(Exception, match="dim"):
         sq_topk(sq_encode(df, "embedding", mins, maxs),
                 mins, maxs, [0.0] * 3, 1)
+
+
+def test_ivfpq_batch_equals_per_query_probe(spark, emb):
+    """The batch probe (explode cells -> keyed join -> ADC -> per-query
+    top-k window) returns the same ids per query as running the
+    single-query indexed probe in a loop, and plans the top-k as a
+    two-phase WindowGroupLimit with no cartesian join."""
+    from pyspark.sql import functions as F
+
+    from mare_spark import plans as P
+    from mare_spark.operators.pq import (
+        ivfpq_topk_batch,
+        pq_assign,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from mare_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, nlist=8)
+    books = train_pq_codebooks(emb, "embedding", "vec_id", m=8, nbits=4)
+    index = pq_assign(
+        ivf_assign(emb, cents), "embedding", "vec_id", books
+    ).persist()
+    try:
+        queries = (
+            emb.orderBy("vec_id").limit(5)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qvec"))
+        )
+        batch = ivfpq_topk_batch(
+            queries, index, cents, books, 5, nprobe=3
+        )
+        plan = P.formatted_plan(batch)
+        assert "WindowGroupLimit" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r.qid, []).append((r.rnk, r.vec_id))
+
+        import numpy as np
+        qn = {r.qid: np.asarray(r.qvec, dtype=np.float64)
+              for r in queries.collect()}
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        for qid, qv in qn.items():
+            u = qv / max(np.linalg.norm(qv), 1e-12)
+            cells = [int(c) for c in np.argsort(-(cn @ u))[:3]]
+            want = [
+                r.vec_id for r in pq_topk(
+                    index.filter(F.col("ivf_cell").isin(cells)),
+                    books, list(qv), 5,
+                ).collect()
+            ]
+            assert [v for _rnk, v in sorted(got[qid])] == want, qid
+    finally:
+        index.unpersist()
