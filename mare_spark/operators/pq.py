@@ -45,7 +45,52 @@ def _sample_vectors(
         .orderBy(F.md5(F.col(id_col).cast("string")))
         .head(sample)
     )
-    return np.array([list(r[0]) for r in rows], dtype=np.float64)
+    vecs = [r[0] for r in rows]
+    if any(v is None for v in vecs):
+        raise ValueError(f"NULL {vec_col!r} in the training sample")
+    lens = {len(v) for v in vecs}
+    if len(lens) > 1:
+        raise ValueError(
+            f"ragged {vec_col!r} lengths in the training sample: "
+            f"{sorted(lens)}"
+        )
+    return np.array([list(v) for v in vecs], dtype=np.float64)
+
+
+def _adc_table(codebooks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Query-side (m, 2^nbits) squared-L2 lookup table — the one piece
+    of per-query work every ADC probe shares."""
+    m, _k, dsub = codebooks.shape
+    return np.stack(
+        [
+            ((codebooks[j] - q[j * dsub : (j + 1) * dsub][None, :]) ** 2)
+            .sum(axis=1)
+            for j in range(m)
+        ]
+    )
+
+
+def _probe_cells(centroids: np.ndarray, q: np.ndarray, nprobe: int) -> list:
+    """The query's nprobe nearest IVF cells under the same normalized-
+    cosine rule `ivf_assign` uses — shared by every indexed probe."""
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    return [int(c) for c in np.argsort(-(cn @ qn))[:nprobe]]
+
+
+def _adc_batch(table: np.ndarray, code_rows: list) -> np.ndarray:
+    """Vectorized ADC for a batch of code lists against one table:
+    one fancy-index gather + row sum, validating code width once."""
+    m = table.shape[0]
+    C = np.array(code_rows, dtype=np.int64)
+    if C.ndim != 2 or C.shape[1] != m:
+        raise ValueError(
+            f"codes width {C.shape[1] if C.ndim == 2 else 'ragged'} "
+            f"!= codebooks m={m} — index and probe quantizers differ"
+        )
+    return table[np.arange(m)[None, :], C].sum(axis=1)
 
 
 def train_pq_codebooks(
@@ -94,18 +139,25 @@ def _codes_udf(books: np.ndarray):
     m, _k, dsub = books.shape
 
     def codes(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            if v is None:
-                out.append(None)
-                continue
-            x = np.asarray(v, dtype=np.float64)
-            cs = []
-            for j in range(m):
-                s = x[j * dsub : (j + 1) * dsub]
-                d2 = ((books[j] - s[None, :]) ** 2).sum(axis=1)
-                cs.append(int(d2.argmin()))
-            out.append(cs)
+        mask = vecs.notna().to_numpy()
+        out = np.empty(len(vecs), dtype=object)
+        out[~mask] = None
+        live = vecs[mask]
+        if len(live):
+            # one (rows, k) distance matrix per subspace — vectorized
+            # across the whole Arrow batch, no per-row Python
+            X = np.array(live.tolist(), dtype=np.float64)
+            cols = [
+                (
+                    ((X[:, j * dsub : (j + 1) * dsub, None]
+                      - books[j].T[None, :, :]) ** 2).sum(axis=1)
+                ).argmin(axis=1)
+                for j in range(m)
+            ]
+            C = np.stack(cols, axis=1).astype(np.int32)
+            vals = np.empty(len(live), dtype=object)
+            vals[:] = [row.tolist() for row in C]
+            out[mask] = vals
         return pd.Series(out)
 
     codes.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
@@ -115,14 +167,14 @@ def _codes_udf(books: np.ndarray):
 def pq_assign(
     df: DataFrame,
     vec_col: str,
-    id_col: str,
     codebooks: np.ndarray,
     *,
     out_col: str = "pq_codes",
 ) -> DataFrame:
     """Append ``out_col``: the vector's ``m`` codebook indices — the
     compressed representation (m · nbits bits vs dim · 32). Scan-side
-    Arrow pass, codebooks ride the closure, zero shuffle."""
+    Arrow pass (one batched distance matrix per subspace), codebooks
+    ride the closure, zero shuffle."""
     return df.withColumn(out_col, _codes_udf(codebooks)(F.col(vec_col)))
 
 
@@ -156,22 +208,17 @@ def pq_topk(
         raise ValueError(
             f"query dim {q.shape[0]} != codebook dim {m * dsub}"
         )
-    table = np.stack(
-        [
-            ((codebooks[j] - q[j * dsub : (j + 1) * dsub][None, :]) ** 2)
-            .sum(axis=1)
-            for j in range(m)
-        ]
-    )  # (m, 2^nbits)
+    table = _adc_table(codebooks, q)  # (m, 2^nbits)
 
     def adc(codes: pd.Series) -> pd.Series:
-        out = []
-        for cs in codes:
-            if cs is None:
-                out.append(None)
-            else:
-                out.append(float(sum(table[j, c] for j, c in enumerate(cs))))
-        return pd.Series(out, dtype="float64")
+        mask = codes.notna().to_numpy()
+        out = np.full(len(codes), np.nan)
+        live = codes[mask]
+        if len(live):
+            out[mask] = _adc_batch(table, live.tolist())
+        res = pd.Series(out, dtype="float64")
+        res[~mask] = None
+        return res
 
     adc.__annotations__ = {"codes": pd.Series, "return": pd.Series}
     dist = F.pandas_udf(adc, "double")(F.col(codes_col))
@@ -216,11 +263,9 @@ def pq_topk_rerank(
     q = np.asarray(list(query_vec), dtype=np.float64)
 
     def exact(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            out.append(float(((q - x) ** 2).sum()))
-        return pd.Series(out, dtype="float64")
+        X = np.array(vecs.tolist(), dtype=np.float64)  # shortlist-sized
+        return pd.Series(((q[None, :] - X) ** 2).sum(axis=1),
+                         dtype="float64")
 
     exact.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     dist = F.pandas_udf(exact, "double")(F.col(vec_col))
@@ -255,16 +300,23 @@ def fit_scalar_quantizer(
 
     def partials(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         for batch in batches:
             col = batch.column(0)
-            arr = np.array(col.to_pylist(), dtype=np.float64)
-            if arr.size == 0:
+            if len(col) == 0:
                 continue
-            if arr.ndim != 2 or arr.shape[1] != dim:
+            if col.null_count:
+                raise ValueError(f"NULL vectors in the {dim}-dim fit")
+            lens = pc.unique(pc.list_value_length(col)).to_pylist()
+            if lens != [dim]:
                 raise ValueError(
-                    f"expected fixed {dim}-dim vectors, got {arr.shape}"
+                    f"expected fixed {dim}-dim vectors, got lengths {lens}"
                 )
+            # Arrow-native: the list column's flat values reshape
+            # directly — no Python-object round trip on the corpus pass
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            arr = flat.reshape(-1, dim)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.arange(dim, dtype=np.int32)),
@@ -281,6 +333,8 @@ def fit_scalar_quantizer(
         .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
         .collect()
     )
+    if not rows:
+        raise ValueError("empty input — cannot fit a scalar quantizer")
     mins = np.zeros(dim, dtype=np.float64)
     maxs = np.zeros(dim, dtype=np.float64)
     for r in rows:
@@ -398,7 +452,7 @@ def write_ivfpq_index(
 
     coded = pq_assign(
         ivf_assign(df, centroids, vec_col=vec_col, cell_col=cell_col),
-        vec_col, id_col, codebooks,
+        vec_col, codebooks,
     )
     cols = [id_col, "pq_codes", cell_col] + (
         [vec_col] if keep_vectors else []
@@ -430,13 +484,8 @@ def ivfpq_topk_indexed(
     shortlist only. Returns ``(id, adc_dist)`` or ``(id, dist)``
     ascending."""
     q = np.asarray(list(query_vec), dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-    )
-    probe_cells = [int(c) for c in np.argsort(-(cn @ qn))[:nprobe]]
     probed = spark.read.parquet(index_path).filter(
-        F.col(cell_col).isin(probe_cells)
+        F.col(cell_col).isin(_probe_cells(centroids, q, nprobe))
     )
     if rerank_shortlist is not None:
         if vec_col not in probed.columns:
@@ -480,7 +529,6 @@ def ivfpq_topk_batch(
     """
     from pyspark.sql.window import Window
 
-    m, _kk, dsub = codebooks.shape
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
@@ -503,24 +551,25 @@ def ivfpq_topk_batch(
     )
 
     def adc(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
-        memo: dict = {}
-        out = []
-        for qv, cs in zip(qvecs, codes):
+        # group the batch by query, build one table per distinct query,
+        # score each group with one vectorized gather (NULL codes -> NULL,
+        # matching the single-query probe)
+        out = np.full(len(codes), np.nan)
+        groups: dict = {}
+        for i, (qv, cs) in enumerate(zip(qvecs, codes)):
+            if cs is None:
+                continue
             key = bytes(np.asarray(qv, dtype=np.float64).data)
-            table = memo.get(key)
-            if table is None:
-                q = np.asarray(qv, dtype=np.float64)
-                table = np.stack(
-                    [
-                        ((codebooks[j]
-                          - q[j * dsub : (j + 1) * dsub][None, :]) ** 2)
-                        .sum(axis=1)
-                        for j in range(m)
-                    ]
-                )
-                memo[key] = table
-            out.append(float(sum(table[j, c] for j, c in enumerate(cs))))
-        return pd.Series(out, dtype="float64")
+            groups.setdefault(key, (np.asarray(qv, dtype=np.float64), []))[
+                1
+            ].append((i, cs))
+        for q, items in groups.values():
+            table = _adc_table(codebooks, q)
+            idx = [i for i, _cs in items]
+            out[idx] = _adc_batch(table, [cs for _i, cs in items])
+        res = pd.Series(out, dtype="float64")
+        res[pd.isna(res)] = None
+        return res
 
     adc.__annotations__ = {
         "qvecs": pd.Series, "codes": pd.Series, "return": pd.Series,
@@ -529,6 +578,7 @@ def ivfpq_topk_batch(
     w = Window.partitionBy(qid_col).orderBy("adc_dist", id_col)
     return (
         cand.select(qid_col, id_col, dist.alias("adc_dist"))
+        .filter(F.col("adc_dist").isNotNull())
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )

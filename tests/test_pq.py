@@ -33,7 +33,7 @@ def test_assign_matches_numpy_argmin(spark, emb):
     books = train_pq_codebooks(emb, "embedding", "vec_id", m=4, nbits=4)
     got = {
         r.vec_id: list(r.pq_codes)
-        for r in pq_assign(emb, "embedding", "vec_id", books).collect()
+        for r in pq_assign(emb, "embedding", books).collect()
     }
     raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
            for r in emb.collect()}
@@ -59,7 +59,7 @@ def test_adc_identity_exact_vs_reconstruction(spark, emb):
     )
 
     books = train_pq_codebooks(emb, "embedding", "vec_id", m=8, nbits=4)
-    coded = pq_assign(emb, "embedding", "vec_id", books)
+    coded = pq_assign(emb, "embedding", books)
     q = [r.embedding for r in emb.orderBy("vec_id").head(1)][0]
     top = pq_topk(coded, books, q, 20).collect()
     codes = {r.vec_id: list(r.pq_codes) for r in coded.collect()}
@@ -94,7 +94,7 @@ def test_pq_recall_against_exact_neighbors(spark, emb):
         )[:20]
     }
     books = train_pq_codebooks(emb, "embedding", "vec_id", m=16, nbits=6)
-    coded = pq_assign(emb, "embedding", "vec_id", books).persist()
+    coded = pq_assign(emb, "embedding", books).persist()
     adc_only = {r.vec_id for r in pq_topk(coded, books, list(q), 20).collect()}
     assert len(adc_only & true_top) / 20 >= 0.4  # compression-only floor
     # coded still carries the raw vectors — exactly what rerank wants
@@ -114,7 +114,7 @@ def test_pq_validates_inputs(spark, emb):
     books = train_pq_codebooks(emb, "embedding", "vec_id", m=4, nbits=3)
     from mare_spark.operators.pq import pq_assign
 
-    coded = pq_assign(emb, "embedding", "vec_id", books)
+    coded = pq_assign(emb, "embedding", books)
     with pytest.raises(ValueError, match="query dim"):
         pq_topk(coded, books, [0.0] * 3, 5)
 
@@ -128,7 +128,7 @@ def test_pq_topk_plan_is_take_ordered(spark, emb):
     )
 
     books = train_pq_codebooks(emb, "embedding", "vec_id", m=4, nbits=4)
-    coded = pq_assign(emb, "embedding", "vec_id", books)
+    coded = pq_assign(emb, "embedding", books)
     q = [r.embedding for r in emb.orderBy("vec_id").head(1)][0]
     df = pq_topk(coded, books, q, 10)
     assert P.uses_take_ordered(df), P.formatted_plan(df)
@@ -155,7 +155,7 @@ def test_ivf_pq_composition_probe(spark, emb):
     cents = train_ivf_centroids(emb, nlist=8)
     books = train_pq_codebooks(emb, "embedding", "vec_id", m=16, nbits=6)
     table = pq_assign(
-        ivf_assign(emb, cents), "embedding", "vec_id", books
+        ivf_assign(emb, cents), "embedding", books
     ).persist()
     try:
         raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
@@ -283,7 +283,7 @@ def test_ivfpq_batch_equals_per_query_probe(spark, emb):
     cents = train_ivf_centroids(emb, nlist=8)
     books = train_pq_codebooks(emb, "embedding", "vec_id", m=8, nbits=4)
     index = pq_assign(
-        ivf_assign(emb, cents), "embedding", "vec_id", books
+        ivf_assign(emb, cents), "embedding", books
     ).persist()
     try:
         queries = (
@@ -319,3 +319,60 @@ def test_ivfpq_batch_equals_per_query_probe(spark, emb):
             assert [v for _rnk, v in sorted(got[qid])] == want, qid
     finally:
         index.unpersist()
+
+
+def test_pq_guard_paths_from_review(spark, emb):
+    """Review-driven guards: probing with a DIFFERENT quantizer's m
+    raises (never silently truncates the ADC sum); fitting a scalar
+    quantizer on an empty frame raises; NULL codes in the batch probe
+    drop out instead of crashing the job; NULL/ragged training samples
+    raise with named causes."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.pq import (
+        fit_scalar_quantizer,
+        ivfpq_topk_batch,
+        pq_assign,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from mare_spark.operators.similarity import train_ivf_centroids
+
+    books8 = train_pq_codebooks(emb, "embedding", "vec_id", m=8, nbits=4)
+    books16 = train_pq_codebooks(emb, "embedding", "vec_id", m=16, nbits=4)
+    coded8 = pq_assign(emb, "embedding", books8)
+    q = list(emb.select("embedding").head()[0])
+    # same 64-dim space, wrong m: the dim check passes, the width check
+    # must catch it
+    with pytest.raises(Exception, match="quantizers differ"):
+        pq_topk(coded8, books16, q, 3).collect()
+
+    with pytest.raises(ValueError, match="empty input"):
+        fit_scalar_quantizer(
+            emb.filter(F.col("vec_id") < 0), "embedding", 64
+        )
+
+    with pytest.raises(ValueError, match="NULL"):
+        train_pq_codebooks(
+            emb.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 2 == 0, F.col("embedding")),
+            ),
+            "embedding", "vec_id", m=8,
+        )
+
+    # NULL codes rows drop out of the batch probe (parity with pq_topk)
+    cents = train_ivf_centroids(emb, nlist=4)
+    from mare_spark.operators.similarity import ivf_assign
+
+    index = pq_assign(ivf_assign(emb, cents), "embedding", books8)
+    index = index.withColumn(
+        "pq_codes",
+        F.when(F.col("vec_id") % 7 != 0, F.col("pq_codes")),
+    )
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivfpq_topk_batch(queries, index, cents, books8, 5, nprobe=4)
+    rows = out.collect()
+    assert rows and all(r.vec_id % 7 != 0 for r in rows)
