@@ -128,6 +128,7 @@ def export_training_shards(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
 
+    _check_export_input(slim, id_col, token_col)
     sharded = slim.withColumn("shard", _shard_col(id_col, n_shards))
     writer = (
         sharded.repartition(n_shards, "shard")
@@ -140,34 +141,11 @@ def export_training_shards(
     else:
         writer.json(spark_path)
 
-    # fingerprint what actually landed, not the plan that produced it
-    spark = df.sparkSession
-    written = _read_shards(spark, spark_path, fmt)
-    stats = (
-        _shard_stats(written, id_col, token_col)
-        .orderBy("shard")
-        .collect()
+    return _fingerprint_and_manifest(
+        df.sparkSession, spark_path, manifest_local,
+        fmt=fmt, id_col=id_col, token_col=token_col, n_shards=n_shards,
+        columns=sharded.columns,
     )
-    manifest = {
-        "format": fmt,
-        "id_col": id_col,
-        "token_col": token_col,
-        "n_shards": n_shards,
-        "total_rows": sum(r["rows"] for r in stats),
-        "total_tokens": sum(r["tokens"] for r in stats),
-        "shards": [
-            {
-                "shard": r["shard"],
-                "rows": r["rows"],
-                "tokens": r["tokens"],
-                "id_xor": r["id_xor"],
-            }
-            for r in stats
-        ],
-    }
-    with open(manifest_local, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    return manifest
 
 
 def refresh_training_shards(
@@ -208,14 +186,40 @@ def refresh_training_shards(
     with open(manifest_local, encoding="utf-8") as fh:
         manifest = json.load(fh)
     id_col, token_col = manifest["id_col"], manifest["token_col"]
-    n_shards, fmt = manifest["n_shards"], manifest["format"]
+    n_shards = manifest["n_shards"]
 
     slim = df.select(id_col, token_col, *keep_cols)
     sharded = slim.withColumn("shard", _shard_col(id_col, n_shards))
+    _check_refresh_columns(sharded, manifest, path)
+    bad = sharded.filter(
+        F.col(id_col).isNull() | F.col(token_col).isNull()
+    ).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"NULL {id_col!r}/{token_col!r} rows cannot be exported — "
+            "filter or fill them first"
+        )
     return _refresh_from_sharded(
         spark, sharded, manifest, spark_path, manifest_local,
         sort_col=id_col,
     )
+
+
+def _check_refresh_columns(
+    sharded: DataFrame, manifest: dict, path: str
+) -> None:
+    """A refresh must write the SAME schema the export recorded —
+    otherwise rewritten shards silently diverge from clean ones (the
+    fingerprint covers rows/tokens/id digest, not columns, so
+    verify_export would still pass). Manifests from before the
+    ``columns`` field skip the check."""
+    want = manifest.get("columns")
+    if want is not None and sorted(sharded.columns) != want:
+        raise ExportIntegrityError(
+            f"refresh columns {sorted(sharded.columns)} != exported "
+            f"columns {want} under {path!r} — pass the same keep_cols "
+            "the export used"
+        )
 
 
 def _refresh_from_sharded(
@@ -263,11 +267,11 @@ def _refresh_from_sharded(
                 writer.json(spark_path)
             # shards that vanished entirely: dynamic overwrite wrote no
             # replacement dir, so drop the stale one
+            import shutil
+
             local_root = manifest_local[: -len(MANIFEST_NAME)]
             for k in changed:
                 if k not in new_stats:
-                    import shutil
-
                     shutil.rmtree(
                         os.path.join(local_root, f"shard={k}"),
                         ignore_errors=True,
@@ -296,8 +300,7 @@ def _refresh_from_sharded(
             for k, v in sorted(new_stats.items())
         ],
     )
-    with open(manifest_local, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    _write_manifest(manifest_local, manifest)
     return manifest, changed
 
 
@@ -308,20 +311,97 @@ def _manifest_path(path: str) -> tuple[str, str]:
     return spark_path, os.path.join(local, MANIFEST_NAME)
 
 
+def _write_manifest(manifest_local: str, manifest: dict) -> None:
+    """Atomic manifest write (tmp + rename): the manifest is the export's
+    completion/integrity marker, so a crash mid-write must leave either
+    the old manifest or the new one — never a torn file."""
+    tmp = manifest_local + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, manifest_local)
+
+
+def _check_export_input(slim: DataFrame, id_col: str, token_col: str) -> None:
+    """Refuse the inputs that corrupt an export silently or crash it
+    after the (destructive, mode=overwrite) write: an empty frame would
+    delete the previous export and leave an unreadable tree; NULL ids
+    land in __HIVE_DEFAULT_PARTITION__ and break refresh; NULL tokens
+    null out a shard's fingerprint sum. One early-exit limit(1) probe."""
+    bad = slim.filter(
+        F.col(id_col).isNull() | F.col(token_col).isNull()
+    ).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"NULL {id_col!r}/{token_col!r} rows cannot be exported — "
+            "filter or fill them first"
+        )
+    if slim.limit(1).count() == 0:
+        raise ValueError(
+            "refusing to export an EMPTY DataFrame (mode=overwrite would "
+            "destroy any previous export at this path)"
+        )
+
+
 def _read_shards(spark: SparkSession, path: str, fmt: str) -> DataFrame:
-    reader = spark.read.format(fmt)
-    if fmt == "json":
-        # JSON-lines carries no schema; shard comes from the dir name
-        reader = reader.option("inferSchema", "true")
-    return reader.option("basePath", path).load(path)
+    # (JSON-lines carries no schema; the JSON source always infers, and
+    # the shard key comes from the directory name either way)
+    return spark.read.format(fmt).option("basePath", path).load(path)
 
 
-def verify_export(spark: SparkSession, path: str) -> dict:
+def _fingerprint_and_manifest(
+    spark: SparkSession,
+    spark_path: str,
+    manifest_local: str,
+    *,
+    fmt: str,
+    id_col: str,
+    token_col: str,
+    n_shards: int,
+    columns: list[str],
+) -> dict:
+    """Shared post-write step for both export flavors: fingerprint what
+    actually LANDED (never the plan), then atomically write the manifest
+    recording the schema alongside the per-shard stats."""
+    written = _read_shards(spark, spark_path, fmt)
+    stats = (
+        _shard_stats(written, id_col, token_col).orderBy("shard").collect()
+    )
+    manifest = {
+        "format": fmt,
+        "id_col": id_col,
+        "token_col": token_col,
+        "n_shards": n_shards,
+        "columns": sorted(columns),
+        "total_rows": sum(r["rows"] for r in stats),
+        "total_tokens": sum(r["tokens"] for r in stats),
+        "shards": [
+            {
+                "shard": r["shard"],
+                "rows": r["rows"],
+                "tokens": r["tokens"],
+                "id_xor": r["id_xor"],
+            }
+            for r in stats
+        ],
+    }
+    _write_manifest(manifest_local, manifest)
+    return manifest
+
+
+def verify_export(
+    spark: SparkSession,
+    path: str,
+    *,
+    shards: list[int] | None = None,
+) -> dict:
     """Re-derive per-shard stats from the files and diff against the
     manifest. Returns the manifest on success; raises
     :class:`ExportIntegrityError` naming every mismatched or missing
     shard otherwise. One bounded aggregate job — cheap enough to run at
-    the top of every training epoch."""
+    the top of every training epoch. ``shards=[...]`` verifies ONLY
+    those shards (manifest entries are per-shard, so subset verification
+    is well-defined) — a data-parallel loader's rank checks the shards
+    it owns instead of re-scanning the whole export per rank."""
     spark_path, manifest_file = _manifest_path(path)
     if not os.path.exists(manifest_file):
         raise ExportIntegrityError(
@@ -331,7 +411,33 @@ def verify_export(spark: SparkSession, path: str) -> dict:
     with open(manifest_file, encoding="utf-8") as fh:
         manifest = json.load(fh)
 
+    expected = manifest["shards"]
+    if shards is not None:
+        wanted = set(shards)
+        expected = [s for s in expected if s["shard"] in wanted]
+        missing = wanted - {s["shard"] for s in expected}
+        if missing:
+            raise ExportIntegrityError(
+                f"shards {sorted(missing)} not in the manifest under "
+                f"{path!r}"
+            )
+    manifest_dir = manifest_file[: -len(MANIFEST_NAME)]
+    on_disk_dirs = [
+        d for d in os.listdir(manifest_dir) if d.startswith("shard=")
+    ]
+    if not manifest["shards"]:
+        # a legitimately-emptied export (refresh deleted every shard):
+        # nothing to read — just require the tree to be empty too
+        if on_disk_dirs:
+            raise ExportIntegrityError(
+                f"manifest lists no shards but {sorted(on_disk_dirs)} "
+                f"exist under {path!r}"
+            )
+        return manifest
+
     written = _read_shards(spark, spark_path, manifest["format"])
+    if shards is not None:
+        written = written.filter(F.col("shard").isin(list(shards)))
     got = {
         r["shard"]: (r["rows"], r["tokens"], r["id_xor"])
         for r in _shard_stats(
@@ -339,11 +445,11 @@ def verify_export(spark: SparkSession, path: str) -> dict:
         ).collect()
     }
     bad = []
-    for s in manifest["shards"]:
+    for s in expected:
         want = (s["rows"], s["tokens"], s["id_xor"])
         if got.pop(s["shard"], None) != want:
             bad.append(s["shard"])
-    bad.extend(got)  # shards on disk but not in the manifest
+    bad.extend(got)  # shards on disk but not in the manifest (subset scope)
     if bad:
         raise ExportIntegrityError(
             f"shard stats diverge from manifest for shards "
@@ -363,12 +469,12 @@ def read_training_shards(
 
     ``verify=True`` (default) runs :func:`verify_export` before
     returning — one bounded aggregate, so an epoch never starts on a
-    truncated tree. ``shards=[...]`` restricts the read to specific
-    shard directories via a partition-pruned filter (a data-parallel
-    reader gives each worker its shard subset without listing or
-    touching the others). Pair with :func:`mare_spark.operators.corpus.
-    epoch_shuffle` for the per-epoch training order — the export layout
-    stays fixed across epochs; only the order changes.
+    truncated tree; with ``shards=[...]`` only THOSE shards are verified
+    AND read (a data-parallel reader's rank checks and reads exactly the
+    shards it owns — no per-rank full-export scan). Pair with
+    :func:`mare_spark.operators.corpus.epoch_shuffle` for the per-epoch
+    training order — the export layout stays fixed across epochs; only
+    the order changes.
     """
     spark_path, manifest_file = _manifest_path(path)
     if not os.path.exists(manifest_file):
@@ -378,7 +484,7 @@ def read_training_shards(
     with open(manifest_file, encoding="utf-8") as fh:
         fmt = json.load(fh)["format"]
     if verify:
-        verify_export(spark, path)
+        verify_export(spark, path, shards=shards)
     df = _read_shards(spark, spark_path, fmt)
     if shards is not None:
         df = df.filter(F.col("shard").isin(list(shards)))
@@ -409,20 +515,9 @@ def export_token_tapes(
     """
     if fmt not in ("parquet", "json"):
         raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
-    if shard_col not in tape.columns:
-        raise ValueError(
-            f"{shard_col!r} not in {tape.columns} — pack with shards=N or "
-            "pass shard_col=<group column>"
-        )
     spark_path, manifest_local = _manifest_path(path)
-    keep = [c for c in tape.columns if c not in (shard_col, "seq_id")]
-    sharded = tape.select(
-        F.col(shard_col).alias("shard"),
-        F.concat_ws(":", F.col(shard_col), F.col("seq_id"))
-        .alias("tape_seq_id"),
-        F.col("seq_id"),
-        *keep,
-    )
+    sharded = _tape_sharded(tape, shard_col)
+    _check_export_input(sharded, "tape_seq_id", "n_tokens")
     writer = (
         sharded.repartition("shard")
         .sortWithinPartitions("shard", "seq_id")
@@ -434,33 +529,47 @@ def export_token_tapes(
     else:
         writer.json(spark_path)
 
-    spark = tape.sparkSession
-    written = _read_shards(spark, spark_path, fmt)
-    stats = (
-        _shard_stats(written, "tape_seq_id", "n_tokens")
-        .orderBy("shard")
-        .collect()
+    manifest = _fingerprint_and_manifest(
+        tape.sparkSession, spark_path, manifest_local,
+        fmt=fmt, id_col="tape_seq_id", token_col="n_tokens",
+        n_shards=-1,  # patched below: tape shard count is data-derived
+        columns=sharded.columns,
     )
-    manifest = {
-        "format": fmt,
-        "id_col": "tape_seq_id",
-        "token_col": "n_tokens",
-        "n_shards": len(stats),
-        "total_rows": sum(r["rows"] for r in stats),
-        "total_tokens": sum(r["tokens"] for r in stats),
-        "shards": [
-            {
-                "shard": r["shard"],
-                "rows": r["rows"],
-                "tokens": r["tokens"],
-                "id_xor": r["id_xor"],
-            }
-            for r in stats
-        ],
-    }
-    with open(manifest_local, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    manifest["n_shards"] = len(manifest["shards"])
+    _write_manifest(manifest_local, manifest)
     return manifest
+
+
+def _tape_sharded(tape: DataFrame, shard_col: str) -> DataFrame:
+    """Shared tape→export frame (export + refresh must build the SAME
+    shape or fingerprints diverge): shard from the pre-assigned pack
+    column, composite ``shard:seq_id`` id, everything else verbatim."""
+    if shard_col not in tape.columns:
+        raise ValueError(
+            f"{shard_col!r} not in {tape.columns} — pack with shards=N or "
+            "pass shard_col=<group column>"
+        )
+    dtype = dict(tape.dtypes)[shard_col]
+    if dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{shard_col!r} must be integral (got {dtype}): a string "
+            "shard value round-trips through Hive partition-column "
+            "inference as a DIFFERENT type and breaks refresh diffs"
+        )
+    clash = {"shard", "tape_seq_id"}.intersection(tape.columns)
+    if clash:
+        raise ValueError(
+            f"column names clash with tape-export output columns: "
+            f"{sorted(clash)}"
+        )
+    keep = [c for c in tape.columns if c not in (shard_col, "seq_id")]
+    return tape.select(
+        F.col(shard_col).alias("shard"),
+        F.concat_ws(":", F.col(shard_col), F.col("seq_id"))
+        .alias("tape_seq_id"),
+        F.col("seq_id"),
+        *keep,
+    )
 
 
 def refresh_token_tapes(
@@ -493,16 +602,8 @@ def refresh_token_tapes(
             f"{path!r} is not a token-tape export (id_col = "
             f"{manifest['id_col']!r})"
         )
-    if shard_col not in tape.columns:
-        raise ValueError(f"{shard_col!r} not in {tape.columns}")
-    keep = [c for c in tape.columns if c not in (shard_col, "seq_id")]
-    sharded = tape.select(
-        F.col(shard_col).alias("shard"),
-        F.concat_ws(":", F.col(shard_col), F.col("seq_id"))
-        .alias("tape_seq_id"),
-        F.col("seq_id"),
-        *keep,
-    )
+    sharded = _tape_sharded(tape, shard_col)
+    _check_refresh_columns(sharded, manifest, path)
     return _refresh_from_sharded(
         spark, sharded, manifest, spark_path, manifest_local,
         sort_col="seq_id",
