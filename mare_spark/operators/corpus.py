@@ -53,6 +53,12 @@ __all__ = [
     "group_fixed_k_sample",
     "token_budget_sample",
     "snapshot_diff",
+    "ngram_overlap_report",
+    "bigram_logprob",
+    "epoch_shuffle",
+    "pack_token_tape",
+    "intra_doc_chunk_dedup",
+    "curriculum_order",
     "PII_PATTERNS",
 ]
 
@@ -326,6 +332,8 @@ def pack_sequences(
             RuntimeWarning,
             stacklevel=2,
         )
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
     reserved = {"n_tokens", "seq_id", "seq_offset"} | (
         {"pack_shard"} if shards is not None else set()
     )
@@ -692,9 +700,15 @@ def apply_mixture_sampling(
     (key, salt, rates); rates use the 6dp-rounded boost so both engines
     compare the same grid value and the sampled set is oracle-checkable
     and re-derivable months later.
+
+    NULL strata are dropped BEFORE the rate computation: a non-null-safe
+    join would drop their rows from the output anyway, but leaving them
+    in the denominator would silently down-weight every real stratum by
+    a phantom share (label your unknowns explicitly to keep them).
     """
     from mare_spark.operators.text import deterministic_uniform
 
+    df = df.filter(F.col(strata_col).isNotNull())
     rates = temperature_rates(df, strata_col, alpha).select(
         strata_col,
         F.least(F.col("boost") * F.lit(float(base_rate)), F.lit(1.0)).alias(
@@ -727,9 +741,23 @@ def write_packed_corpus(
     a contiguous, deterministic slice of the token tape.
 
     The write itself shuffles nothing beyond packing's single group-key
-    exchange; partition pruning on ``shard`` gives resumable training
-    (restart from shard k = one directory listing, not a corpus scan).
+    exchange; partition pruning on ``shard`` gives resumable training —
+    with one boundary caveat: a document STRADDLING a shard boundary is
+    stored under the shard of its FIRST token, so resuming at shard k
+    must also read the final document row of shard k-1 to reconstruct
+    shard k's opening sequence (one extra row per boundary, not a scan);
+    materialized tapes (`pack_token_tape` + `export_token_tapes`) avoid
+    the caveat entirely because sequences, not documents, are the rows.
     """
+    reserved = {"shard", "n_tokens", "seq_id", "seq_offset"}
+    clash = reserved.intersection(
+        {text_col, token_col, id_col} | ({group_col} if group_col else set())
+    ) - {token_col if token_col == "n_tokens" else ""}
+    if clash:
+        raise ValueError(
+            f"column names clash with write_packed_corpus output columns: "
+            f"{sorted(clash)} (reserved: {sorted(reserved)})"
+        )
     packed = pack_sequences(
         df, token_col, id_col, group_col=group_col, max_len=max_len
     )
@@ -741,6 +769,21 @@ def write_packed_corpus(
                 text_col)
     )
     out.write.mode("overwrite").partitionBy(*keys, "shard").parquet(path)
+
+
+def _check_scrub_columns(
+    op: str, id_col: str, text_col: str, keep_cols: tuple[str, ...]
+) -> None:
+    reserved = {
+        "clean_text", "n_chunks", "n_chunks_removed",
+        "chunk", "chunk_idx", "chunk_h",
+    }
+    clash = reserved.intersection({id_col, text_col, *keep_cols})
+    if clash:
+        raise ValueError(
+            f"column names clash with {op} output/internal columns: "
+            f"{sorted(clash)} (reserved: {sorted(reserved)})"
+        )
 
 
 def repeated_chunk_scrub(
@@ -783,6 +826,7 @@ def repeated_chunk_scrub(
     Documents with NULL text tokenize to NULL and drop on both engines
     (same contract as the digest/fingerprint ops).
     """
+    _check_scrub_columns("repeated_chunk_scrub", id_col, text_col, keep_cols)
     ex = _chunk_explode(df, text_col, id_col, chunk_words, keep_cols)
     ex = ex.withColumn("chunk_h", F.md5("chunk"))
     # Boilerplate flagging via the hot-digest HEAD set: repeated chunks
@@ -893,6 +937,9 @@ def repeated_chunk_scrub_cms(
     from mare_spark.operators.dedup import attach_caches
     from mare_spark.operators.sketches import build_cms, cms_probe_expr
 
+    _check_scrub_columns(
+        "repeated_chunk_scrub_cms", id_col, text_col, keep_cols
+    )
     ex = _chunk_explode(df, text_col, id_col, chunk_words, keep_cols)
     ex = ex.withColumn("chunk_h", F.xxhash64("chunk")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -997,6 +1044,11 @@ def group_fixed_k_sample(
     """
     from pyspark.sql import Window
 
+    if "sample_rank" in {id_col, group_col, *keep_cols}:
+        raise ValueError(
+            "column names clash with group_fixed_k_sample's output "
+            "column 'sample_rank'"
+        )
     ordkey = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     w = Window.partitionBy(group_col).orderBy(ordkey)
     return (
@@ -1159,10 +1211,14 @@ def hashed_quality_classifier_udf(
 
         for pdf in batches:
             ids, keeps, ns, scores, flags = [], [], [], [], []
-            for row in pdf.itertuples(index=False):
-                txt = getattr(row, text_col)
-                ids.append(getattr(row, id_col))
-                keeps.append([getattr(row, c) for c in keep_cols])
+            # column access by NAME (itertuples renames non-identifier
+            # columns like 'doc-id' to positional _1 and getattr breaks)
+            for txt, rid, *kvals in zip(
+                pdf[text_col], pdf[id_col],
+                *[pdf[c] for c in keep_cols],
+            ):
+                ids.append(rid)
+                keeps.append(list(kvals))
                 if txt is None:
                     # expression-tier contract: NULL text -> NULL outputs
                     ns.append(None)
@@ -1276,9 +1332,11 @@ def intra_doc_chunk_dedup(
     FIRST occurrence of each distinct chunk inside that document
     (generated/scraped text repeats its own paragraphs; corpus-level
     frequency never sees a chunk that is unique globally but repeated
-    locally). Returns one row per document:
+    locally). Returns one row per NON-NULL-text document:
     ``(id, *keep_cols, clean_text, n_chunks, n_chunks_removed)`` — the
-    same contract as the corpus-level scrub tiers.
+    same contract as the corpus-level scrub tiers, including the
+    NULL-text drop (the scrub tiers' posexplode silently drops those
+    rows; this op filters them explicitly so tier swaps conserve rows).
 
     Scale: a pure per-row expression (transform + indexed filter +
     array_position) — zero shuffle, zero UDF, fuses into the scan. The
@@ -1300,7 +1358,7 @@ def intra_doc_chunk_dedup(
         chunks,
         lambda c, i: F.array_position(chunks, c) == i + 1,
     )
-    return df.select(
+    return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), *[F.col(c) for c in keep_cols],
         F.concat_ws(" ", kept).alias("clean_text"),
         F.size(chunks).alias("n_chunks"),
@@ -1342,6 +1400,11 @@ def curriculum_order(
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if not breaks:
+        raise ValueError(
+            "breaks must be non-empty — a curriculum with no stage "
+            "boundary is epoch_shuffle; call that directly"
+        )
     if list(breaks) != sorted(breaks):
         raise ValueError(f"breaks must be ascending, got {breaks}")
     reserved = {"_ord", "stage", "shard", "position"}

@@ -284,6 +284,11 @@ def doc_token_stats_udf():
     def stats(texts):
         rows = []
         for t in texts:
+            if t is None:
+                # NULL text -> NULL stats (matching the expression tier's
+                # tokens(NULL) -> NULL), never a phantom 1-token document
+                rows.append((None,) * 7)
+                continue
             ws = py_tokens(t)
             counts = Counter(ws)
             n = len(ws)

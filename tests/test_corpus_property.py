@@ -886,3 +886,79 @@ def test_pack_token_tape_layout_independent(spark):
          for r in pack_token_tape(df.repartition(11), "ids", "doc_id",
                                   shards=2, max_len=9).collect()}
     assert a == b
+
+
+def test_review_guards_corpus_ops(spark):
+    """Review-driven guards across the corpus family: empty curriculum
+    breaks raise cleanly; pack_sequences rejects max_len<1 up front
+    (instead of an ANSI divide-by-zero mid-job); scrub tiers and the
+    fixed-k sampler name reserved-column clashes; NULL-text rows get
+    NULL stats (not phantom 1-token documents) and drop out of the
+    intra-doc dedup like the corpus-level scrub tiers."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.corpus import (
+        curriculum_order,
+        group_fixed_k_sample,
+        intra_doc_chunk_dedup,
+        pack_sequences,
+        quality_gates,
+        repeated_chunk_scrub,
+        repetition_stats,
+        write_packed_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c", 1.0), (1, None, 2.0)],
+        "doc_id long, text string, score double",
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        curriculum_order(df, "score", "doc_id", breaks=(), n_shards=2)
+    with pytest.raises(ValueError, match="max_len"):
+        pack_sequences(
+            df.select("doc_id", F.lit(3).alias("n")), "n", "doc_id",
+            shards=1, max_len=0,
+        )
+    with pytest.raises(ValueError, match="clash"):
+        repeated_chunk_scrub(
+            df.withColumnRenamed("score", "chunk"), "text", "doc_id",
+            keep_cols=("chunk",),
+        )
+    with pytest.raises(ValueError, match="sample_rank"):
+        group_fixed_k_sample(
+            df.withColumnRenamed("score", "sample_rank"),
+            "doc_id", group_col="sample_rank", k=1,
+        )
+    with pytest.raises(ValueError, match="clash"):
+        write_packed_corpus(
+            df.select("doc_id", "text", F.lit(1).alias("seq_id")),
+            "/tmp/never", "text", "seq_id", "doc_id",
+        )
+
+    # NULL text: NULL stats, not a phantom one-token doc
+    stats = {r.doc_id: r for r in
+             repetition_stats(df, "text", "doc_id").collect()}
+    assert stats[1].n_tokens is None
+    assert stats[1].distinct_word_ratio is None
+    assert stats[0].n_tokens == 3
+    gates = {r.doc_id: r for r in
+             quality_gates(df, "text", "doc_id").collect()}
+    assert gates[1].gate_len is None and gates[1].kept is None
+    # ...and the intra-doc dedup drops the row (scrub-tier contract)
+    out = intra_doc_chunk_dedup(df, "text", "doc_id").collect()
+    assert {r.doc_id for r in out} == {0}
+
+
+def test_mixture_sampling_ignores_null_strata(spark):
+    """NULL-strata rows neither appear in the output (non-null-safe
+    join) NOR skew the temperature denominator of the real strata."""
+    from mare_spark.operators.corpus import apply_mixture_sampling
+
+    base = [(i, "en") for i in range(90)] + [(i + 90, None) for i in range(10)]
+    df = spark.createDataFrame(base, "doc_id long, lang string")
+    out = apply_mixture_sampling(df, "lang", "doc_id", base_rate=1.0)
+    rows = out.collect()
+    assert all(r.lang == "en" for r in rows)
+    # single real stratum at base_rate=1.0 -> EVERY 'en' row kept
+    # (a phantom NULL stratum in the denominator would shrink the rate)
+    assert len(rows) == 90
