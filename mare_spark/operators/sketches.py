@@ -35,7 +35,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["CountMinSketch", "build_cms", "cms_probe_expr",
-           "distinct_sketch_table", "merge_distinct_estimates"]
+           "distinct_sketch_table", "merge_distinct_estimates",
+           "quantile_sketch_table", "merge_quantile_estimates",
+           "bottomk_hash"]
 
 # fixed odd multipliers / offsets per sketch row (splitmix64 outputs of
 # seeds 1..8, forced odd) — deterministic across builds and probes
@@ -72,8 +74,13 @@ class CountMinSketch:
     table with vectorized add/estimate."""
 
     def __init__(self, width_bits: int = 16, depth: int = 4):
-        if depth > len(_A):
-            raise ValueError(f"depth <= {len(_A)}")
+        if not 1 <= depth <= len(_A):
+            raise ValueError(f"depth must be in [1, {len(_A)}], got {depth}")
+        if not 1 <= width_bits <= 63:
+            # width_bits=0 would shift uint64 by 64 — undefined in numpy
+            raise ValueError(
+                f"width_bits must be in [1, 63], got {width_bits}"
+            )
         self.width_bits = width_bits
         self.depth = depth
         self.table = np.zeros((depth, 1 << width_bits), dtype=np.uint64)
@@ -89,6 +96,10 @@ class CountMinSketch:
         cols = self._cols(vals)
         for r in range(self.depth):
             np.add.at(self.table[r], cols[r], 1)
+        # a mutated table invalidates any cached executor broadcast —
+        # otherwise cluster probes read stale counts (local-mode tests
+        # would pass anyway because bc.value aliases the driver array)
+        self.release()
 
     def estimate(self, vals: np.ndarray) -> np.ndarray:
         """Point estimates (uint64, never below the true count)."""
@@ -102,6 +113,7 @@ class CountMinSketch:
         self.table += np.frombuffer(raw, dtype=np.uint64).reshape(
             self.table.shape
         )
+        self.release()  # same staleness rule as add()
 
     def spark_broadcast(self, spark):
         """One cached SparkContext broadcast per sketch (re-probing the
@@ -174,8 +186,10 @@ def cms_probe_expr(df_or_col, sketch: CountMinSketch, spark=None) -> Column:
     @F.pandas_udf("long")
     def probe(s: pd.Series) -> pd.Series:
         table, wb, d = bc.value
-        sk = CountMinSketch(wb, d)
-        sk.table = table
+        # build the probe helper WITHOUT allocating a fresh zeroed table
+        # per Arrow batch (multi-MB at width_bits 20+): bypass __init__
+        sk = CountMinSketch.__new__(CountMinSketch)
+        sk.width_bits, sk.depth, sk.table = wb, d, table
         est = sk.estimate(s.to_numpy(dtype=np.int64, na_value=0))
         return pd.Series(est.astype(np.int64))
 
@@ -216,6 +230,15 @@ def merge_distinct_estimates(
     )
 
 
+def bottomk_hash(id_col: str, salt: str = "") -> Column:
+    """THE bottom-k ordering hash — ``md5(id ':' salt)`` — shared by the
+    batch sketch table and the streaming fold so the pinned
+    batch/streaming equivalence can't drift apart silently."""
+    return F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(salt))
+    )
+
+
 def quantile_sketch_table(
     df: DataFrame,
     value_col: str,
@@ -244,21 +267,30 @@ def quantile_sketch_table(
 
     Contract: ``id_col`` must be unique across every table the sketches
     will be merged over (hashes are the merge dedup key — overlapping
-    re-ingestion of the same ids is tolerated, double-counting of
-    reused ids is not).
+    re-ingestion of the same ids is tolerated and deduplicates; if the
+    same id ever carries CONFLICTING values, the smaller value wins
+    deterministically in batch and streaming alike). NULL ids and NULL
+    values are excluded up front (the SQL aggregate convention
+    ``build_cms`` also follows) — a NULL id would hash NULL and sort
+    ahead of every real sample row, and a NULL value would occupy a
+    sample slot only to surface as a NULL percentile read.
+
+    The emitted ``sketch_k`` column records the build k; merges clamp to
+    the smallest build k they see, because bottom-k merges are exact
+    only at (or below) the smallest k any input was trimmed to.
     """
     from pyspark.sql.window import Window
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    h = F.md5(
-        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(salt))
-    )
     w = Window.partitionBy(*group_cols).orderBy("h")
     trimmed = (
-        df.select(
+        df.filter(
+            F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
             *group_cols,
-            h.alias("h"),
+            bottomk_hash(id_col, salt).alias("h"),
             F.col(value_col).cast("double").alias("v"),
         )
         .withColumn("_rn", F.row_number().over(w))
@@ -270,6 +302,7 @@ def quantile_sketch_table(
             F.collect_list(F.struct(F.col("h"), F.col("v")))
         ).alias("quantile_sketch"),
         F.count("*").cast("int").alias("sketch_rows"),
+        F.lit(int(k)).alias("sketch_k"),
     )
 
 
@@ -282,20 +315,31 @@ def merge_quantile_estimates(
 ) -> DataFrame:
     """Roll persisted quantile sketches up to ``group_cols`` granularity
     and read nearest-rank percentiles from the merged sample. The merge
-    is flatten → dedup on hash → re-sort → trim to ``k`` (associative
-    and idempotent: batch boundaries and re-merges can't change the
-    result — pinned by test). Input is the sketch table, never the raw
-    data. Output: one ``p<NN>`` column per requested percentile."""
+    is flatten → sort → dedup on HASH (first per hash = smallest value,
+    the same deterministic rule the streaming fold applies) → trim
+    (associative and idempotent: batch boundaries and re-merges can't
+    change the result — pinned by test). The trim clamps to the smallest
+    ``sketch_k`` any input was built with: bottom-k merges are exact
+    only at or below the tightest input trim, so asking for a larger k
+    would silently bias the sample toward small inputs. Input is the
+    sketch table, never the raw data. Output: one ``p<NN>`` column per
+    requested percentile."""
     for p in percentiles:
         if not 0.0 < p <= 1.0:
             raise ValueError(f"percentiles must be in (0, 1], got {p}")
-    merged = F.slice(
-        F.array_sort(
-            F.array_distinct(F.flatten(F.collect_list("quantile_sketch")))
-        ),
-        1,
-        k,
+    sorted_all = F.array_sort(F.flatten(F.collect_list("quantile_sketch")))
+    deduped = F.filter(
+        sorted_all,
+        lambda x, i: (i == F.lit(0))
+        | (F.element_at(sorted_all, F.greatest(i, F.lit(1)))["h"]
+           != x["h"]),
     )
+    eff_k = (
+        F.least(F.lit(k), F.min("sketch_k"))
+        if "sketch_k" in sketches.columns
+        else F.lit(k)
+    )
+    merged = F.slice(deduped, F.lit(1), eff_k)
     vals = F.array_sort(F.transform(merged, lambda e: e["v"]))
     n = F.size(vals)
     cols = [

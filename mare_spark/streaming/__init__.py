@@ -700,7 +700,12 @@ class _BottomKSketch:
     def fold(self, rows) -> None:
         seen = dict(self.rows)
         for h, v in rows:
-            seen.setdefault(h, v)
+            # smallest value wins on a hash (id) collision — the same
+            # deterministic rule the batch merge applies, so conflicting
+            # re-ingestion of an id converges instead of being
+            # fold-order-dependent
+            if h not in seen or v < seen[h]:
+                seen[h] = v
         self.rows = sorted(seen.items())[: self.k]
 
     def percentile(self, p: float) -> float:
@@ -750,12 +755,15 @@ def run_quantile_sketch_over_stream(
         ]
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        h = F.md5(
-            F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(salt))
-        )
+        from mare_spark.operators.sketches import bottomk_hash
+
         rows = (
-            batch_df.select(
-                h.alias("h"), F.col(value_col).cast("double").alias("v")
+            batch_df.filter(
+                F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
+            )
+            .select(
+                bottomk_hash(id_col, salt).alias("h"),
+                F.col(value_col).cast("double").alias("v"),
             )
             .orderBy("h")
             .limit(k)

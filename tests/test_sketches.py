@@ -258,3 +258,70 @@ def test_quantile_sketch_trims_before_the_exchange(spark):
     )
     assert "WindowGroupLimit" in plan
     assert plan.count("Partial") >= 1, plan
+
+
+def test_quantile_sketch_review_contracts(spark):
+    """Review-driven contracts: NULL ids/values are excluded (not
+    sample-slot squatters); a merge asked for a larger k than any input
+    was built with clamps to the tightest build k (exactness bound);
+    conflicting values for one id converge to the smaller value in
+    batch and streaming alike; constructor guards fire."""
+    import pytest
+
+    from mare_spark.operators.sketches import (
+        CountMinSketch,
+        merge_quantile_estimates,
+        quantile_sketch_table,
+    )
+
+    rows = [(i, "g", float(i)) for i in range(100)]
+    rows += [(None, "g", 1.0), (200, "g", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    sk = quantile_sketch_table(df, "v", "id", ["g"], k=64).head()
+    assert sk.sketch_rows == 64 and sk.sketch_k == 64
+    assert all(e.v is not None and e.h is not None
+               for e in sk.quantile_sketch)
+
+    # k clamp: merging k=16-built sketches at k=64 trims at 16
+    small = quantile_sketch_table(df, "v", "id", ["g"], k=16)
+    est = merge_quantile_estimates(small, ["g"], [0.5], k=64).head()
+    assert est.sample_rows == 16
+
+    # conflicting value for the same id: smaller value wins in the merge
+    a = quantile_sketch_table(
+        spark.createDataFrame([(1, "g", 10.0)], "id long, g string, v double"),
+        "v", "id", ["g"], k=8,
+    )
+    b = quantile_sketch_table(
+        spark.createDataFrame([(1, "g", 12.0)], "id long, g string, v double"),
+        "v", "id", ["g"], k=8,
+    )
+    got = merge_quantile_estimates(a.union(b), ["g"], [1.0], k=8).head()
+    assert got.sample_rows == 1 and got.p100 == 10.0
+
+    with pytest.raises(ValueError, match="width_bits"):
+        CountMinSketch(width_bits=0)
+    with pytest.raises(ValueError, match="depth"):
+        CountMinSketch(depth=0)
+
+
+def test_cms_mutation_invalidates_broadcast(spark):
+    """add()/merge_bytes() after a probe must invalidate the cached
+    broadcast so the next probe ships the UPDATED table (on a real
+    cluster a stale broadcast silently undercounts)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.sketches import CountMinSketch, cms_probe_expr
+
+    sk = CountMinSketch(width_bits=8, depth=2)
+    sk.add(np.array([7, 7, 7], dtype=np.int64))
+    df = spark.createDataFrame([(7,)], "k long")
+    first = df.select(cms_probe_expr(F.col("k"), sk).alias("e")).head().e
+    assert first == 3
+    assert getattr(sk, "_bc", None) is not None
+    sk.add(np.array([7], dtype=np.int64))
+    assert getattr(sk, "_bc", None) is None  # cache invalidated
+    again = df.select(cms_probe_expr(F.col("k"), sk).alias("e")).head().e
+    assert again == 4
