@@ -62,14 +62,32 @@ def gapfill_locf(
     fills each gap linearly between the surrounding observations'
     values (TimescaleDB's ``interpolate``) — trailing buckets past a
     key's final observation don't exist in either mode, so
-    interpolation always has both endpoints. Same plan either way: the
-    interpolated value is scan-side arithmetic over columns the explode
-    already carries.
+    interpolation always has both endpoints (and emits DOUBLE — pass a
+    floating/integral value_col; other types raise). Same plan either
+    way: the interpolated value is scan-side arithmetic over columns the
+    explode already carries.
+
+    Rows with a NULL ``ts_col`` are dropped (their bucket is NULL, so
+    they can't land on the grid) — gate or repair timestamps upstream
+    if they must count.
     """
+    if bucket_seconds != int(bucket_seconds):
+        raise ValueError(
+            f"bucket_seconds must be a whole number of seconds, got "
+            f"{bucket_seconds!r}"
+        )
     if bucket_seconds < 1:
         raise ValueError("bucket_seconds must be >= 1")
     if mode not in ("locf", "interpolate"):
         raise ValueError(f"mode must be 'locf' or 'interpolate', got {mode!r}")
+    if mode == "interpolate":
+        vt = dict(df.dtypes).get(value_col)
+        if vt not in ("double", "float", "int", "bigint",
+                      "smallint", "tinyint"):
+            raise ValueError(
+                f"mode='interpolate' needs a numeric value_col "
+                f"(got {vt}); its output is DOUBLE"
+            )
     reserved = {
         "bucket_ts", "is_observed", "_bucket", "_rn", "_next",
         "_next_val", "_obs_bucket", "_grid",
@@ -82,13 +100,16 @@ def gapfill_locf(
         )
 
     step_us = int(bucket_seconds) * 1_000_000
-    # integer-exact floor division on int64 micros (a `/`+cast would
-    # truncate toward zero, smearing pre-epoch buckets by one). NTZ
-    # columns cast through the session TZ — pinned UTC engine-wide, so
-    # the epoch value is exact and engine-identical.
-    us = f"unix_micros(cast({ts_col} as timestamp))"
+    # integer-exact TRUE-FLOOR division on int64 micros (`div` truncates
+    # toward zero; the negative-remainder correction makes pre-epoch
+    # buckets floor like everything else — the oracle replays the same
+    # floor with DuckDB's pmod form, pinned by a pre-epoch differential).
+    # NTZ columns cast through the session TZ — pinned UTC engine-wide.
+    ts_q = ts_col.replace("`", "``")  # backquote: names like `a-b` must
+    # reference the COLUMN, not parse as an expression
+    us = f"unix_micros(cast(`{ts_q}` as timestamp))"
     bucket = F.expr(
-        f"floor({us} div {step_us}) "
+        f"({us} div {step_us}) "
         f"+ CASE WHEN {us} % {step_us} < 0 THEN -1 ELSE 0 END"
     ).cast("long")
 

@@ -19,9 +19,9 @@ _STEP_US = _BUCKET_S * 1_000_000
     oracle=f"""
     WITH obs AS (
       SELECT user_id, bucket, value FROM (
-        SELECT user_id, epoch_us(ts) // {_STEP_US} AS bucket, value,
+        SELECT user_id, (epoch_us(ts) - (((epoch_us(ts) % {_STEP_US}) + {_STEP_US}) % {_STEP_US})) // {_STEP_US} AS bucket, value,
                row_number() OVER (
-                 PARTITION BY user_id, epoch_us(ts) // {_STEP_US}
+                 PARTITION BY user_id, (epoch_us(ts) - (((epoch_us(ts) % {_STEP_US}) + {_STEP_US}) % {_STEP_US})) // {_STEP_US}
                  ORDER BY ts DESC, event_id DESC) AS rn
         FROM events
       ) WHERE rn = 1

@@ -136,9 +136,9 @@ def test_interpolate_matches_duckdb_differential(spark):
     sql = f"""
     WITH obs AS (
       SELECT user_id, bucket, value FROM (
-        SELECT user_id, epoch_us(ts) // {step_us} AS bucket, value,
+        SELECT user_id, (epoch_us(ts) - (((epoch_us(ts) % {step_us}) + {step_us}) % {step_us})) // {step_us} AS bucket, value,
                row_number() OVER (
-                 PARTITION BY user_id, epoch_us(ts) // {step_us}
+                 PARTITION BY user_id, (epoch_us(ts) - (((epoch_us(ts) % {step_us}) + {step_us}) % {step_us})) // {step_us}
                  ORDER BY ts DESC, event_id DESC) AS rn
         FROM events
       ) WHERE rn = 1
@@ -253,3 +253,62 @@ def test_property_matches_python_reference(spark):
         assert got == _ref_gapfill(rows, step_s)
 
     check()
+
+
+def test_gapfill_pre_epoch_and_review_guards(spark):
+    """Pre-epoch timestamps bucket by TRUE floor on both engines (the
+    truncating `//` form would shift them one bucket); fractional
+    bucket_seconds and non-numeric interpolate inputs raise; NULL
+    timestamps drop (documented contract); backquoted column names
+    reference the column, not an expression."""
+    import datetime
+
+    import duckdb
+    import pytest
+
+    from mare_spark.operators.timeseries import gapfill_locf
+
+    rows = [
+        (1, datetime.datetime(1969, 12, 31, 23, 59, 30), 1.0),  # pre-epoch
+        (1, datetime.datetime(1970, 1, 1, 0, 1, 30), 4.0),
+        (2, None, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp_ntz, v double"
+    )
+    got = {
+        (r.k, r.bucket_ts): (r.v, r.is_observed)
+        for r in gapfill_locf(
+            df, ts_col="ts", key_col="k", value_col="v",
+            bucket_seconds=60,
+        ).collect()
+    }
+    # floor(-30s / 60s) = bucket -1 -> grid starts 23:59, NOT 00:00
+    assert (1, datetime.datetime(1969, 12, 31, 23, 59)) in got
+    assert all(k == 1 for k, _ts in got)  # the NULL-ts key dropped
+    # the pre-epoch bucket matches DuckDB's pmod floor replay exactly
+    (duck_bucket,) = duckdb.sql(
+        "SELECT (epoch_us(TIMESTAMP '1969-12-31 23:59:30')"
+        " - (((epoch_us(TIMESTAMP '1969-12-31 23:59:30') % 60000000)"
+        " + 60000000) % 60000000)) // 60000000"
+    ).fetchone()
+    assert duck_bucket == -1
+
+    with pytest.raises(ValueError, match="whole number"):
+        gapfill_locf(df, ts_col="ts", key_col="k", value_col="v",
+                     bucket_seconds=1.5)
+    with pytest.raises(ValueError, match="numeric value_col"):
+        gapfill_locf(
+            df.withColumn("v", df.v.cast("string")),
+            ts_col="ts", key_col="k", value_col="v",
+            bucket_seconds=60, mode="interpolate",
+        )
+
+    # a dashed column name must reference the COLUMN (a-b would parse
+    # as subtraction unquoted)
+    dashed = df.withColumnRenamed("ts", "t-s").filter("k = 1")
+    out = gapfill_locf(
+        dashed, ts_col="t-s", key_col="k", value_col="v",
+        bucket_seconds=60,
+    )
+    assert out.count() == len(got)
