@@ -42,6 +42,7 @@ from mare_spark.operators.text import STOPWORDS, tokens
 from mare_spark.numeric import fround
 
 __all__ = [
+    "column_profile",
     "word_ngrams",
     "ngram_partial_counts",
     "ngram_heavy_hitters",
@@ -101,6 +102,11 @@ def ngram_partial_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
             c: Counter = Counter()
             for t in pdf[text_col]:
                 ws = py_tokens(t)
+                if ws == [""]:
+                    continue  # NULL/contentless docs have no grams
+                    # (py_tokens(None) normalizes to [''] — without the
+                    # guard n=1 counts a phantom '' gram, diverging from
+                    # the expression tier and the string_split oracle)
                 for i in range(len(ws) - n + 1):
                     c[" ".join(ws[i : i + n])] += 1
             yield pd.DataFrame(
@@ -225,7 +231,9 @@ def length_histogram(
     """
     from pyspark.sql import Window
 
-    n = F.size(tokens(F.col(text_col)))
+    # count REAL tokens: contentless docs normalize to [''] and must
+    # histogram as 0-token docs, not 1-token ones
+    n = F.size(F.filter(tokens(F.col(text_col)), lambda w: w != ""))
     per_bucket = (
         df.select(
             F.col(group_col).alias("grp"),
@@ -342,6 +350,9 @@ def cross_source_overlap(
             seen: set = set()
             for src, t in zip(pdf[source_col], pdf[text_col]):
                 ws = py_tokens(t)
+                if ws == [""]:
+                    continue  # same contentless-doc guard as above: two
+                    # sources of NULL docs must not "share" a '' gram
                 for i in range(len(ws) - n + 1):
                     g = " ".join(ws[i : i + n])
                     h = int.from_bytes(
@@ -391,6 +402,10 @@ def vocab_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
             F.col(group_col).alias("grp"),
             F.explode(tokens(F.col(text_col))).alias("term"),
         )
+        # contentless docs normalize to [''] — the empty pseudo-token
+        # must not count as a type/hapax (it would ADD diversity mass to
+        # exactly the padded slices this audit exists to flag)
+        .filter(F.col("term") != "")
         .groupBy("grp", "term")
         .agg(F.count("*").alias("cnt"))
     )
@@ -471,10 +486,13 @@ def embedding_norm_stats(
         df.select(F.col(label_col).alias("label"), norm.alias("norm"))
         .groupBy("label")
         .agg(
-            F.count("*").alias("n_vecs"),
+            # count NORMS, not rows: a NULL/broken vector must not
+            # deflate the mean below the minimum (count(*) would divide
+            # by rows that min/max/sum skip)
+            F.count("norm").alias("n_vecs"),
             fround(
                 F.sum(F.col("norm").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
+                / F.count("norm"),
                 6,
             ).alias("avg_norm"),
             F.min("norm").alias("min_norm"),
@@ -519,12 +537,18 @@ def ngram_novelty(
     on the id. Integer counts until a single division → 6dp fround, so
     the score is hash-stable.
     """
-    from mare_spark.operators.dedup import hashed_word_shingles
+    from pyspark import StorageLevel
 
+    from mare_spark.operators.dedup import attach_caches, hashed_word_shingles
+
+    # the Arrow shingle hasher is the dominant cost and feeds BOTH the
+    # doc-frequency aggregate and the join-back — persist it once
+    # (spillable) instead of hashing the corpus twice; release via the
+    # attach_caches contract like the dedup pipelines
     ex = df.select(
         F.col(id_col), *[F.col(c) for c in keep_cols],
         F.explode(hashed_word_shingles(F.col(text_col), n)).alias("gh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     shared = (
         ex.select("gh").groupBy("gh").agg(F.count("*").alias("gram_df"))
         .filter(F.col("gram_df") >= 2)
@@ -541,13 +565,16 @@ def ngram_novelty(
             ),
         )
     )
-    return per_doc.withColumn(
-        "novelty",
-        fround(
-            F.col("n_novel_ngrams")
-            / F.col("n_distinct_ngrams").cast("double"),
-            6,
+    return attach_caches(
+        per_doc.withColumn(
+            "novelty",
+            fround(
+                F.col("n_novel_ngrams")
+                / F.col("n_distinct_ngrams").cast("double"),
+                6,
+            ),
         ),
+        ex,
     )
 
 
@@ -580,6 +607,12 @@ def column_profile(
             F.struct(
                 F.lit(c).alias("column_name"),
                 F.col(c).cast("string").alias("v"),
+                # numeric bounds ride the same pass: try_cast gives NULL
+                # for non-numeric columns (lexicographic string min/max
+                # would report min '10' > max '9' for an int column)
+                F.expr(
+                    f"try_cast(`{c.replace('`', '``')}` as double)"
+                ).alias("num"),
             )
             for c in cols
         ]
@@ -589,7 +622,7 @@ def column_profile(
     )
     return (
         df.select(F.explode(entries).alias("e"))
-        .select("e.column_name", "e.v")
+        .select("e.column_name", "e.v", "e.num")
         .groupBy("column_name")
         .agg(
             F.count("*").alias("n_rows"),
@@ -597,5 +630,7 @@ def column_profile(
             n_distinct.alias("n_distinct"),
             F.min("v").alias("min_value"),
             F.max("v").alias("max_value"),
+            F.min("num").alias("min_numeric"),
+            F.max("num").alias("max_numeric"),
         )
     )

@@ -90,7 +90,8 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_length_histogram",
     category="llm",
     oracle=f"""
-    WITH s AS (SELECT lang, len({_WORDS}) AS n FROM documents),
+    WITH s AS (SELECT lang, len(list_filter({_WORDS}, x -> x <> '')) AS n
+               FROM documents),
     b AS (
       SELECT lang,
              CASE WHEN n >= 2048 THEN '2048+' WHEN n >= 512 THEN '0512+'
@@ -186,9 +187,9 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * 1000000.0 + 0.5) / 1000000.0) AS norm
       FROM embeddings
     )
-    SELECT label, count(*) AS n_vecs,
+    SELECT label, count(norm) AS n_vecs,
            (floor(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE)
-                  / count(*) * 1000000.0 + 0.5) / 1000000.0) AS avg_norm,
+                  / count(norm) * 1000000.0 + 0.5) / 1000000.0) AS avg_norm,
            min(norm) AS min_norm, max(norm) AS max_norm
     FROM n GROUP BY label
     """,
@@ -247,7 +248,8 @@ def sample_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT lang, unnest({_WORDS}) AS term FROM documents
     ),
-    tf AS (SELECT lang, term, count(*) AS cnt FROM t GROUP BY lang, term)
+    tf AS (SELECT lang, term, count(*) AS cnt FROM t
+           WHERE term <> '' GROUP BY lang, term)
     SELECT lang,
            CAST(sum(cnt) AS BIGINT) AS n_tokens,
            count(*) AS n_types,

@@ -168,25 +168,33 @@ _PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
            CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
            min(CAST(doc_id AS VARCHAR)) AS min_value,
-           max(CAST(doc_id AS VARCHAR)) AS max_value
+           max(CAST(doc_id AS VARCHAR)) AS max_value,
+           min(TRY_CAST(doc_id AS DOUBLE)) AS min_numeric,
+           max(TRY_CAST(doc_id AS DOUBLE)) AS max_numeric
     FROM documents
     UNION ALL
     SELECT 'lang', count(*),
            CAST(count(*) - count(lang) AS BIGINT),
            CAST(count(DISTINCT lang) AS BIGINT),
-           min(CAST(lang AS VARCHAR)), max(CAST(lang AS VARCHAR))
+           min(CAST(lang AS VARCHAR)), max(CAST(lang AS VARCHAR)),
+           min(TRY_CAST(lang AS DOUBLE)) AS min_numeric,
+           max(TRY_CAST(lang AS DOUBLE)) AS max_numeric
     FROM documents
     UNION ALL
     SELECT 'source', count(*),
            CAST(count(*) - count(source) AS BIGINT),
            CAST(count(DISTINCT source) AS BIGINT),
-           min(CAST(source AS VARCHAR)), max(CAST(source AS VARCHAR))
+           min(CAST(source AS VARCHAR)), max(CAST(source AS VARCHAR)),
+           min(TRY_CAST(source AS DOUBLE)) AS min_numeric,
+           max(TRY_CAST(source AS DOUBLE)) AS max_numeric
     FROM documents
     UNION ALL
     SELECT 'n_chars', count(*),
            CAST(count(*) - count(n_chars) AS BIGINT),
            CAST(count(DISTINCT n_chars) AS BIGINT),
-           min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+           min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR)),
+           min(TRY_CAST(n_chars AS DOUBLE)) AS min_numeric,
+           max(TRY_CAST(n_chars AS DOUBLE)) AS max_numeric
     FROM documents
     """,
 )

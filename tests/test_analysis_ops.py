@@ -350,3 +350,51 @@ def test_column_profile_requires_columns(spark):
 
     with pytest.raises(ValueError, match="at least one column"):
         column_profile(spark.range(1), ())
+
+
+def test_analysis_review_contracts(spark):
+    """Review-driven contracts: NULL/contentless docs emit NO phantom
+    ''-grams (heavy hitters, cross-source), don't count as vocab
+    types/hapax, histogram as 0-token docs, and don't deflate the
+    embedding norm mean; the profile reports true numeric bounds
+    alongside the lexicographic string ones."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.analysis import (
+        column_profile,
+        cross_source_overlap,
+        embedding_norm_stats,
+        length_histogram,
+        ngram_heavy_hitters,
+        vocab_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None, "A"), (1, "", "B"), (2, "real token here", "A")],
+        "doc_id long, text string, src string",
+    )
+    hh = ngram_heavy_hitters(docs, "text", n=1, k=10).collect()
+    assert all(r.ngram != "" for r in hh) and len(hh) == 3
+    xs = cross_source_overlap(docs, "text", "src", n=1).collect()
+    assert xs == []  # NULL/empty docs share nothing
+
+    vs = vocab_stats(docs, "text", "src").collect()
+    v = {r.grp if hasattr(r, "grp") else r[0]: r for r in vs}
+    a = [r for r in vs if r[0] == "A"][0]
+    assert a.n_types == 3 and a.n_tokens == 3  # '' never a type
+    lh = {(r[0], r.length_bucket): r for r in
+          length_histogram(docs, "text", "src").collect()}
+    assert all(r.total_tokens in (0, 3) for r in lh.values())
+
+    emb = spark.createDataFrame(
+        [(0, [3.0, 4.0], 1), (1, None, 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    ns = embedding_norm_stats(emb, "embedding", "label").head()
+    assert ns.n_vecs == 1 and ns.avg_norm == 5.0  # mean >= min again
+
+    prof = {r.column_name: r for r in
+            column_profile(docs, ("doc_id", "src")).collect()}
+    assert prof["doc_id"].min_numeric == 0.0
+    assert prof["doc_id"].max_numeric == 2.0
+    assert prof["src"].min_numeric is None  # non-numeric column
