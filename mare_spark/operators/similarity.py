@@ -89,6 +89,10 @@ def hyperplane_signatures(vec_col, planes_per_band: list[np.ndarray]):
     weights."""
     import pandas as pd
 
+    if any(len(p) > 63 for p in planes_per_band):
+        # same contract as the expression tier: bit 63 would wrap the
+        # int64 signature negative (silently, in the numpy pack)
+        raise ValueError("at most 63 planes per band (int64 signature)")
     P = np.vstack(planes_per_band).T.astype(np.float64)  # dim × total_bits
     sizes = [len(p) for p in planes_per_band]
     offsets = np.cumsum([0] + sizes)
@@ -176,8 +180,11 @@ def with_dim_metadata(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     (``{"dim": n}``) so downstream LSH candidate generation can derive the
     dimension from the SCHEMA — zero Spark jobs, no driver-side probe.
     Call once where the corpus is produced/loaded; metadata survives
-    selects and joins."""
-    return df.withMetadata(vec_col, {"dim": dim})
+    selects and joins. Existing metadata keys on the column are MERGED,
+    not replaced."""
+    existing = dict(df.schema[vec_col].metadata or {})
+    existing["dim"] = dim
+    return df.withMetadata(vec_col, existing)
 
 
 def embedding_lsh_pairs(
@@ -212,7 +219,6 @@ def embedding_lsh_pairs(
     the text-LSH caps). Default ``None``: with honest bit sizing, capping
     structural buckets would silently cost recall.
     """
-    import numpy as np
 
     if dim is None:
         # schema-derived, zero Spark jobs: honored when the caller tagged
@@ -340,6 +346,13 @@ def train_ivf_centroids(
     )
     if len(rows) < max(nlist, min(256, sample_size)):
         rows = df.select(vec_col).limit(sample_size).toPandas()[vec_col].tolist()
+    if len(rows) < nlist:
+        raise ValueError(
+            f"corpus has only {len(rows)} vectors but nlist={nlist} — "
+            "lower nlist (fewer cells than rows is meaningless; the "
+            "uniform seeder would crash and kmeans++ would silently "
+            "duplicate centroids)"
+        )
     sample = np.array(rows, dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
 
@@ -360,6 +373,24 @@ def train_ivf_centroids(
     return centroids
 
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize WITHOUT mutating the input (a no-op for spherical
+    k-means centroids, which are already unit — but kmeans_refine means
+    are not, and an unnormalized centroid would bias cosine assignment
+    toward large norms)."""
+    m = np.asarray(m, dtype=np.float64)
+    return m / np.maximum(np.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+
+
+def probe_cells_for(centroids: np.ndarray, query_vec, nprobe: int) -> list:
+    """THE probe rule — normalized-cosine nearest cells — shared by every
+    IVF probe (in-memory, indexed, PQ) so assignment and probing can't
+    drift apart."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    return [int(c) for c in np.argsort(-(_unit_rows(centroids) @ qn))[:nprobe]]
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,
@@ -375,7 +406,8 @@ def ivf_assign(
     """
     import pandas as pd
 
-    cent = centroids.astype(np.float64)
+    cent = _unit_rows(centroids)  # cosine needs UNIT centroids: trained
+    # spherical ones already are (no-op); kmeans_refine means are not
 
     # NB: `from __future__ import annotations` stringifies inline hints,
     # which pandas_udf's signature inspector rejects — attach real
@@ -420,13 +452,11 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             df, nlist=nlist, vec_col=vec_col, seed=seed
         )
-    q = np.asarray(query_vec, dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    probe_cells = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    probe_cells = probe_cells_for(centroids, query_vec, nprobe)
 
     return (
         ivf_assign(df, centroids, vec_col=vec_col)
-        .filter(F.col("ivf_cell").isin([int(c) for c in probe_cells]))
+        .filter(F.col("ivf_cell").isin(probe_cells))
         .select(
             F.col(id_col),
             fround(cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
@@ -473,13 +503,11 @@ def ivf_topk_indexed(
     PartitionFilter (plan-asserted in tests): only the probed cells' files
     are listed and read. Candidate set ≈ nprobe/nlist of the corpus, cosine
     + TakeOrderedAndProject on top — no shuffle."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    q /= max(np.linalg.norm(q), 1e-12)
-    probe_cells = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    probe_cells = probe_cells_for(centroids, query_vec, nprobe)
 
     return (
         spark.read.parquet(index_path)
-        .filter(F.col(cell_col).isin([int(c) for c in probe_cells]))
+        .filter(F.col(cell_col).isin(probe_cells))
         .select(
             F.col(id_col),
             fround(cosine_to_query(F.col(vec_col), query_vec), 6).alias("cosine"),
@@ -569,7 +597,7 @@ def semantic_dedup_pairs(
         centroids = train_ivf_centroids(
             df, nlist=nlist, vec_col=vec_col, seed=seed
         )
-    cent = centroids.astype(np.float64)
+    cent = _unit_rows(centroids)
     p = max(1, min(int(nprobe_assign), len(cent)))
 
     def cells(vecs):
@@ -619,7 +647,10 @@ def _nearest_centroid(dv, cents) -> "F.Column":
     kmeans_refine must agree on it by construction."""
     cands = []
     for i, c in enumerate(cents):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        # ONE literal node per centroid (element-wise F.lit unrolling
+        # builds k·dim expression nodes — minutes of driver analysis at
+        # k=256, dim=1536; see hyperplane_signature's array-literal form)
+        lit_c = F.lit([float(x) for x in c])
         d2 = F.aggregate(
             F.zip_with(dv, lit_c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -798,7 +829,7 @@ def _probe_cells_udf(centroids: np.ndarray, nprobe: int):
             return pd.Series([], dtype="object")
         m = np.array(list(vecs), dtype=np.float64)
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(m @ cent.T), axis=1)[:, :nprobe]
+        order = np.argsort(-(m @ _unit_rows(cent).T), axis=1)[:, :nprobe]
         return pd.Series([row.astype(int).tolist() for row in order])
 
     probes.__annotations__ = {"vecs": pd.Series, "return": pd.Series}

@@ -1188,3 +1188,57 @@ def test_dedup_clusters_tiers_agree(spark):
     # representatives are component minima
     for c in set(drv.values()):
         assert c == min(m for m, cc in drv.items() if cc == c)
+
+
+def test_similarity_review_guards(spark):
+    """Review-driven guards: assignment and every probe share one
+    normalized-cosine rule, so UNNORMALIZED centroids (kmeans_refine
+    means) can't bias cells toward large norms; >63 planes per band
+    raises in the Arrow tier like the expression tier; nlist > corpus
+    raises with a named fix; probes don't mutate the caller's query
+    array; with_dim_metadata merges instead of replacing."""
+    import numpy as np
+    import pytest
+
+    from mare_spark.operators.similarity import (
+        hyperplane_signatures,
+        ivf_assign,
+        probe_cells_for,
+        train_ivf_centroids,
+        with_dim_metadata,
+    )
+    from mare_spark.tables import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    # scaling a centroid must not change assignments (cosine, not dot)
+    cents = train_ivf_centroids(emb, nlist=4)
+    scaled = cents.copy()
+    scaled[0] *= 100.0
+    a = {r.vec_id: r.ivf_cell
+         for r in ivf_assign(emb, cents).collect()}
+    b = {r.vec_id: r.ivf_cell
+         for r in ivf_assign(emb, scaled).collect()}
+    assert a == b
+    assert probe_cells_for(cents, list(cents[2]), 1) == [2]
+    assert probe_cells_for(scaled, list(cents[2]), 1) == [2]
+
+    with pytest.raises(ValueError, match="63"):
+        emb.select(
+            hyperplane_signatures(
+                emb.embedding, [np.zeros((64, 64))]
+            )
+        )
+    with pytest.raises(ValueError, match="nlist"):
+        train_ivf_centroids(emb.limit(3), nlist=16)
+
+    q = np.array([1.0] * 64)
+    before = q.copy()
+    probe_cells_for(cents, q, 2)
+    np.testing.assert_array_equal(q, before)  # no in-place mutation
+
+    tagged = with_dim_metadata(
+        emb.withMetadata("embedding", {"note": "x"}), "embedding", 64
+    )
+    md = tagged.schema["embedding"].metadata
+    assert md["dim"] == 64 and md["note"] == "x"  # merged, not replaced
