@@ -130,10 +130,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Scale: one shuffle on the 128-bit digest (uniform keys — no skew);
     partial aggregation map-side. At 100 TB this is the cheapest possible
     exact dedup: no text comparison ever happens, only digest equality.
+
+    NULL-text rows are excluded: md5(NULL) is NULL and groupBy would
+    collect every extraction failure into ONE phantom "duplicate" group,
+    discarding unrelated documents on the keep-representative pass.
     """
     digest = F.md5(normalize_text(F.col(text_col))).alias("digest")
     return (
-        df.select(F.col(id_col), digest)
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), digest)
         .groupBy("digest")
         .agg(
             F.min(id_col).alias(id_col),
@@ -157,9 +162,13 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
-    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    has_content = ~(
+        (F.size(words) == 1) & (F.element_at(words, 1) == "")
+    )  # contentless docs normalize to [''] — no shingles at ANY n,
+    # matching hashed_word_shingles' ws == [''] guard
+    return F.when(
+        (F.size(words) >= n) & has_content, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def hashed_word_shingles(text_col: Column, n: int = 3) -> Column:
@@ -713,23 +722,31 @@ def simhash64(text_col: Column, shingle_n: int = 2) -> Column:
 
 def _simhash_pudf(shingle_n: int):
     """Arrow-batched SimHash: blake2b-hashed word shingles, 64-wide bit
-    votes vectorized in numpy, sign bits packed into one int64."""
+    votes vectorized in numpy, sign bits packed into one int64. Docs
+    with NO grams (NULL/contentless, or shorter than the shingle) emit
+    NULL — a zero signature would make every such doc a Hamming-0
+    "duplicate" of every other; simhash_pairs filters them out before
+    bucketing (the same guard as the MinHash tier)."""
     import hashlib
-    import re as _re
 
     import numpy as np
     import pandas as pd
 
     def simhash_batch(texts):
-        out = np.zeros(len(texts), dtype=np.int64)
+        out = np.full(len(texts), None, dtype=object)
         shifts = np.arange(64, dtype=np.uint64)
         for row, t in enumerate(texts):
-            words = _re.sub(r"\s+", " ", (t or "").strip().lower()).split(" ")
-            grams = {
-                " ".join(words[i : i + shingle_n])
-                for i in range(max(len(words) - shingle_n + 1, 0))
-            }
+            ws = py_tokens(t)  # THE shared tokenizer (ASCII-\s contract)
+            grams = (
+                set()
+                if ws == [""]
+                else {
+                    " ".join(ws[i : i + shingle_n])
+                    for i in range(max(len(ws) - shingle_n + 1, 0))
+                }
+            )
             if not grams:
+                out[row] = None
                 continue
             hs = np.fromiter(
                 (
@@ -746,7 +763,7 @@ def _simhash_pudf(shingle_n: int):
             sig = np.uint64(0)
             for i in np.nonzero(votes > 0)[0]:
                 sig |= np.uint64(1) << np.uint64(i)
-            out[row] = sig.astype(np.int64)
+            out[row] = int(sig.astype(np.int64))
         return pd.Series(out)
 
     simhash_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
@@ -800,10 +817,17 @@ def simhash_pairs(
             F.col(id_col).alias("doc"),
             _simhash_pudf(shingle_n)(F.col(text_col)).alias("sh"),
         )
+        # gram-less docs (NULL signature) never enter bucketing — the
+        # same contract as the MinHash tier's size(shingles) > 0 filter
+        .filter(F.col("sh").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     chunk_cols = [
-        F.shiftrightunsigned(F.col("sh"), bounds[i]).bitwiseAND(
+        # a 64-bit-wide chunk (max_hamming=0) IS the signature: the full
+        # mask literal (2^64-1) would overflow LongType
+        F.col("sh")
+        if bounds[i + 1] - bounds[i] == 64
+        else F.shiftrightunsigned(F.col("sh"), bounds[i]).bitwiseAND(
             F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
         )
         for i in range(n_chunks)
@@ -1040,7 +1064,14 @@ def embedding_cosine_pairs(
             if dim is None:
                 # the probe row is already on the driver conceptually; one
                 # bounded fetch beats failing the scale-tier handoff
-                dim = len(df.select(vec_col).limit(1).collect()[0][0])
+                # a NULL vector in the probe row would TypeError; take
+                # the first NON-NULL vector's length
+                dim = len(
+                    df.select(vec_col)
+                    .filter(F.col(vec_col).isNotNull())
+                    .limit(1)
+                    .collect()[0][0]
+                )
             return embedding_lsh_pairs(
                 df, vec_col=vec_col, id_col=id_col, threshold=threshold, dim=dim
             )

@@ -219,11 +219,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters (connected components by
     min-label propagation); cluster id = canonical representative to keep."""
-    from mare_spark.operators.dedup import dedup_clusters
+    from mare_spark.operators.dedup import dedup_clusters, release_caches
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
-    return dedup_clusters(pairs)
+    clusters = dedup_clusters(pairs)
+    # dedup_clusters materialized the edges (checkpoint/collect), so the
+    # pair-generation caches are droppable — without this, every
+    # invocation in a long session leaks a corpus-scale shingle persist
+    release_caches(pairs)
+    return clusters
 
 
 @register("dedup_embedding_lsh", category="llm", oracle=None)

@@ -1242,3 +1242,55 @@ def test_similarity_review_guards(spark):
     )
     md = tagged.schema["embedding"].metadata
     assert md["dim"] == 64 and md["note"] == "x"  # merged, not replaced
+
+
+def test_dedup_review_guards(spark):
+    """Review-driven dedup contracts: contentless/NULL docs never pair
+    (simhash signature NULL, exact digest excluded, n=1 shingles empty);
+    simhash tokenization follows the shared ASCII-\\s contract (an NBSP
+    stays inside a token on every tier); max_hamming=0 band-joins on the
+    full signature instead of crashing on a 64-bit mask literal."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.dedup import (
+        exact_dedup,
+        simhash_pairs,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "one real document here"),
+         (4, "one real document here")],
+        "doc_id long, text string",
+    )
+    # contentless docs: no simhash pairs among them; the real dup found
+    pairs = simhash_pairs(df, "text", "doc_id", max_hamming=3).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(3, 4)}
+    # max_hamming=0: exact-signature banding works (was a mask overflow)
+    pairs0 = simhash_pairs(df, "text", "doc_id", max_hamming=0).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs0} == {(3, 4)}
+
+    # exact dedup: NULL text rows excluded, not one phantom group
+    groups = exact_dedup(df, "text", "doc_id").collect()
+    assert all(r.digest is not None for r in groups)
+    by_digest = {r.digest: r.n_copies for r in groups}
+    assert 2 in by_digest.values()  # the real dup pair
+    # '' and '   ' normalize identically and may group; doc 0 never appears
+
+    # n=1 shingles: contentless docs yield NO phantom '' shingle
+    sh = df.select(
+        "doc_id", word_shingles(F.col("text"), 1).alias("s")
+    ).collect()
+    for r in sh:
+        if r.doc_id in (1, 2):
+            assert r.s == [], r
+        if r.doc_id == 0:
+            assert r.s in ([], None)
+
+    # NBSP stays inside a token (ASCII-\s contract): these two docs are
+    # DIFFERENT to simhash, same as to the expression tier
+    nb = spark.createDataFrame(
+        [(0, "aa bb cc dd ee"), (1, "aa bb cc dd ee")],
+        "doc_id long, text string",
+    )
+    assert simhash_pairs(nb, "text", "doc_id", max_hamming=0).count() == 0
