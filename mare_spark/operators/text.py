@@ -51,9 +51,16 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Signals (all scan-side):
       * n_tokens / n_chars — length gates
       * avg_token_len — gibberish / boilerplate indicator
-      * punct_ratio — non-alphanumeric density
-      * stopword_ratio — natural-language-ness
-      * quality — weighted composite in [0, 1]
+      * punct_ratio — non-alphanumeric density. The class is
+        deliberately ASCII ([a-zA-Z0-9\s] complement): \p{L} tables can
+        differ between Java regex and RE2 across Unicode versions (the
+        PII module's compatibility rule), so non-Latin corpora should
+        gate on the tokenizer-based signals, not punct_ratio.
+      * stopword_ratio — natural-language-ness (the stopword filter is
+        an interpreted higher-order lambda over the full token array;
+        for Python-side hot paths prefer doc_token_stats_udf's Arrow
+        pass, which computes the same count)
+      * quality — weighted composite in [0, 1]; NULL for NULL text
     """
     t = tokens(F.col(text_col))
     n_tokens = F.size(t)
@@ -94,7 +101,10 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         stopword_ratio.alias("stopword_ratio"),
         n_stop.alias("n_marker_words"),
-        quality.alias("quality"),
+        # least/greatest SKIP NULL operands (both engines), so without
+        # the guard a NULL-text row scores a perfect 1.0 while every
+        # other column is NULL — extraction failures must score NULL
+        F.when(F.col(text_col).isNotNull(), quality).alias("quality"),
     )
 
 
@@ -123,7 +133,9 @@ def language_pred(scores_prefix: str = "score_") -> Column:
         pred = F.when(
             (F.col(f"{scores_prefix}{l}") == best) & (best > 0), l
         ).otherwise(pred)
-    return pred
+    # NULL scores (NULL text) -> NULL prediction: an extraction failure
+    # is not an 'undetermined-language' document
+    return F.when(best.isNull(), F.lit(None)).otherwise(pred)
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -193,7 +205,11 @@ def rolling_hash_fingerprint(
         M = np.uint64((1 << 31) - 1)
         out = []
         for t in texts:
-            s = (t or "").lower()
+            if t is None:
+                out.append(None)  # NULL text: no fingerprint, never the
+                # empty-doc [0] (which would pair failures with '' docs)
+                continue
+            s = t.lower()
             b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
             if len(b) < window:
                 out.append([int(b.sum()) if len(b) else 0])
@@ -220,10 +236,17 @@ def text_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
       token list): invariant to word order — catches shuffled boilerplate.
     """
     t = tokens(F.col(text_col))
+    # concat_ws never returns NULL (it skips NULL args), so fp_sorted of
+    # a NULL doc would silently become md5('') — one phantom duplicate
+    # group of every extraction failure; propagate the NULL instead
+    fp_sorted = F.when(
+        F.col(text_col).isNotNull(),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))),
+    )
     return df.select(
         F.col(id_col),
         F.md5(normalize_text(F.col(text_col))).alias("fp_md5"),
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias("fp_sorted"),
+        fp_sorted.alias("fp_sorted"),
     )
 
 
@@ -232,7 +255,9 @@ def deterministic_uniform(key: Column, salt: str = "") -> Column:
     chars of md5 → 32-bit int → scale. Engine-portable (md5 is identical in
     DuckDB/Spark, unlike xxhash64), so sampled sets are oracle-checkable and
     stable across runs/cluster sizes — the property that matters when a
-    sampling decision must be re-derivable months later at 100 TB."""
+    sampling decision must be re-derivable months later at 100 TB.
+    NULL keys hash to NULL and are DROPPED by every consumer's filter —
+    rows that must be samplable need non-null keys."""
     h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(
         float(1 << 32)
@@ -325,6 +350,7 @@ def sliding_chunks(
     window: int = 64,
     stride: int = 32,
     keep_cols: tuple[str, ...] = (),
+    drop_redundant_tail: bool = False,
 ) -> DataFrame:
     """Overlapping token-window chunking — the retrieval/RAG preparation
     pass: each document becomes ceil(n_tokens/stride) chunks of up to
@@ -336,14 +362,36 @@ def sliding_chunks(
     chunk_text)``; the final chunks shorten toward the document tail
     (documents are never padded).
 
+    Tail contract: when ``window >= 2*stride`` (the defaults) the FINAL
+    chunk's tokens are a strict subset of the penultimate chunk's. That
+    is deliberate — a chunk at every stride-aligned start is what makes
+    stride-prefix reconstruction exact (pinned by test) and keeps every
+    token within ``stride`` of a chunk start for retrieval re-expansion.
+    A pure RAG index that only wants distinct content can pass
+    ``drop_redundant_tail=True`` to skip those subset tails
+    (``max(1, ceil(max(0, n - window)/stride) + 1)`` chunks instead).
+
     Scale: pure scan-side expression code (sequence + slice + concat_ws)
     followed by a narrow posexplode — zero shuffles, no text ever leaves
     its partition. The fan-out is rows × ceil(n/stride), the same narrow
     flatMap shape as shingling.
     """
+    if stride < 1 or window < 1:
+        raise ValueError(
+            f"window and stride must be >= 1, got window={window}, "
+            f"stride={stride} (a zero stride would ANSI-divide-by-zero "
+            "mid-job)"
+        )
     w = tokens(F.col(text_col))
     n = F.size(w)
-    n_chunks = F.ceil(n / F.lit(stride)).cast("int")
+    if drop_redundant_tail:
+        n_chunks = F.greatest(
+            F.lit(1),
+            (F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(stride))
+             + 1).cast("int"),
+        )
+    else:
+        n_chunks = F.ceil(n / F.lit(stride)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(w, i * stride + 1, window)),

@@ -383,11 +383,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            (floor(stop_hits / greatest(n_tokens, 1)
                   * 1000000.0 + 0.5) / 1000000.0)         AS stopword_ratio,
            n_marker                                       AS n_marker_words,
-           (floor(greatest(least(
-             0.5 * least(n_tokens / 100.0, 1.0)
-             + 0.5 * least((stop_hits / greatest(n_tokens, 1)) * 5, 1.0)
-             - n_punct / greatest(n_chars, 1), 1.0), 0.0)
-             * 1000000.0 + 0.5) / 1000000.0) AS quality
+           CASE WHEN n_tokens IS NULL THEN NULL ELSE
+             (floor(greatest(least(
+               0.5 * least(n_tokens / 100.0, 1.0)
+               + 0.5 * least((stop_hits / greatest(n_tokens, 1)) * 5, 1.0)
+               - n_punct / greatest(n_chars, 1), 1.0), 0.0)
+               * 1000000.0 + 0.5) / 1000000.0) END AS quality
     FROM s
     """,
 )
@@ -417,6 +418,7 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CASE
+             WHEN score_en IS NULL THEN NULL
              WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
              WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
              WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
@@ -444,8 +446,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            md5(norm) AS fp_md5,
-           md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' '))
-             AS fp_sorted
+           CASE WHEN norm IS NULL THEN NULL ELSE
+             md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' '))
+           END AS fp_sorted
     FROM t
     """,
 )

@@ -398,3 +398,27 @@ def test_analysis_review_contracts(spark):
     assert prof["doc_id"].min_numeric == 0.0
     assert prof["doc_id"].max_numeric == 2.0
     assert prof["src"].min_numeric is None  # non-numeric column
+
+
+def test_sliding_chunks_guards_and_tail_option(spark):
+    """Review-driven: stride/window validate at call time; the
+    drop_redundant_tail option removes subset-only final chunks while
+    the default keeps the stride-prefix reconstruction contract."""
+    import pytest
+
+    from mare_spark.operators.text import sliding_chunks
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        sliding_chunks(df, "text", "doc_id", stride=0)
+    out = sorted(
+        sliding_chunks(df, "text", "doc_id", window=6, stride=3,
+                       drop_redundant_tail=True).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # default would give ceil(10/3)=4 chunks (starts 0,3,6,9 — the 9
+    # chunk is a subset of the 6 chunk); dropped-tail gives 3, and the
+    # final chunk still reaches the document end
+    assert [r.start_token for r in out] == [0, 3, 6]
+    assert out[-1].chunk_text.endswith("w9")

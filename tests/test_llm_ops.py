@@ -1294,3 +1294,38 @@ def test_dedup_review_guards(spark):
         "doc_id long, text string",
     )
     assert simhash_pairs(nb, "text", "doc_id", max_hamming=0).count() == 0
+
+
+def test_text_null_contracts(spark):
+    """Review-driven NULL contracts in text.py: NULL text scores NULL
+    quality (not a perfect 1.0 via NULL-skipping least/greatest), gets
+    NULL fingerprints (not a phantom md5('') duplicate group / the
+    empty-doc [0] rolling fingerprint), and NULL language (not 'und')."""
+    from mare_spark.operators.text import (
+        language_id,
+        quality_stats,
+        rolling_hash_fingerprint,
+        text_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "the cat sat on the mat")],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r for r in quality_stats(df, "text", "doc_id").collect()}
+    assert q[0].quality is None and q[0].n_tokens is None
+    assert q[2].quality is not None
+
+    fp = {r.doc_id: r for r in
+          text_fingerprint(df, "text", "doc_id").collect()}
+    assert fp[0].fp_md5 is None and fp[0].fp_sorted is None
+    assert fp[1].fp_sorted is not None  # '' is a real (empty) document
+
+    lang = {r.doc_id: r.lang_pred for r in
+            language_id(df, "text", "doc_id").collect()}
+    assert lang[0] is None and lang[1] == "und" and lang[2] == "en"
+
+    rh = {r.doc_id: r.fingerprint for r in
+          rolling_hash_fingerprint(df, "text", "doc_id").collect()}
+    assert rh[0] is None
+    assert list(rh[1]) == [0]  # empty doc keeps its pinned [0]
