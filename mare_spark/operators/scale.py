@@ -38,6 +38,11 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (right side must stay unique per key+salt)")
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError(
+            "a '_salt' column already exists — salted_join would "
+            "overwrite it and drop it from the output"
+        )
     l_salted = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     r_salted = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -108,7 +113,11 @@ def _require_local_path(path: str, op: str) -> tuple[str, str]:
             f"{op} operates on local filesystem paths only, got {path!r}; "
             "use a lakehouse table format for remote storage"
         )
-    return path, path
+    # scheme-less: pin the Spark side to file:// explicitly — on a real
+    # cluster a bare path resolves against defaultFS (hdfs://), i.e. a
+    # DIFFERENT filesystem than the os.walk/os.rename side, and the
+    # rename would strand the rewrite after it ran
+    return "file://" + path, path
 
 
 def write_sorted_layout(
@@ -174,16 +183,24 @@ def zorder_value(
             f"zorder_value: input columns {sorted(clash)} collide with "
             "internal stat/output names — rename them first"
         )
+    # NaN-proof the stats: Spark orders NaN as the MAXIMUM double, so a
+    # single NaN row would make max=NaN -> rng=NaN -> every `rng > 0`
+    # false -> the whole dimension silently collapses to bin 0. Treat
+    # NaN like NULL (bottom bin) on the doubles.
+    def _clean(c):
+        col = F.col(c).cast("double")
+        return F.when(F.isnan(col), F.lit(None)).otherwise(col)
+
     stats = df.agg(
-        *[F.min(c).cast("double").alias(f"_min_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"_max_{c}") for c in cols],
+        *[F.min(_clean(c)).alias(f"_min_{c}") for c in cols],
+        *[F.max(_clean(c)).alias(f"_max_{c}") for c in cols],
     )
     with_stats = df.join(F.broadcast(stats))
     top = (1 << bits_per_col) - 1
     scaled = []
     for c in cols:
         rng = F.col(f"_max_{c}") - F.col(f"_min_{c}")
-        frac = F.when(rng > 0, (F.col(c).cast("double") - F.col(f"_min_{c}")) / rng).otherwise(F.lit(0.0))
+        frac = F.when(rng > 0, (_clean(c) - F.col(f"_min_{c}")) / rng).otherwise(F.lit(0.0))
         # coalesce BEFORE the least(): a NULL input makes frac NULL, and
         # F.least skips NULL operands, so without this NULL rows would
         # land in the TOP bin as an accident of least() semantics
@@ -331,7 +348,11 @@ def compact_small_files(
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(min_files, math.ceil(total / target_file_bytes))
     tmp = path.rstrip("/") + "._compact_tmp"
-    spark.read.parquet(spark_path).coalesce(n_out).write.mode(
+    # repartition, NOT coalesce: coalesce is narrow, so the whole
+    # read+decode of (possibly 100k) small files would run at n_out
+    # parallelism; the shuffle is the price of a cluster-wide scan over
+    # data that must be fully rewritten anyway
+    spark.read.parquet(spark_path).repartition(n_out).write.mode(
         "overwrite"
     ).parquet(scheme + tmp)
     _swap_dirs(path, tmp, path.rstrip("/") + "._compact_old")
@@ -416,6 +437,24 @@ def _check_merge_inputs(
       silently ignoring the delete — SQL MERGE treats update+delete on
       one row as a defined conflict, so we do too).
     """
+    # NULL identities first: non-null-safe joins can't match them, so a
+    # NULL-key update would DUPLICATE instead of replace and a NULL-key
+    # delete would silently no-op (and evade the both-check below)
+    null_pred = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_pred = c if null_pred is None else (null_pred | c)
+    frames = [("updates", updates)] + (
+        [("delete_keys", delete_keys)] if delete_keys is not None else []
+    )
+    for label, frame in frames:
+        if frame.filter(null_pred).limit(1).count():
+            raise ValueError(
+                f"merge_parquet: NULL merge key in {label} — keys must "
+                "be non-NULL (the anti-join cannot match NULL, so the "
+                "row would duplicate on update or silently no-op on "
+                "delete)"
+            )
     dup = (
         updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
     )
@@ -515,12 +554,16 @@ def merge_parquet_partitioned(
             "and hive-safe ([A-Za-z0-9._-]) — Spark escapes anything else "
             f"in directory names; offending values: {bad[:5]!r}"
         )
-    affected = sorted(str(v) for v in values)
+    # keep the ORIGINAL typed value for filtering (comparing a bigint
+    # column to a string literal coerces both to double, which conflates
+    # longs above 2^53); str(v) is only ever the directory name
+    affected = sorted(values, key=str)
 
     root = os.path.dirname(path.rstrip("/")) or "."
     base_name = os.path.basename(path.rstrip("/"))
     rewritten: list[str] = []
-    for pv in affected:
+    for pval in affected:
+        pv = str(pval)
         part_dir = os.path.join(path, f"{partition_col}={pv}")
         # staging OUTSIDE the table root: a reader listing `path` must
         # never see a half-written tmp or orphaned old copy as a phantom
@@ -529,15 +572,15 @@ def merge_parquet_partitioned(
         tmp, old_dir = stage + ".tmp", stage + ".old"
         if os.path.exists(old_dir) and not os.path.exists(part_dir):
             os.rename(old_dir, part_dir)  # heal a crashed earlier run
-        upd = updates.filter(F.col(partition_col) == F.lit(pv)).drop(
+        upd = updates.filter(F.col(partition_col) == F.lit(pval)).drop(
             partition_col
         )
         gone = upd.select(F.col(key))
         if delete_keys is not None:
             gone = gone.unionByName(
-                delete_keys.filter(F.col(partition_col) == F.lit(pv)).select(
-                    F.col(key)
-                )
+                delete_keys.filter(
+                    F.col(partition_col) == F.lit(pval)
+                ).select(F.col(key))
             )
         if os.path.exists(part_dir):
             base = spark.read.parquet(scheme + part_dir)
@@ -545,6 +588,32 @@ def merge_parquet_partitioned(
         else:
             merged = upd  # brand-new partition: inserts only
         merged.write.mode("overwrite").parquet(scheme + tmp)
+        # a result with no ROWS must never be INSTALLED: a no-op delete
+        # would mint a phantom partition (Spark writes a schema-only
+        # parquet file even for an empty frame, so check footers, not
+        # file presence — the same pyarrow-footer trick as
+        # file_skipping_report)
+        import pyarrow.parquet as pq_meta
+
+        has_rows = any(
+            f.endswith(".parquet")
+            and pq_meta.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            > 0
+            for d, _sub, fs in os.walk(tmp)
+            for f in fs
+        )
+        if not has_rows:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.exists(part_dir):
+                # every row of the partition was deleted: drop the dir
+                # crash-safely (rename aside first, heal path above)
+                os.rename(part_dir, old_dir)
+                shutil.rmtree(old_dir, ignore_errors=True)
+                rewritten.append(pv)
+            # delete aimed at a partition that never existed: pure no-op
+            continue
         if os.path.exists(part_dir):
             _swap_dirs(part_dir, tmp, old_dir)
         else:
@@ -563,13 +632,25 @@ def partition_skew_report(df: DataFrame) -> DataFrame:
 
     Returns ``(partition_id, n_rows, pct_of_total)`` sorted by size
     descending; ``pct_of_total`` is exact (integer-ratio) so the output
-    is layout-deterministic for a fixed partitioning.
+    is layout-deterministic for a fixed partitioning. EMPTY partitions
+    appear as explicit 0-row entries — "196 of 200 partitions are empty"
+    IS the skew signal, and a groupBy alone would omit them.
     """
     from pyspark.sql.window import Window
 
-    counts = df.groupBy(
-        F.spark_partition_id().alias("partition_id")
-    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    n_parts = df.rdd.getNumPartitions()
+    all_ids = df.sparkSession.range(n_parts).select(
+        F.col("id").cast("int").alias("partition_id")
+    )
+    counts = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .join(all_ids, "partition_id", "right")
+        .select(
+            "partition_id",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        )
+    )
     total = Window.partitionBy()
     return counts.select(
         "partition_id",

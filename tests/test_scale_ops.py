@@ -515,8 +515,10 @@ def test_merge_partitioned_rewrites_only_affected(spark, tmp_path):
     }
     # untouched partition p2: files byte-identical (inode + mtime preserved)
     assert file_stats("p2") == p2_before
-    # rewritten partition p3 no longer has its old files
-    assert file_stats("p3") != p3_before
+    # p3 lost its ONLY row: the directory is removed outright (an empty
+    # hive dir would be a phantom partition), not rewritten in place
+    assert p3_before  # it existed before the merge
+    assert not os.path.exists(os.path.join(path, "pt=p3"))
     assert not os.path.exists(os.path.join(path, "pt=p1._merge_tmp"))
 
 
@@ -858,3 +860,77 @@ def test_partition_skew_report_counts_and_shares(spark):
     assert rep[0].n_rows >= 900          # the hot key's partition leads
     assert abs(sum(r.pct_of_total for r in rep) - 1.0) < 1e-4
     assert rep == sorted(rep, key=lambda r: (-r.n_rows, r.partition_id))
+
+
+def test_scale_review_guards(spark, tmp_path):
+    """Review-driven maintenance contracts: NULL merge keys are rejected
+    (non-null-safe joins would duplicate updates / no-op deletes); a
+    delete aimed at a nonexistent partition is a no-op, and emptying a
+    partition REMOVES its directory (never installs a phantom empty hive
+    dir); numeric partition values filter by their original type; the
+    skew report lists empty partitions explicitly; salted_join rejects a
+    pre-existing _salt column; zorder survives NaN values."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.scale import (
+        merge_parquet,
+        merge_parquet_partitioned,
+        partition_skew_report,
+        salted_join,
+        zorder_value,
+    )
+
+    # NULL merge key rejected
+    base_path = str(tmp_path / "t0")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        base_path
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        merge_parquet(
+            spark, base_path,
+            spark.createDataFrame([(None, "x")], "id long, v string"),
+            "id",
+        )
+
+    # partitioned: empty-partition handling
+    p = str(tmp_path / "t1")
+    spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "id long, v string, pt string"
+    ).write.partitionBy("pt").parquet(p)
+    deletes = spark.createDataFrame(
+        [(1, "p1"), (9, "p9")], "id long, pt string"
+    )
+    rewritten = merge_parquet_partitioned(
+        spark, p,
+        spark.createDataFrame([], "id long, v string, pt string"),
+        "id", "pt",
+        delete_keys=deletes,
+    )
+    assert rewritten == ["p1"]          # p9 never existed: pure no-op
+    assert not os.path.exists(f"{p}/pt=p1")   # emptied dir REMOVED
+    assert not os.path.exists(f"{p}/pt=p9")   # no phantom dir created
+    back = spark.read.parquet(p)
+    assert [r.id for r in back.collect()] == [2]
+
+    # skew report: empty partitions appear as explicit zeros
+    df = spark.range(100).repartition(8, (F.col("id") % 2))
+    rep = partition_skew_report(df).collect()
+    assert len(rep) == 8
+    assert sum(1 for r in rep if r.n_rows == 0) >= 6
+
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(
+            df.withColumn("_salt", F.lit(1)), df.selectExpr("id"), "id"
+        )
+
+    # zorder: one NaN row must not collapse a dimension to bin 0
+    nan_df = spark.createDataFrame(
+        [(1, 1.0, 10.0), (2, 2.0, 20.0), (3, float("nan"), 30.0)],
+        "id long, x double, y double",
+    )
+    zdf, zc = zorder_value(nan_df, ["x", "y"], bits_per_col=4)
+    zs = {r.id: r[zc] for r in zdf.collect()}
+    assert zs[1] != zs[2]  # the x dimension still separates rows
