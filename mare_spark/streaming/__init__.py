@@ -419,14 +419,23 @@ def clean_corpus_stream(
     )
 
 
-def _sketch_state(checkpoint_dir: str, filename: str):
+def _sketch_state(checkpoint_dir: str, filename: str, params: dict = None):
     """Shared npz-persisted driver state for the streaming sketch ops:
-    loads prior state (restart resumes full history), tracks applied
-    epochs (retries fold exactly once), saves atomically per epoch.
-    Returns ``(loaded, applied, save, guard)``: ``loaded`` is the prior
-    npz (or None), ``save(**arrays)`` persists arrays + the epoch set,
-    ``guard(fold, after)`` wraps a foreachBatch fn with the retry check
-    and post-epoch persistence."""
+    loads prior state (restart resumes full history), tracks the MAX
+    applied epoch (ids are monotonic per Structured Streaming
+    checkpoint, so one int gives the same retry-folds-once guarantee as
+    a full epoch set at O(1) state instead of O(stream lifetime)), and
+    saves atomically per epoch.
+
+    ``params`` (e.g. {"width_bits": 16, "depth": 4} or {"k": 1024,
+    "salt": ...}) are persisted alongside the state and VALIDATED on
+    reload — resuming a checkpoint with different build parameters
+    would silently mis-shape the sketch (a 16-bit CMS table probed with
+    14-bit shifts UNDERestimates; a different quantile salt merges two
+    incompatible hash orderings).
+
+    Returns ``(loaded, applied_max, save, guard)``."""
+    import json as _json
     import os
 
     import numpy as np
@@ -434,29 +443,51 @@ def _sketch_state(checkpoint_dir: str, filename: str):
     os.makedirs(checkpoint_dir, exist_ok=True)
     state_path = os.path.join(checkpoint_dir, filename)
     loaded = np.load(state_path) if os.path.exists(state_path) else None
-    applied: set[int] = (
-        {int(e) for e in loaded["epochs"]} if loaded is not None else set()
-    )
+    max_applied = -1
+    if loaded is not None:
+        if "max_epoch" in loaded.files:
+            max_applied = int(loaded["max_epoch"])
+        elif "epochs" in loaded.files and len(loaded["epochs"]):
+            max_applied = int(loaded["epochs"].max())  # legacy format
+        if params and "params" in loaded.files:
+            saved = _json.loads(str(loaded["params"]))
+            if saved != {k: str(v) for k, v in params.items()}:
+                raise ValueError(
+                    f"checkpoint at {state_path!r} was built with "
+                    f"{saved}, resumed with "
+                    f"{ {k: str(v) for k, v in params.items()} } — "
+                    "matching parameters are required (a mismatched "
+                    "resume silently corrupts the sketch)"
+                )
+    state = {"max": max_applied}
 
     def save(**arrays) -> None:
         tmp = state_path + ".tmp"
+        extra = {}
+        if params:
+            extra["params"] = np.array(
+                _json.dumps({k: str(v) for k, v in params.items()})
+            )
         with open(tmp, "wb") as f:  # file handle: savez appends no suffix
             np.savez(
-                f, epochs=np.array(sorted(applied), dtype=np.int64), **arrays
+                f,
+                max_epoch=np.int64(state["max"]),
+                **extra,
+                **arrays,
             )
         os.replace(tmp, state_path)
 
     def guard(fold, after):
         def wrapped(batch_df: DataFrame, epoch_id: int) -> None:
-            if epoch_id in applied:
+            if epoch_id <= state["max"]:
                 return  # epoch retry — already folded
             fold(batch_df, epoch_id)
-            applied.add(int(epoch_id))
+            state["max"] = int(epoch_id)
             after()
 
         return wrapped
 
-    return loaded, applied, save, guard
+    return loaded, state, save, guard
 
 
 # ---------------------------------------------------------------------------
@@ -502,14 +533,20 @@ def run_cms_over_stream(
     """
     from mare_spark.operators.sketches import CountMinSketch, build_cms
 
-    loaded, _, save, guard = _sketch_state(checkpoint_dir, "cms_state.npz")
+    loaded, _, save, guard = _sketch_state(
+        checkpoint_dir, "cms_state.npz",
+        params={"width_bits": width_bits, "depth": depth},
+    )
     sketch = CountMinSketch(width_bits, depth)
     if loaded is not None:
         sketch.table = loaded["table"].copy()
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         part = build_cms(batch_df, key_col, width_bits=width_bits, depth=depth)
-        sketch.table += part.table
+        # merge_bytes invalidates any cached probe broadcast (see the
+        # heavy-hitters fold) — a raw += would leave cluster-side
+        # cms_probe_expr reads stale
+        sketch.merge_bytes(part.table.tobytes())
 
     q = (
         stream_df.writeStream.foreachBatch(
@@ -569,7 +606,10 @@ def run_heavy_hitters_over_stream(
                 (int(vals[i]), int(est[i])) for i in order[:n]
             ]
 
-    loaded, _, save, guard = _sketch_state(checkpoint_dir, "hh_state.npz")
+    loaded, _, save, guard = _sketch_state(
+        checkpoint_dir, "hh_state.npz",
+        params={"width_bits": width_bits, "depth": depth},
+    )
     tracker = _Tracker()
     if loaded is not None:
         tracker.sketch.table = loaded["table"].copy()
@@ -579,9 +619,14 @@ def run_heavy_hitters_over_stream(
         part = build_cms(
             batch_df, key_col, width_bits=width_bits, depth=depth
         )
-        tracker.sketch.table += part.table
+        # merge_bytes, never a raw `+=`: the helper invalidates any
+        # cached executor broadcast (a live cms_probe_expr would
+        # otherwise read stale pre-epoch counts on a real cluster)
+        tracker.sketch.merge_bytes(part.table.tobytes())
         top_rows = (
-            batch_df.groupBy(key_col)
+            batch_df.filter(F.col(key_col).isNotNull())  # int(None) would
+            # abort the query; build_cms excludes NULLs the same way
+            .groupBy(key_col)
             .count()
             .orderBy(F.desc("count"), F.asc(key_col))
             .limit(candidates_per_batch)
@@ -614,6 +659,7 @@ def scrub_corpus_stream(
     max_freq: int = 2,
     width_bits: int = 16,
     depth: int = 4,
+    keep_cols: tuple[str, ...] = (),
 ):
     """Incremental chunk-level boilerplate scrub over a document stream:
     each micro-batch's chunks fold into the checkpointed running CMS
@@ -644,26 +690,36 @@ def scrub_corpus_stream(
         cms_probe_expr,
     )
 
-    loaded, _, save, guard = _sketch_state(checkpoint_dir, "scrub_state.npz")
+    _check_scrub_columns = __import__(
+        "mare_spark.operators.corpus", fromlist=["_check_scrub_columns"]
+    )._check_scrub_columns
+    _check_scrub_columns("scrub_corpus_stream", id_col, text_col, keep_cols)
+    loaded, _, save, guard = _sketch_state(
+        checkpoint_dir, "scrub_state.npz",
+        params={"width_bits": width_bits, "depth": depth,
+                "chunk_words": chunk_words, "max_freq": max_freq},
+    )
     sketch = CountMinSketch(width_bits, depth)
     if loaded is not None:
         sketch.table = loaded["table"].copy()
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         ex = (
-            _chunk_explode(batch_df, text_col, id_col, chunk_words, ())
+            _chunk_explode(batch_df, text_col, id_col, chunk_words,
+                           keep_cols)
             .withColumn("chunk_h", F.xxhash64("chunk"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         part = build_cms(ex, "chunk_h", width_bits=width_bits, depth=depth)
-        sketch.table += part.table
-        sketch.release()  # re-broadcast the UPDATED table for this probe
+        # merge_bytes invalidates the cached broadcast so the probe below
+        # ships the UPDATED table (raw += left it stale on a cluster)
+        sketch.merge_bytes(part.table.tobytes())
         flagged = ex.withColumn(
             "est", cms_probe_expr(F.col("chunk_h"), sketch,
                                   batch_df.sparkSession)
         )
         cleaned = _chunk_reassemble(
-            flagged, id_col, (), F.col("est") <= max_freq
+            flagged, id_col, keep_cols, F.col("est") <= max_freq
         )
         # Epoch-keyed subdirectory in OVERWRITE mode, not a flat append:
         # a crash after a flat append but before the sketch save would
@@ -745,7 +801,8 @@ def run_quantile_sketch_over_stream(
     import numpy as np
 
     loaded, _, save, guard = _sketch_state(
-        checkpoint_dir, "quantile_state.npz"
+        checkpoint_dir, "quantile_state.npz",
+        params={"k": k, "salt": salt},
     )
     sketch = _BottomKSketch(k)
     if loaded is not None:

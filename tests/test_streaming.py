@@ -575,3 +575,39 @@ def test_streaming_quantile_sketch_equals_batch(spark, tmp_path):
     union3 = union.unionAll(c.selectExpr("id", "v", "'g' AS g"))
     batch3 = quantile_sketch_table(union3, "v", "id", ["g"], k=128).head()
     assert sk2.rows == sorted((e.h, e.v) for e in batch3.quantile_sketch)
+
+
+def test_streaming_sketch_review_guards(spark, tmp_path):
+    """Review-driven streaming-sketch contracts: a checkpoint resumed
+    with DIFFERENT build parameters is refused (a mismatched resume
+    silently corrupts the sketch); state persists only the max applied
+    epoch (O(1), not the full epoch history); NULL keys in the
+    heavy-hitter stream don't abort the query."""
+    import numpy as np
+
+    d = tmp_path / "nullable_keys"
+    d.mkdir()
+    spark.range(100).selectExpr(
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE id % 7 END AS k"
+    ).write.parquet(str(d / "f0.parquet"))
+    stream = spark.readStream.schema("k long").parquet(str(d) + "/*")
+    q, tracker = S.run_heavy_hitters_over_stream(
+        stream, "k", str(tmp_path / "hhck"), width_bits=10, depth=3, k=5
+    )
+    try:
+        q.processAllAvailable()  # would TypeError on int(None) before
+    finally:
+        q.stop()
+    assert tracker.top(3)  # real keys tracked, NULLs excluded
+
+    # parameter mismatch on resume is refused
+    stream2 = spark.readStream.schema("k long").parquet(str(d) + "/*")
+    with pytest.raises(ValueError, match="parameters"):
+        S.run_heavy_hitters_over_stream(
+            stream2, "k", str(tmp_path / "hhck"), width_bits=12, depth=3,
+            k=5,
+        )
+
+    # state file carries max_epoch (an int), not the epoch history
+    st = np.load(str(tmp_path / "hhck" / "hh_state.npz"))
+    assert "max_epoch" in st.files and st["max_epoch"].shape == ()
