@@ -74,12 +74,22 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
+    reserved = {"_side", "_r", "_carry"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with asof_join's internal "
+            f"names (reserved: {sorted(reserved)}) — rename them first"
+        )
 
     # NULL event times never match (SQL comparison semantics — DuckDB's
     # ASOF and pd.merge_asof agree): drop NULL-on right rows so they can
     # never be carried; NULL-on left rows are ordered BEFORE every right
-    # row (nulls-first both directions) so their carry is NULL.
-    right = right.filter(F.col(on).isNotNull())
+    # row (nulls-first both directions) so their carry is NULL. NULL
+    # GROUP keys never match either (NULL = NULL is not true in the SQL
+    # oracle) — right NULL-by rows can't be carried; left NULL-by rows
+    # share an otherwise-empty NULL partition, so their carry is NULL.
+    right = right.filter(F.col(on).isNotNull() & F.col(by).isNotNull())
     rt = right.select(
         F.col(by),
         F.col(on),
@@ -90,10 +100,17 @@ def asof_join(
     lt = left.withColumn("_side", F.lit(1)).withColumn(
         "_r", F.lit(None).cast(r_struct_type)
     )
-    # align schemas for the union
-    for c in left.columns:
-        if c not in (by, on):
-            rt = rt.withColumn(c, F.lit(None))
+    # align schemas for the union — ONE projection, not a withColumn
+    # per left column (each withColumn nests another Project node;
+    # quadratic analysis time on wide frames)
+    rt = rt.select(
+        "*",
+        *[
+            F.lit(None).alias(c)
+            for c in left.columns
+            if c not in (by, on)
+        ],
+    )
 
     unioned = lt.select(lt.columns).unionByName(rt.select(lt.columns))
     # backward: ascending time, right rows before left at ties (>= match).
@@ -109,14 +126,19 @@ def asof_join(
     # ascending (backward) / descending (forward) pins the max / min tied
     # row — mirrored by asof_join_pandas' composite sort. Left rows have a
     # NULL struct; they are already separated from right rows by _side.
-    # Struct ordering requires every carried field to be orderable (maps
-    # are not) — for non-orderable right_cols, fall back to the pre-tie
-    # ordering rather than failing analysis on inputs that used to work;
-    # ties are then engine-chosen, as before.
+    # Struct ordering requires orderable fields (maps are not): order by
+    # a struct of only the ORDERABLE carried fields — the same per-field
+    # filter asof_join_pandas applies to its tie_cols, so the two tiers
+    # pick the same winner even when some carried columns are maps.
+    from pyspark.sql import types as T
+
+    field_types = {f.name: f.dataType for f in r_struct_type.fields}
+    tie_fields = [c for c in right_cols if _orderable(field_types[c])]
     order_keys = [time_order, F.col("_side").asc()]
-    if _orderable(r_struct_type):
+    if tie_fields:
+        tie_struct = F.struct(*[F.col("_r")[c].alias(c) for c in tie_fields])
         order_keys.append(
-            F.col("_r").asc() if direction == "backward" else F.col("_r").desc()
+            tie_struct.asc() if direction == "backward" else tie_struct.desc()
         )
     w = (
         W.partitionBy(by)
@@ -151,28 +173,42 @@ def asof_join_pandas(
     both directions, matching merge_asof defaults."""
     import pandas as pd
 
+    from pyspark.sql import types as T
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest' "
+            f"(got {direction!r})"
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
+
+    # NULL group keys never match (SQL semantics / the window tier's
+    # contract): NULL-by right rows can never be carried; NULL-by left
+    # rows cogroup against an empty right and carry NULL.
+    right = right.filter(F.col(by).isNotNull())
 
     out_fields = (
         [f"{c}" for c in left.columns] + [f"{c}{suffix}" for c in right_cols]
     )
-    left_schema = dict(zip(left.columns, [f.dataType.simpleString() for f in left.schema]))
-    right_schema = {
-        f"{c}{suffix}": dict(
-            zip(right.columns, [f.dataType.simpleString() for f in right.schema])
-        )[c]
-        for c in right_cols
-    }
-    schema = ", ".join(
-        [f"{c} {left_schema[c]}" for c in left.columns]
-        + [f"{c} {t}" for c, t in right_schema.items()]
+    # a real StructType, not a joined DDL string (a column named
+    # `max value` or `order-id` would fail DDL parsing)
+    left_types = {f.name: f.dataType for f in left.schema.fields}
+    r_types = {f.name: f.dataType for f in right.schema.fields}
+    schema = T.StructType(
+        [T.StructField(c, left_types[c], True) for c in left.columns]
+        + [T.StructField(f"{c}{suffix}", r_types[c], True)
+           for c in right_cols]
     )
     # tie-break sort columns: the orderable carried columns (decided from
     # the Spark schema, so both tiers make the same call)
-    right_types = {f.name: f.dataType for f in right.schema.fields}
     tie_cols = [
-        c for c in right_cols if c != on and _orderable(right_types[c])
+        c for c in right_cols if c != on and _orderable(r_types[c])
+    ]
+    int_carry = [
+        c for c in right_cols
+        if isinstance(r_types[c], (T.ByteType, T.ShortType,
+                                   T.IntegerType, T.LongType))
     ]
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -199,6 +235,13 @@ def asof_join_pandas(
         ].rename(
             columns={c: f"{c}{suffix}" for c in others}
         )
+        # nullable Int64 BEFORE the merge: merge_asof fills misses with
+        # NaN, and an int64 column upcast to float64 silently rounds
+        # carried values above 2^53 (the 60-bit hash convention's range)
+        for c in int_carry:
+            col = f"{c}{suffix}"
+            if col in rpdf.columns:
+                rpdf[col] = rpdf[col].astype("Int64")
         if on in right_cols:
             rpdf[f"{on}{suffix}"] = rpdf[on]
         if rpdf.empty:

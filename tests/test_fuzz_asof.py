@@ -186,3 +186,35 @@ def test_fuzz_asof_pandas_tier_agrees(spark, seed):
     cols = ["event_id", "k", "o", "value", "o_asof", "r_val_asof", "r_n_asof"]
     assert a.select(*cols).exceptAll(b.select(*cols)).count() == 0
     assert b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+
+
+def test_asof_review_guards(spark):
+    """Review-driven as-of contracts: NULL group keys never match in
+    either tier (the keyed-SQL-equality rule, like NULL event times);
+    reserved internal names are rejected; integer carried values above
+    2^53 survive the pandas tier exactly (nullable Int64, never a
+    float64 round-trip); bad directions fail eagerly in both tiers."""
+    from mare_spark.operators.asof import asof_join, asof_join_pandas
+
+    left = spark.createDataFrame(
+        [(None, 10, 1), ("k", 10, 2)], "k string, o long, id long"
+    )
+    big = 9007199254740993  # 2^53 + 1: float64 would round it
+    right = spark.createDataFrame(
+        [(None, 5, big), ("k", 5, big)], "k string, o long, rv long"
+    )
+    for tier in (asof_join, asof_join_pandas):
+        rows = {r.id: r.rv_asof
+                for r in tier(left, right, on="o", by="k",
+                              right_cols=["rv"]).collect()}
+        assert rows[1] is None, tier.__name__   # NULL key never matches
+        assert rows[2] == big, tier.__name__    # exact int carried
+
+    import pytest
+
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left.withColumnRenamed("id", "_carry"), right,
+                  on="o", by="k")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join_pandas(left, right, on="o", by="k",
+                         direction="foward")
