@@ -530,7 +530,12 @@ def pack_token_tape(
 
 
 def bigram_logprob(
-    df: DataFrame, text_col: str, id_col: str, *, lam: float = 0.9
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    lam: float = 0.9,
+    lam_unigram: float | None = None,
 ) -> DataFrame:
     """Corpus-adaptive BIGRAM fluency score: each document's mean
     interpolated bigram log-probability under the corpus' own statistics
@@ -559,7 +564,16 @@ def bigram_logprob(
     evaluated with identical association on both engines, ln of the
     identical double agrees, each term snaps to the 6dp grid, and the
     per-document mean sums the grid points as DECIMAL.
+
+    ``lam_unigram`` is the unigram interpolation weight as an EXPLICIT
+    double (default ``1.0 - lam`` computed in Python). An oracle that
+    writes the complement as a literal (``0.1``) must pass the same
+    literal here: ``1.0 - 0.9`` is ``0.09999999999999998``, one ulp off
+    the literal ``0.1``, and the two doubles feed ``ln()`` — a
+    grid-boundary landing would hash-diverge.
     """
+    if lam_unigram is None:
+        lam_unigram = 1.0 - lam
     pairs = F.expr(
         "CASE WHEN size(_w) > 1 THEN "
         "transform(sequence(1, size(_w) - 1), "
@@ -581,7 +595,7 @@ def bigram_logprob(
     tot = uni.agg(F.sum("cb").alias("t_tokens"))
     p = (
         F.lit(lam) * (F.col("cab") / F.col("ca"))
-        + F.lit(1.0 - lam) * (F.col("cb") / F.col("t_tokens"))
+        + F.lit(lam_unigram) * (F.col("cb") / F.col("t_tokens"))
     )
     lp = big.join(ctx, "a").join(uni, "b").join(F.broadcast(tot)).select(
         "a", "b", fround(F.log(p), 6).alias("_lp")

@@ -207,7 +207,12 @@ def dsir_gumbel_topk(
         10,
     ).cast("double")
     u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
-    inner = fround(F.log(u), 6)  # ln(u) < 0, snapped
+    # ln(u) < 0, snapped to the 6dp grid. For u within ~5e-7 of 1 the
+    # snap lands exactly on 0 and -ln(-0) would be NULL under Spark
+    # (silently unsampleable) and an error/divergence in a SQL oracle —
+    # clamp to the first negative grid point so every doc keeps a finite
+    # key. Mirrored verbatim in the registered oracle SQL.
+    inner = F.least(fround(F.log(u), 6), F.lit(-0.000001))
     g = fround(-F.log(-inner), 6)
     return (
         weights_df.withColumn("gumbel_key", F.col(weight_col) + g)

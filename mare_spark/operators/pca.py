@@ -212,12 +212,26 @@ def pca_project(
     if whiten:
         comps = comps / np.sqrt(model.eigvals + eps)[:, None]
     means = model.means
+    dim = int(means.shape[0])
+    vname = vec_col
 
     @F.pandas_udf("array<double>")
     def proj(vecs: pd.Series) -> pd.Series:
-        x = np.asarray(vecs.tolist(), dtype=np.float64)
-        if x.size == 0:
+        if len(vecs) == 0:
             return pd.Series([], dtype=object)
+        # Same input contract (and message) as the fit-side moment pass:
+        # a NULL or ragged vector raises a clear error instead of an
+        # opaque numpy shape failure mid-job.
+        if vecs.isna().any():
+            raise ValueError(f"{vname}: NULL vectors not allowed")
+        lens = vecs.map(len).to_numpy()
+        if not (lens == dim).all():
+            bad = int(lens[lens != dim][0])
+            raise ValueError(
+                f"{vname}: expected fixed-length {dim} vectors, got "
+                f"length {bad}"
+            )
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
         p = (x - means) @ comps.T
         return pd.Series(list(p))
 

@@ -421,7 +421,10 @@ def merge_parquet(
 
 
 def _check_merge_inputs(
-    updates: DataFrame, keys: list[str], delete_keys: DataFrame | None
+    updates: DataFrame,
+    keys: list[str],
+    delete_keys: DataFrame | None,
+    op: str = "merge_parquet",
 ) -> None:
     """Batch-sized MERGE preconditions, checked on the FULL row identity
     ``keys`` (the bare key for :func:`merge_parquet`; the composite
@@ -450,7 +453,7 @@ def _check_merge_inputs(
     for label, frame in frames:
         if frame.filter(null_pred).limit(1).count():
             raise ValueError(
-                f"merge_parquet: NULL merge key in {label} — keys must "
+                f"{op}: NULL merge key in {label} — keys must "
                 "be non-NULL (the anti-join cannot match NULL, so the "
                 "row would duplicate on update or silently no-op on "
                 "delete)"
@@ -460,7 +463,7 @@ def _check_merge_inputs(
     )
     if dup:
         raise ValueError(
-            "merge_parquet: updates contain duplicate keys — dedupe to "
+            f"{op}: updates contain duplicate keys — dedupe to "
             "last-wins upstream before merging"
         )
     if delete_keys is not None:
@@ -472,7 +475,7 @@ def _check_merge_inputs(
         )
         if both:
             raise ValueError(
-                "merge_parquet: key appears in both updates and "
+                f"{op}: key appears in both updates and "
                 "delete_keys — update+delete on one row is a conflict; "
                 "resolve upstream"
             )

@@ -283,7 +283,13 @@ def quantile_sketch_table(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    w = Window.partitionBy(*group_cols).orderBy("h")
+    # Trim orders by (h, v), not h alone: the same id ingested twice in
+    # ONE input with conflicting values shares a hash, and an h-only
+    # order would leave the tie at the k boundary partition-order-
+    # dependent. (h, v) makes the smaller value deterministically
+    # survive — the same smallest-value-wins rule the merge and the
+    # streaming fold apply.
+    w = Window.partitionBy(*group_cols).orderBy("h", "v")
     trimmed = (
         df.filter(
             F.col(id_col).isNotNull() & F.col(value_col).isNotNull()

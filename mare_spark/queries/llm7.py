@@ -112,11 +112,12 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_DSIR_WEIGHT_CTES},
     keyed AS (
       SELECT doc_id, n_feats, log_weight,
-             log_weight + (floor(-ln(-(
+             log_weight + (floor(-ln(-least(
                  floor(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
                                                 || 'epoch0'), 1, 8))
                                 AS BIGINT) + 0.5) / 4294967296.0)
-                       * 1000000.0 + 0.5) / 1000000.0
+                       * 1000000.0 + 0.5) / 1000000.0,
+                 -0.000001
                )) * 1000000.0 + 0.5) / 1000000.0) AS gumbel_key
       FROM sc
     )
@@ -310,7 +311,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mare_spark.operators.corpus import bigram_logprob
 
     docs = read_table(spark, sf_dir, "documents")
-    return bigram_logprob(docs, "text", "doc_id")
+    # lam_unigram passed as the literal 0.1 so both engines multiply by
+    # the exact double the oracle's `0.1` parses to (1.0 - 0.9 is one
+    # ulp off).
+    return bigram_logprob(docs, "text", "doc_id", lam=0.9, lam_unigram=0.1)
 
 
 @register(

@@ -85,10 +85,13 @@ def merge_delta(
     :func:`~mare_spark.operators.scale.merge_parquet_partitioned`);
     matched keys take the update row, unmatched update rows insert,
     ``delete_keys`` rows are removed — and a key in BOTH updates and
-    delete_keys ends up with its update row (deletes apply first, then
-    the upsert, matching the parquet twins' base−(upd∪del)+upd algebra).
-    Duplicate update keys abort (Delta raises on multi-match natively;
-    the parquet twins pre-validate).
+    delete_keys is a defined CONFLICT that aborts before any write,
+    exactly as the parquet twins' ``_check_merge_inputs`` rules (the
+    same validator runs here, so NULL identities and duplicate update
+    keys abort with the same contract — messages prefixed
+    ``merge_delta:`` — and the two tiers stay semantically pinned;
+    Delta would also raise on multi-match natively, but only
+    mid-commit).
 
     Scale: with ``partition_col`` in the merge condition Delta prunes the
     scan to the touched partitions and rewrites only the files containing
@@ -107,7 +110,10 @@ def merge_delta(
             "delta MERGE requires the delta-spark python package "
             "(pip install delta-spark) in addition to the runtime jar"
         ) from ex
+    from mare_spark.operators.scale import _check_merge_inputs
+
     ident = [key] + ([partition_col] if partition_col else [])
+    _check_merge_inputs(updates, ident, delete_keys, op="merge_delta")
     on = " AND ".join(f"base.{c} = u.{c}" for c in ident)
     tbl = DeltaTable.forPath(spark, path)
     if delete_keys is not None:

@@ -162,3 +162,24 @@ def test_gumbel_plans_take_ordered(spark, weights):
     )
     plan = formatted_plan(dsir_gumbel_topk(wdf, "doc_id", 2))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_gumbel_key_finite_at_u_near_one(spark):
+    """ids whose md5-uniform snaps ln(u) to exactly 0 (u within ~5e-7 of
+    1 — doc_id 40691 under the empty salt is one of the ~2148 such 2^32
+    prefixes) must still get a FINITE gumbel key: without the clamp,
+    -ln(-0) is NULL under Spark and the doc silently sorts last
+    regardless of weight."""
+    from mare_spark.operators.dsir import dsir_gumbel_topk
+
+    # doc 40691: md5('40691')[:8] = 0xFFFFFB18 -> u = 0.9999999163
+    wdf = spark.createDataFrame(
+        [(40691, 1, 100.0), (2, 1, 0.0), (3, 1, -1.0)],
+        "doc_id long, n_feats long, log_weight double",
+    )
+    rows = {r.doc_id: r.gumbel_key
+            for r in dsir_gumbel_topk(wdf, "doc_id", 3, salt="").collect()}
+    assert rows[40691] is not None and math.isfinite(rows[40691])
+    # with a 100-nat weight it must be picked first, not dropped
+    top = dsir_gumbel_topk(wdf, "doc_id", 1, salt="").collect()[0]
+    assert top.doc_id == 40691
