@@ -25,6 +25,7 @@ ANSI.
 
 from __future__ import annotations
 
+import logging
 import random
 import re
 
@@ -40,6 +41,8 @@ _ASCII_WS = " \t\n\r\f\v"
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+_log = logging.getLogger("mare_spark.dedup")
 
 from mare_spark.numeric import fround
 
@@ -899,12 +902,29 @@ def _dedup_clusters_driver(directed: DataFrame) -> DataFrame:
     return directed.sparkSession.createDataFrame(data, schema)
 
 
+def _edge_sample_row_bytes(rows) -> int:
+    """Mean Python-heap bytes of a collected (src, dst) edge row — the
+    driver union-find holds exactly these objects, so the routing gate
+    must price the ACTUAL id type (a 64-char sha string costs ~10× a
+    long), not assume fixed-width rows."""
+    import sys
+
+    if not rows:
+        return 1
+    total = sum(
+        sys.getsizeof(r[0]) + sys.getsizeof(r[1]) + 64  # dict-entry slack
+        for r in rows
+    )
+    return max(1, total // len(rows))
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
     driver_edges_limit: int | None = 1_000_000,
+    driver_bytes_limit: int | None = 256 << 20,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS via connected
     components (iterative min-label propagation), returning
@@ -921,8 +941,11 @@ def dedup_clusters(
     Cost tiers — resolution is proportional to the EDGE set, which a
     thresholded near-dup pass keeps orders of magnitude below the corpus:
 
-    * edges ≤ ``driver_edges_limit`` (the common case; 1M (src, dst)
-      rows is ~tens of MB of driver heap): the materialized edges are
+    * edges ≤ ``driver_edges_limit`` AND estimated driver heap ≤
+      ``driver_bytes_limit`` (the common case; 1M long-id (src, dst)
+      rows is ~tens of MB of driver heap — but string doc ids cost ~10×
+      a long, so the byte gate prices a 256-row sample's ACTUAL row
+      width, never row count alone): the materialized edges are
       collected ONCE and resolved by exact in-memory union-find (the
       same bounded-driver tier as ``learn_bpe_merges``). What this buys
       is NOT local wall-clock (measured parity with the distributed
@@ -933,7 +956,9 @@ def dedup_clusters(
       here — and (b) on a real cluster, removing d shuffle round-trips
       plus d checkpoint materializations of scheduler latency. The
       probe is a ``limit(N+1).count()`` over already-checkpointed rows,
-      never a full count of an unbounded set.
+      never a full count of an unbounded set. The engaged tier and the
+      byte estimate are logged (``mare_spark.dedup`` at INFO) so the
+      routing is observable in production driver logs.
     * above the limit (a mass-duplicate corpus at 100 TB): the
       distributed loop below, unchanged — one job per round,
       Observation-fused convergence, lineage-truncating checkpoints.
@@ -959,7 +984,26 @@ def dedup_clusters(
     if driver_edges_limit is not None:
         probe = directed.limit(driver_edges_limit + 1).count()
         if probe <= driver_edges_limit:
-            return _dedup_clusters_driver(directed)
+            row_bytes = _edge_sample_row_bytes(directed.head(256))
+            est = probe * row_bytes
+            if driver_bytes_limit is None or est <= driver_bytes_limit:
+                _log.info(
+                    "dedup_clusters: driver union-find tier engaged "
+                    "(%d edges, ~%d bytes est at %d B/row)",
+                    probe, est, row_bytes,
+                )
+                return _dedup_clusters_driver(directed)
+            _log.info(
+                "dedup_clusters: %d edges within the row limit but "
+                "~%d bytes est > driver_bytes_limit=%d — distributed "
+                "tier engaged",
+                probe, est, driver_bytes_limit,
+            )
+        else:
+            _log.info(
+                "dedup_clusters: > %d edges — distributed tier engaged",
+                driver_edges_limit,
+            )
     edges = directed.union(directed.select(F.col("dst"), F.col("src")))
 
     # Seed labels with the first propagation round fused into initialization:

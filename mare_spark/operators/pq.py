@@ -508,6 +508,7 @@ def ivfpq_topk_batch(
     k: int,
     *,
     nprobe: int = 4,
+    cell_splits: int = 1,
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     id_col: str = "vec_id",
@@ -516,19 +517,33 @@ def ivfpq_topk_batch(
 ) -> DataFrame:
     """BATCH retrieval — the "score a million queries against the corpus
     tonight" shape: every query explodes into its ``nprobe`` nearest IVF
-    cells (one Arrow matmul per batch of queries), candidates arrive via
-    an ordinary equi-join KEYED ON THE CELL (hash exchange — no
-    cartesian; AQE splits hot cells), ADC scores each (query, candidate)
-    pair from the codes with a per-batch distance-table memo (one table
-    per distinct query per Arrow batch), and a per-query top-k window
-    finishes (row_number ≤ k ⇒ two-phase WindowGroupLimit: map tasks
-    pre-trim before the exchange). A (query, row) pair meets at most
-    once — rows live in exactly one cell.
+    cells (one Arrow matmul per batch of queries), and scoring happens
+    inside a COGROUP KEYED ON THE CELL (``groupBy(cell).cogroup(...)``):
+    each query vector crosses the exchange once per (query, probed cell)
+    — never once per candidate, which at dim=768 would be ~6 KB of
+    payload per scored row dwarfing the m-byte PQ codes it meets. Inside
+    a cell group one ADC table per query scores the whole cell with one
+    vectorized gather, and only the cell-local top-``k`` per query
+    leaves Python (global top-k == top-k of per-cell top-ks under the
+    same (dist, id) order), so the final per-query window sees at most
+    ``nprobe · k`` rows per query (two-phase WindowGroupLimit trims on
+    the map side). A (query, row) pair meets at most once — rows live in
+    exactly one cell.
+
+    ``cell_splits > 1`` salts the cell key (index rows hash-salted,
+    query probes replicated per salt) — the declarative skew valve for a
+    hot cell: work per group drops ``splits``-fold, results are
+    identical because the per-split partial top-k commutes. Use when one
+    IVF cell holds a disproportionate share of the corpus.
 
     Returns ``(qid, vec_id, adc_dist, rnk)`` with rnk 1..k per query.
+    NULL-codes rows drop out, matching the single-query probe.
     """
+    from pyspark.sql.types import DoubleType, StructField, StructType
     from pyspark.sql.window import Window
 
+    if cell_splits < 1:
+        raise ValueError(f"cell_splits must be >= 1, got {cell_splits}")
     cn = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
@@ -546,39 +561,63 @@ def ivfpq_topk_batch(
         qid_col, qvec_col,
         F.explode(probe_udf(F.col(qvec_col))).alias(cell_col),
     )
-    cand = exploded.join(
-        index.select(id_col, codes_col, cell_col), cell_col
+    idx = index.select(id_col, codes_col, cell_col)
+    keys = [cell_col]
+    if cell_splits > 1:
+        keys = [cell_col, "_salt"]
+        idx = idx.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(cell_splits)).cast(
+                "int"
+            ),
+        )
+        exploded = exploded.join(
+            F.broadcast(
+                exploded.sparkSession.range(cell_splits).select(
+                    F.col("id").cast("int").alias("_salt")
+                )
+            )
+        )
+
+    out_schema = StructType(
+        [
+            StructField(qid_col, queries.schema[qid_col].dataType),
+            StructField(id_col, index.schema[id_col].dataType),
+            StructField("adc_dist", DoubleType()),
+        ]
     )
+    empty = pd.DataFrame({qid_col: [], id_col: [], "adc_dist": []})
 
-    def adc(qvecs: pd.Series, codes: pd.Series) -> pd.Series:
-        # group the batch by query, build one table per distinct query,
-        # score each group with one vectorized gather (NULL codes -> NULL,
-        # matching the single-query probe)
-        out = np.full(len(codes), np.nan)
-        groups: dict = {}
-        for i, (qv, cs) in enumerate(zip(qvecs, codes)):
-            if cs is None:
-                continue
-            key = bytes(np.asarray(qv, dtype=np.float64).data)
-            groups.setdefault(key, (np.asarray(qv, dtype=np.float64), []))[
-                1
-            ].append((i, cs))
-        for q, items in groups.values():
-            table = _adc_table(codebooks, q)
-            idx = [i for i, _cs in items]
-            out[idx] = _adc_batch(table, [cs for _i, cs in items])
-        res = pd.Series(out, dtype="float64")
-        res[pd.isna(res)] = None
-        return res
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: the queries probing this cell; right: the cell's codes.
+        live = right[right[codes_col].notna()]
+        if left.empty or live.empty:
+            return empty
+        ids = live[id_col].to_numpy()
+        code_rows = live[codes_col].tolist()
+        parts = []
+        for qid, qv in zip(left[qid_col], left[qvec_col]):
+            table = _adc_table(
+                codebooks, np.asarray(qv, dtype=np.float64)
+            )
+            d = _adc_batch(table, code_rows)
+            part = pd.DataFrame(
+                {qid_col: qid, id_col: ids, "adc_dist": d}
+            )
+            # cell-local partial top-k under the FINAL (dist, id) order —
+            # any row cut here is dominated by k better rows globally
+            parts.append(
+                part.sort_values(["adc_dist", id_col]).head(k)
+            )
+        return pd.concat(parts, ignore_index=True)
 
-    adc.__annotations__ = {
-        "qvecs": pd.Series, "codes": pd.Series, "return": pd.Series,
-    }
-    dist = F.pandas_udf(adc, "double")(F.col(qvec_col), F.col(codes_col))
+    scored = (
+        exploded.groupBy(*keys)
+        .cogroup(idx.groupBy(*keys))
+        .applyInPandas(score, out_schema)
+    )
     w = Window.partitionBy(qid_col).orderBy("adc_dist", id_col)
     return (
-        cand.select(qid_col, id_col, dist.alias("adc_dist"))
-        .filter(F.col("adc_dist").isNotNull())
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )

@@ -1190,6 +1190,38 @@ def test_dedup_clusters_tiers_agree(spark):
         assert c == min(m for m, cc in drv.items() if cc == c)
 
 
+def test_dedup_clusters_byte_gate_and_logging(spark, caplog):
+    """The driver-tier gate prices sampled row BYTES, not row count: the
+    same 3-edge graph routes to the driver under the default byte limit
+    (log line names the tier + estimate) but to the distributed loop
+    when driver_bytes_limit is squeezed below the string-id row width —
+    labels identical either way."""
+    import logging
+
+    from mare_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("doc-" + "x" * 120 + str(i), "doc-" + "x" * 120 + str(i + 1))
+         for i in range(3)],
+        "doc_a string, doc_b string",
+    )
+    with caplog.at_level(logging.INFO, logger="mare_spark.dedup"):
+        drv = {r.member: r.cluster for r in dedup_clusters(pairs).collect()}
+    assert any("driver union-find tier engaged" in m
+               for m in caplog.messages), caplog.messages
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="mare_spark.dedup"):
+        dist = {
+            r.member: r.cluster
+            for r in dedup_clusters(
+                pairs, driver_bytes_limit=100
+            ).collect()
+        }
+    assert any("distributed tier engaged" in m
+               for m in caplog.messages), caplog.messages
+    assert drv == dist
+
+
 def test_similarity_review_guards(spark):
     """Review-driven guards: assignment and every probe share one
     normalized-cosine rule, so UNNORMALIZED centroids (kmeans_refine

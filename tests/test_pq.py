@@ -317,6 +317,19 @@ def test_ivfpq_batch_equals_per_query_probe(spark, emb):
                 ).collect()
             ]
             assert [v for _rnk, v in sorted(got[qid])] == want, qid
+
+        # the skew valve: salting the cell key must not change a single
+        # row — per-split partial top-k commutes with the global window
+        salted = ivfpq_topk_batch(
+            queries, index, cents, books, 5, nprobe=3, cell_splits=3
+        )
+        assert sorted(
+            (r.qid, r.rnk, r.vec_id, round(r.adc_dist, 9))
+            for r in salted.collect()
+        ) == sorted(
+            (r.qid, r.rnk, r.vec_id, round(r.adc_dist, 9))
+            for r in batch.collect()
+        )
     finally:
         index.unpersist()
 
