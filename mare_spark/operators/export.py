@@ -26,13 +26,18 @@ byte-comparable at the manifest level regardless of input partition
 layout. Pair with `corpus.epoch_shuffle` when the TRAINING ORDER should
 change per epoch; the export layout itself stays stable so epochs re-read
 the same files.
+
+Filesystems: manifest IO goes through the Hadoop FileSystem API
+(:mod:`mare_spark.fsio`), so exports run against any scheme the cluster's
+classpath/credentials support — file://, hdfs://, s3a://... — with the
+control files landing on the SAME filesystem as the data. Scheme-less
+paths pin to file:// on both sides.
 """
 
 from __future__ import annotations
 
 import json
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,9 +115,7 @@ def export_training_shards(
             f"column names clash with export output columns: "
             f"{sorted(clash)} (reserved: {list(_RESERVED)})"
         )
-    # refuse remote URIs BEFORE the write: the manifest side walks the
-    # local filesystem (same contract as the maintenance ops)
-    spark_path, manifest_local = _manifest_path(path)
+    fs, spark_path, manifest_uri = _manifest_io(df.sparkSession, path)
 
     cols = [id_col, token_col, *keep_cols]
     slim = df.select(*cols)
@@ -142,7 +145,7 @@ def export_training_shards(
         writer.json(spark_path)
 
     return _fingerprint_and_manifest(
-        df.sparkSession, spark_path, manifest_local,
+        df.sparkSession, fs, spark_path, manifest_uri,
         fmt=fmt, id_col=id_col, token_col=token_col, n_shards=n_shards,
         columns=sharded.columns,
     )
@@ -177,14 +180,11 @@ def refresh_training_shards(
     export — the rewrite writes exactly those columns.
     """
     spark = df.sparkSession
-    spark_path, manifest_local = _manifest_path(path)
-    if not os.path.exists(manifest_local):
-        raise ExportIntegrityError(
-            f"no {MANIFEST_NAME} under {path!r} — refresh requires a "
-            "completed export_training_shards run"
-        )
-    with open(manifest_local, encoding="utf-8") as fh:
-        manifest = json.load(fh)
+    fs, spark_path, manifest_uri = _manifest_io(spark, path)
+    manifest = _load_manifest(
+        fs, manifest_uri, path,
+        "refresh requires a completed export_training_shards run",
+    )
     id_col, token_col = manifest["id_col"], manifest["token_col"]
     n_shards = manifest["n_shards"]
 
@@ -200,7 +200,7 @@ def refresh_training_shards(
             "filter or fill them first"
         )
     return _refresh_from_sharded(
-        spark, sharded, manifest, spark_path, manifest_local,
+        spark, fs, sharded, manifest, spark_path, manifest_uri,
         sort_col=id_col,
     )
 
@@ -224,10 +224,11 @@ def _check_refresh_columns(
 
 def _refresh_from_sharded(
     spark: SparkSession,
+    fs,
     sharded: DataFrame,
     manifest: dict,
     spark_path: str,
-    manifest_local: str,
+    manifest_uri: str,
     *,
     sort_col: str,
 ) -> tuple[dict, list[int]]:
@@ -266,16 +267,12 @@ def _refresh_from_sharded(
             else:
                 writer.json(spark_path)
             # shards that vanished entirely: dynamic overwrite wrote no
-            # replacement dir, so drop the stale one
-            import shutil
-
-            local_root = manifest_local[: -len(MANIFEST_NAME)]
+            # replacement dir, so drop the stale one (through the same
+            # filesystem the write landed on)
+            root = spark_path.rstrip("/")
             for k in changed:
                 if k not in new_stats:
-                    shutil.rmtree(
-                        os.path.join(local_root, f"shard={k}"),
-                        ignore_errors=True,
-                    )
+                    fs.delete(f"{root}/shard={k}", recursive=True)
             # the manifest certifies DISK, not the plan: re-fingerprint
             # the rewritten shards from their files (bounded aggregate
             # over the changed slice only)
@@ -300,25 +297,45 @@ def _refresh_from_sharded(
             for k, v in sorted(new_stats.items())
         ],
     )
-    _write_manifest(manifest_local, manifest)
+    _write_manifest(fs, manifest_uri, manifest)
     return manifest, changed
 
 
-def _manifest_path(path: str) -> tuple[str, str]:
-    from mare_spark.operators.scale import _require_local_path
+def _manifest_io(spark: SparkSession, path: str):
+    """Resolve the export root through the Hadoop FileSystem API: the
+    manifest side speaks whatever scheme the data side writes to
+    (file://, hdfs://, s3a://...), so the integrity story runs where the
+    100 TB export actually lands — not just on the driver's local disk.
+    Scheme-less paths pin to file:// on BOTH sides (defaultFS hazard —
+    see :func:`mare_spark.fsio.resolve_path`). Returns
+    ``(fs, spark_path, manifest_uri)``."""
+    from mare_spark.fsio import FsIO, resolve_path
 
-    spark_path, local = _require_local_path(path, "export_training_shards")
-    return spark_path, os.path.join(local, MANIFEST_NAME)
+    spark_path = resolve_path(path)
+    fs = FsIO(spark, spark_path)
+    return fs, spark_path, spark_path.rstrip("/") + "/" + MANIFEST_NAME
 
 
-def _write_manifest(manifest_local: str, manifest: dict) -> None:
-    """Atomic manifest write (tmp + rename): the manifest is the export's
-    completion/integrity marker, so a crash mid-write must leave either
-    the old manifest or the new one — never a torn file."""
-    tmp = manifest_local + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, manifest_local)
+def _load_manifest(fs, manifest_uri: str, path: str, missing: str) -> dict:
+    if not fs.exists(manifest_uri):
+        raise ExportIntegrityError(f"no {MANIFEST_NAME} under {path!r} — {missing}")
+    try:
+        return json.loads(fs.read_text(manifest_uri))
+    except Exception as ex:  # torn/corrupted control file = integrity
+        raise ExportIntegrityError(
+            f"unreadable {MANIFEST_NAME} under {path!r} (checksum "
+            f"mismatch or IO error): {ex}"
+        ) from ex
+
+
+def _write_manifest(fs, manifest_uri: str, manifest: dict) -> None:
+    """Atomic manifest write (tmp + rename through the filesystem's own
+    API): the manifest is the export's completion/integrity marker, so a
+    crash mid-write must leave either the old manifest, the new one, or
+    no manifest ("incomplete") — never a torn file."""
+    fs.write_text_atomic(
+        manifest_uri, json.dumps(manifest, indent=1, sort_keys=True)
+    )
 
 
 def _check_export_input(slim: DataFrame, id_col: str, token_col: str) -> None:
@@ -350,8 +367,9 @@ def _read_shards(spark: SparkSession, path: str, fmt: str) -> DataFrame:
 
 def _fingerprint_and_manifest(
     spark: SparkSession,
+    fs,
     spark_path: str,
-    manifest_local: str,
+    manifest_uri: str,
     *,
     fmt: str,
     id_col: str,
@@ -384,7 +402,7 @@ def _fingerprint_and_manifest(
             for r in stats
         ],
     }
-    _write_manifest(manifest_local, manifest)
+    _write_manifest(fs, manifest_uri, manifest)
     return manifest
 
 
@@ -402,14 +420,11 @@ def verify_export(
     those shards (manifest entries are per-shard, so subset verification
     is well-defined) — a data-parallel loader's rank checks the shards
     it owns instead of re-scanning the whole export per rank."""
-    spark_path, manifest_file = _manifest_path(path)
-    if not os.path.exists(manifest_file):
-        raise ExportIntegrityError(
-            f"no {MANIFEST_NAME} under {path!r} — export incomplete or "
-            "not an export directory"
-        )
-    with open(manifest_file, encoding="utf-8") as fh:
-        manifest = json.load(fh)
+    fs, spark_path, manifest_uri = _manifest_io(spark, path)
+    manifest = _load_manifest(
+        fs, manifest_uri, path,
+        "export incomplete or not an export directory",
+    )
 
     expected = manifest["shards"]
     if shards is not None:
@@ -421,9 +436,8 @@ def verify_export(
                 f"shards {sorted(missing)} not in the manifest under "
                 f"{path!r}"
             )
-    manifest_dir = manifest_file[: -len(MANIFEST_NAME)]
     on_disk_dirs = [
-        d for d in os.listdir(manifest_dir) if d.startswith("shard=")
+        d for d in fs.listdir(spark_path) if d.startswith("shard=")
     ]
     if not manifest["shards"]:
         # a legitimately-emptied export (refresh deleted every shard):
@@ -476,13 +490,10 @@ def read_training_shards(
     training order — the export layout stays fixed across epochs; only
     the order changes.
     """
-    spark_path, manifest_file = _manifest_path(path)
-    if not os.path.exists(manifest_file):
-        raise ExportIntegrityError(
-            f"no {MANIFEST_NAME} under {path!r} — not a completed export"
-        )
-    with open(manifest_file, encoding="utf-8") as fh:
-        fmt = json.load(fh)["format"]
+    fs, spark_path, manifest_uri = _manifest_io(spark, path)
+    fmt = _load_manifest(
+        fs, manifest_uri, path, "not a completed export"
+    )["format"]
     if verify:
         verify_export(spark, path, shards=shards)
     df = _read_shards(spark, spark_path, fmt)
@@ -515,7 +526,7 @@ def export_token_tapes(
     """
     if fmt not in ("parquet", "json"):
         raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
-    spark_path, manifest_local = _manifest_path(path)
+    fs, spark_path, manifest_uri = _manifest_io(tape.sparkSession, path)
     sharded = _tape_sharded(tape, shard_col)
     _check_export_input(sharded, "tape_seq_id", "n_tokens")
     writer = (
@@ -530,13 +541,13 @@ def export_token_tapes(
         writer.json(spark_path)
 
     manifest = _fingerprint_and_manifest(
-        tape.sparkSession, spark_path, manifest_local,
+        tape.sparkSession, fs, spark_path, manifest_uri,
         fmt=fmt, id_col="tape_seq_id", token_col="n_tokens",
         n_shards=-1,  # patched below: tape shard count is data-derived
         columns=sharded.columns,
     )
     manifest["n_shards"] = len(manifest["shards"])
-    _write_manifest(manifest_local, manifest)
+    _write_manifest(fs, manifest_uri, manifest)
     return manifest
 
 
@@ -589,14 +600,11 @@ def refresh_token_tapes(
     :func:`refresh_training_shards`. Returns
     ``(new_manifest, changed_shard_ids)``."""
     spark = tape.sparkSession
-    spark_path, manifest_local = _manifest_path(path)
-    if not os.path.exists(manifest_local):
-        raise ExportIntegrityError(
-            f"no {MANIFEST_NAME} under {path!r} — refresh requires a "
-            "completed export_token_tapes run"
-        )
-    with open(manifest_local, encoding="utf-8") as fh:
-        manifest = json.load(fh)
+    fs, spark_path, manifest_uri = _manifest_io(spark, path)
+    manifest = _load_manifest(
+        fs, manifest_uri, path,
+        "refresh requires a completed export_token_tapes run",
+    )
     if manifest["id_col"] != "tape_seq_id":
         raise ExportIntegrityError(
             f"{path!r} is not a token-tape export (id_col = "
@@ -605,6 +613,6 @@ def refresh_token_tapes(
     sharded = _tape_sharded(tape, shard_col)
     _check_refresh_columns(sharded, manifest, path)
     return _refresh_from_sharded(
-        spark, sharded, manifest, spark_path, manifest_local,
+        spark, fs, sharded, manifest, spark_path, manifest_uri,
         sort_col="seq_id",
     )

@@ -14,7 +14,7 @@ broadcast selection aren't enough.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from mare_spark.numeric import fround
@@ -73,50 +73,46 @@ def join_bucketed(spark: SparkSession, left_name: str, right_name: str, key: str
     return spark.table(left_name).join(spark.table(right_name), key)
 
 
-def _swap_dirs(path: str, tmp: str, old: str) -> None:
-    """Crash-safe directory swap with retry recovery: rename the live dir
-    aside, promote the rewrite, drop the old copy. A crash always leaves a
-    complete copy at ``path`` or ``old``; a RERUN first heals whatever
-    state the crash left (stale tmp → discard; orphaned old with no live
-    path → restore) before swapping."""
-    import os
-    import shutil
-
-    if os.path.exists(old):
-        if os.path.exists(path):
-            shutil.rmtree(old)  # previous run completed; leftover old copy
+def _swap_dirs(fs, path: str, tmp: str, old: str) -> None:
+    """Crash-safe directory swap with retry recovery, through the path's
+    own Hadoop FileSystem: rename the live dir aside, promote the
+    rewrite, drop the old copy. A crash always leaves a complete copy at
+    ``path`` or ``old``; a RERUN first heals whatever state the crash
+    left (stale tmp → discard; orphaned old with no live path → restore)
+    before swapping. On HDFS each rename is an atomic metadata op; on
+    object stores rename is a copy — prefer a real table format there
+    for big tables (the swap stays CORRECT, just not cheap)."""
+    if fs.exists(old):
+        if fs.exists(path):
+            fs.delete(old)  # previous run completed; leftover old copy
         else:
-            os.rename(old, path)  # crashed mid-swap; restore the table
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+            fs.rename(old, path)  # crashed mid-swap; restore the table
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.delete(old)
 
 
 def _require_local_path(path: str, op: str) -> tuple[str, str]:
-    """The directory-maintenance ops walk/delete/rename through the LOCAL
-    filesystem; on a remote URI (s3a://, hdfs://...) os.walk silently sees
-    nothing — sizing the rewrite to one file — and the delete/rename fails
-    AFTER the expensive rewrite ran. Refuse early; remote tables should use
-    a real table format's OPTIMIZE/MERGE (gated Delta/Iceberg connectors).
+    """``file_skipping_report`` reads parquet FOOTERS through pyarrow,
+    which opens files with the local OS — on a remote URI it would see
+    nothing. The maintenance ops (compact/merge) go through the Hadoop
+    FileSystem API (:mod:`mare_spark.fsio`) and accept any scheme; this
+    guard remains only for the footer-reading diagnostics.
 
     Returns ``(spark_path, local_path)``: a ``file://`` URI keeps its
     scheme for the Spark read/write side (a scheme-less path would
     resolve against the cluster's defaultFS — hdfs:// on a real cluster,
-    i.e. a different filesystem than the os.walk/os.rename side) and is
-    stripped to the raw filesystem path for every os.*/shutil call (which
-    would choke on the scheme).
+    i.e. a different filesystem than the pyarrow side) and is stripped
+    to the raw filesystem path for the pyarrow calls (which would choke
+    on the scheme).
     """
     if path.startswith("file://"):
         return path, path[len("file://"):]
     if "://" in path:
         raise ValueError(
-            f"{op} operates on local filesystem paths only, got {path!r}; "
-            "use a lakehouse table format for remote storage"
+            f"{op} reads parquet footers via pyarrow and operates on "
+            f"local filesystem paths only, got {path!r}"
         )
-    # scheme-less: pin the Spark side to file:// explicitly — on a real
-    # cluster a bare path resolves against defaultFS (hdfs://), i.e. a
-    # DIFFERENT filesystem than the os.walk/os.rename side, and the
-    # rename would strand the rewrite after it ran
     return "file://" + path, path
 
 
@@ -325,43 +321,32 @@ def compact_small_files(
     source half-deleted. Returns (files_before, files_after).
 
     Sizing uses the filesystem listing, not a data scan — compaction
-    should cost one read + one write of the data, nothing more.
+    should cost one read + one write of the data, nothing more. All
+    directory IO goes through the path's own Hadoop FileSystem, so any
+    scheme the cluster supports works (file://, hdfs://, s3a://...).
     """
     import math
-    import os
-    import shutil
 
-    # spark_path keeps any file:// scheme (a scheme-less path would
-    # resolve against the cluster defaultFS — a DIFFERENT filesystem than
-    # the os.* side on a real cluster); path is the raw local form
-    spark_path, path = _require_local_path(path, "compact_small_files")
-    scheme = spark_path[: len(spark_path) - len(path)]
-    old_dir = path.rstrip("/") + "._compact_old"
-    if os.path.exists(old_dir) and not os.path.exists(path):
-        os.rename(old_dir, path)  # heal a crash between the swap renames
-    files = [
-        os.path.join(dp, f)
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
-    total = sum(os.path.getsize(f) for f in files)
+    from mare_spark.fsio import FsIO, resolve_path
+
+    path = resolve_path(path).rstrip("/")
+    fs = FsIO(spark, path)
+    old_dir = path + "._compact_old"
+    if fs.exists(old_dir) and not fs.exists(path):
+        fs.rename(old_dir, path)  # heal a crash between the swap renames
+    files = fs.list_files(path, suffix=".parquet")
+    total = sum(sz for _f, sz in files)
     n_out = max(min_files, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + "._compact_tmp"
+    tmp = path + "._compact_tmp"
     # repartition, NOT coalesce: coalesce is narrow, so the whole
     # read+decode of (possibly 100k) small files would run at n_out
     # parallelism; the shuffle is the price of a cluster-wide scan over
     # data that must be fully rewritten anyway
-    spark.read.parquet(spark_path).repartition(n_out).write.mode(
+    spark.read.parquet(path).repartition(n_out).write.mode(
         "overwrite"
-    ).parquet(scheme + tmp)
-    _swap_dirs(path, tmp, path.rstrip("/") + "._compact_old")
-    after = sum(
-        1
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    ).parquet(tmp)
+    _swap_dirs(fs, path, tmp, old_dir)
+    after = len(fs.list_files(path, suffix=".parquet"))
     return len(files), after
 
 
@@ -395,29 +380,31 @@ def merge_parquet(
     Swap visibility caveat: the tmp→live promotion is two renames, so a
     concurrent reader can observe ``path`` briefly missing between them —
     "atomic-ish" means crash-safe (never half-deleted), not
-    reader-isolated. Snapshot isolation needs a real table format.
+    reader-isolated. Snapshot isolation needs a real table format. All
+    directory IO goes through the path's own Hadoop FileSystem (any
+    scheme the cluster supports).
     """
-    import os
+    from mare_spark.fsio import FsIO, resolve_path
 
-    spark_path, path = _require_local_path(path, "merge_parquet")
-    scheme = spark_path[: len(spark_path) - len(path)]
+    path = resolve_path(path).rstrip("/")
+    fs = FsIO(spark, path)
     # Heal a crash between _swap_dirs' two renames BEFORE touching the
     # table: if the previous run died after renaming the live dir aside
     # but before promoting the rewrite, the table is at ._merge_old and
     # ``path`` is missing — restore it first, otherwise the base read
     # below fails and the table stays offline until manually renamed.
-    old_dir = path.rstrip("/") + "._merge_old"
-    if os.path.exists(old_dir) and not os.path.exists(path):
-        os.rename(old_dir, path)
+    old_dir = path + "._merge_old"
+    if fs.exists(old_dir) and not fs.exists(path):
+        fs.rename(old_dir, path)
     _check_merge_inputs(updates, [key], delete_keys)
     gone = updates.select(F.col(key))
     if delete_keys is not None:
         gone = gone.unionByName(delete_keys.select(F.col(key)))
-    base = spark.read.parquet(spark_path)
+    base = spark.read.parquet(path)
     merged = base.join(gone, key, "left_anti").unionByName(updates)
-    tmp = path.rstrip("/") + "._merge_tmp"
-    merged.write.mode("overwrite").parquet(scheme + tmp)
-    _swap_dirs(path, tmp, old_dir)
+    tmp = path + "._merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _swap_dirs(fs, path, tmp, old_dir)
 
 
 def _check_merge_inputs(
@@ -522,13 +509,16 @@ def merge_parquet_partitioned(
     ``__HIVE_DEFAULT_PARTITION__`` for NULL) in directory names, so a raw
     value would address the wrong directory — refused up front.
 
-    Returns the list of partition values rewritten.
+    Returns the list of partition values rewritten. All directory IO
+    goes through the path's own Hadoop FileSystem (any scheme the
+    cluster supports).
     """
-    import os
     import re
 
-    spark_path, path = _require_local_path(path, "merge_parquet_partitioned")
-    scheme = spark_path[: len(spark_path) - len(path)]
+    from mare_spark.fsio import FsIO, resolve_path
+
+    path = resolve_path(path).rstrip("/")
+    fs = FsIO(spark, path)
     if partition_col not in updates.columns:
         raise ValueError(
             f"updates must carry partition column {partition_col!r}"
@@ -562,19 +552,18 @@ def merge_parquet_partitioned(
     # longs above 2^53); str(v) is only ever the directory name
     affected = sorted(values, key=str)
 
-    root = os.path.dirname(path.rstrip("/")) or "."
-    base_name = os.path.basename(path.rstrip("/"))
+    root, base_name = path.rsplit("/", 1)
     rewritten: list[str] = []
     for pval in affected:
         pv = str(pval)
-        part_dir = os.path.join(path, f"{partition_col}={pv}")
+        part_dir = f"{path}/{partition_col}={pv}"
         # staging OUTSIDE the table root: a reader listing `path` must
         # never see a half-written tmp or orphaned old copy as a phantom
         # hive partition
-        stage = os.path.join(root, f"{base_name}._merge_{partition_col}={pv}")
+        stage = f"{root}/{base_name}._merge_{partition_col}={pv}"
         tmp, old_dir = stage + ".tmp", stage + ".old"
-        if os.path.exists(old_dir) and not os.path.exists(part_dir):
-            os.rename(old_dir, part_dir)  # heal a crashed earlier run
+        if fs.exists(old_dir) and not fs.exists(part_dir):
+            fs.rename(old_dir, part_dir)  # heal a crashed earlier run
         upd = updates.filter(F.col(partition_col) == F.lit(pval)).drop(
             partition_col
         )
@@ -585,42 +574,34 @@ def merge_parquet_partitioned(
                     F.col(partition_col) == F.lit(pval)
                 ).select(F.col(key))
             )
-        if os.path.exists(part_dir):
-            base = spark.read.parquet(scheme + part_dir)
+        if fs.exists(part_dir):
+            base = spark.read.parquet(part_dir)
             merged = base.join(gone, key, "left_anti").unionByName(upd)
         else:
             merged = upd  # brand-new partition: inserts only
-        merged.write.mode("overwrite").parquet(scheme + tmp)
         # a result with no ROWS must never be INSTALLED: a no-op delete
         # would mint a phantom partition (Spark writes a schema-only
-        # parquet file even for an empty frame, so check footers, not
-        # file presence — the same pyarrow-footer trick as
-        # file_skipping_report)
-        import pyarrow.parquet as pq_meta
-
-        has_rows = any(
-            f.endswith(".parquet")
-            and pq_meta.ParquetFile(os.path.join(d, f)).metadata.num_rows
-            > 0
-            for d, _sub, fs in os.walk(tmp)
-            for f in fs
-        )
-        if not has_rows:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
-            if os.path.exists(part_dir):
+        # parquet file even for an empty frame, so file presence proves
+        # nothing). The row count is OBSERVED during the write job —
+        # zero extra passes, works on any filesystem scheme.
+        obs = Observation()
+        merged.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        if (obs.get["n"] or 0) == 0:
+            fs.delete(tmp)
+            if fs.exists(part_dir):
                 # every row of the partition was deleted: drop the dir
                 # crash-safely (rename aside first, heal path above)
-                os.rename(part_dir, old_dir)
-                shutil.rmtree(old_dir, ignore_errors=True)
+                fs.rename(part_dir, old_dir)
+                fs.delete(old_dir)
                 rewritten.append(pv)
             # delete aimed at a partition that never existed: pure no-op
             continue
-        if os.path.exists(part_dir):
-            _swap_dirs(part_dir, tmp, old_dir)
+        if fs.exists(part_dir):
+            _swap_dirs(fs, part_dir, tmp, old_dir)
         else:
-            os.rename(tmp, part_dir)
+            fs.rename(tmp, part_dir)
         rewritten.append(pv)
     return rewritten
 

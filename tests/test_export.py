@@ -146,7 +146,11 @@ def test_argument_contract(spark, tmp_path):
             docs, str(tmp_path / "x"), id_col="doc_id", token_col="n_chars",
             n_shards=2, fmt="csv",
         )
-    with pytest.raises(ValueError, match="local filesystem"):
+    # remote schemes resolve through the Hadoop FileSystem API — in this
+    # jar-less sandbox s3a:// fails FS RESOLUTION (clear, early, before
+    # any write), not a blanket local-only refusal; on a cluster with
+    # hadoop-aws on the classpath the same call proceeds
+    with pytest.raises(ValueError, match="cannot resolve a Hadoop"):
         export_training_shards(
             docs, "s3a://bucket/x", id_col="doc_id", token_col="n_chars",
             n_shards=2,
@@ -535,3 +539,42 @@ def test_tape_export_rejects_string_shard_and_reserved_names(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="clash"):
         export_token_tapes(df2, str(tmp_path / "t2"))
+
+
+def test_export_file_scheme_uri_end_to_end(spark, tmp_path):
+    """The full export lifecycle against an explicit file:// URI — the
+    sandbox proxy for hdfs://s3a:// — exercising manifest write/read/
+    atomic-replace, shard-dir listing, and shard deletion entirely
+    through the Hadoop FileSystem API (no os.*/shutil path exists any
+    more)."""
+    from mare_spark.operators.export import (
+        read_training_shards,
+        refresh_training_shards,
+    )
+
+    docs = _docs(spark)
+    uri = "file://" + str(tmp_path / "remote")
+    man = export_training_shards(
+        docs, uri, id_col="doc_id", token_col="n_chars", n_shards=4,
+    )
+    assert man["total_rows"] == docs.count()
+    assert verify_export(spark, uri)["n_shards"] == 4
+    assert read_training_shards(spark, uri).count() == man["total_rows"]
+
+    # refresh: drop the docs of one shard -> that shard dir is deleted
+    # through the FS API and the manifest is atomically replaced
+    keep = docs.withColumn(
+        "_s",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10,
+            ).cast("long"),
+            F.lit(4),
+        ),
+    ).filter(F.col("_s") != 2).drop("_s")
+    man2, changed = refresh_training_shards(keep, uri)
+    assert 2 in changed
+    assert all(s["shard"] != 2 for s in man2["shards"])
+    assert not os.path.exists(str(tmp_path / "remote" / "shard=2"))
+    verify_export(spark, uri)

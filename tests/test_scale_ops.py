@@ -366,18 +366,21 @@ def test_merge_parquet_upsert_insert_delete(spark, tmp_path):
     assert not os.path.exists(path + "._merge_tmp")
 
 
-def test_maintenance_ops_refuse_remote_paths(spark):
-    """compact/merge walk and rename through the local filesystem; a
-    remote URI must be refused up front, not fail after the rewrite."""
+def test_maintenance_ops_resolve_scheme_up_front(spark):
+    """compact/merge now walk and rename through the Hadoop FileSystem
+    API, so any scheme the cluster classpath supports works; a scheme
+    with NO implementation available (s3a:// in this jar-less sandbox)
+    must fail at FS RESOLUTION — clearly and before any rewrite — not
+    after the expensive write ran."""
     import pytest
 
     from mare_spark.operators.scale import compact_small_files, merge_parquet
 
-    with pytest.raises(ValueError, match="local filesystem"):
+    with pytest.raises(ValueError, match="cannot resolve a Hadoop"):
         compact_small_files(spark, "s3a://bucket/tbl")
-    with pytest.raises(ValueError, match="local filesystem"):
+    with pytest.raises(ValueError, match="cannot resolve a Hadoop"):
         merge_parquet(
-            spark, "hdfs://nn/tbl",
+            spark, "s3a://bucket/tbl",
             spark.createDataFrame([(1,)], "id long"), "id",
         )
 
@@ -771,14 +774,15 @@ def test_merge_partitioned_stages_outside_table_root(spark, tmp_path):
     import mare_spark.operators.scale as S
     orig = S._swap_dirs
 
-    def spy(p, tmp, old):
+    def spy(fs, p, tmp, old):
         seen.append((tmp, old))
         # mid-merge: tmp exists but must be INVISIBLE to a table reader
-        assert os.path.exists(tmp)
-        assert not tmp.startswith(path + os.sep), tmp
+        # (paths are file:// URIs now that IO goes through the FS API)
+        assert os.path.exists(tmp[len("file://"):])
+        assert not tmp.startswith("file://" + path + os.sep), tmp
         got = {r.v for r in spark.read.parquet(path).collect()}
         assert got == {"a"}, got  # reader sees only the old partition
-        return orig(p, tmp, old)
+        return orig(fs, p, tmp, old)
 
     with patch.object(S, "_swap_dirs", side_effect=spy):
         merge_parquet_partitioned(spark, path, updates, "id", "pt")
@@ -934,3 +938,29 @@ def test_scale_review_guards(spark, tmp_path):
     zdf, zc = zorder_value(nan_df, ["x", "y"], bits_per_col=4)
     zs = {r.id: r[zc] for r in zdf.collect()}
     assert zs[1] != zs[2]  # the x dimension still separates rows
+
+
+def test_compact_and_merge_file_scheme_uri(spark, tmp_path):
+    """compact + merge against explicit file:// URIs — the sandbox proxy
+    for hdfs://s3a:// now that directory IO goes through the Hadoop
+    FileSystem API (listing, sizing, swap renames, deletes)."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.scale import compact_small_files, merge_parquet
+
+    local = str(tmp_path / "tbl_uri")
+    uri = "file://" + local
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).repartition(16).write.parquet(local)
+    before, after = compact_small_files(
+        spark, uri, target_file_bytes=1 << 30
+    )
+    assert before == 16 and after == 1
+
+    updates = spark.createDataFrame([(5, 999), (2000, 1)], "id long, v long")
+    deletes = spark.createDataFrame([(7,)], "id long")
+    merge_parquet(spark, uri, updates, "id", delete_keys=deletes)
+    got = {r.id: r.v for r in spark.read.parquet(local).collect()}
+    assert got[5] == 999 and got[2000] == 1 and 7 not in got
+    assert len(got) == 1000  # -1 delete +1 insert
