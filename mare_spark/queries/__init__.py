@@ -16,6 +16,7 @@ from mare_spark.queries import (  # noqa: F401
     llm6,
     llm7,
     llm8,
+    llm9,
     maintenance,
     pipe,
     relational,

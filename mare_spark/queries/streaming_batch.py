@@ -526,3 +526,77 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@register(
+    "streaming_quantile_replay",
+    category="streaming",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             row_number() OVER (
+               ORDER BY md5(CAST(event_id AS VARCHAR) || ':')) AS rn
+      FROM events
+    ),
+    v AS (SELECT list_sort(list(value)) AS vals FROM s WHERE rn <= 256)
+    SELECT CAST(p AS DOUBLE) AS p,
+           vals[greatest(1, CAST(ceil(CAST(p AS DOUBLE) * len(vals))
+                                 AS BIGINT))] AS qvalue,
+           CAST(len(vals) AS INT) AS sample_rows
+    FROM v, (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) AS ps(p)
+    """,
+)
+def streaming_quantile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL streaming quantile-sketch execution checked against the
+    exact batch answer: the events table is split into 4 files, replayed
+    through the file-source stream one file per micro-batch, and folded
+    into the driver-held bottom-k sample
+    (:func:`mare_spark.streaming.run_quantile_sketch_over_stream`);
+    the final sketch's percentile reads are the row set.
+
+    Why a streaming run can hash-match an EXACT oracle: the bottom-k
+    sample is a DETERMINISTIC sample — membership is "the k smallest
+    md5(id:salt) hashes over the whole history", a pure function of the
+    data that any epoch slicing converges to because bottom-k merges are
+    exact (the same property the batch ``events_quantile_sketch`` row
+    pins). The oracle replays the sample read as one global bottom-k;
+    both sides take vals[max(1, ceil(p·n))] on the identical sorted
+    sample, so every percentile is the identical double.
+
+    Scale story: per micro-batch the executors take the batch's
+    bottom-k with a TakeOrdered (per-partition heaps, no global sort)
+    and ship exactly k rows to the driver fold — state is O(k), not
+    O(stream). Restart/retry-idempotence of the sketch state is pinned
+    in tests/test_streaming.py.
+    """
+    import shutil
+    import tempfile
+
+    from mare_spark.streaming import run_quantile_sketch_over_stream
+
+    scratch = tempfile.mkdtemp(prefix="mare_qs_replay_")
+    try:
+        landing = f"{scratch}/landing"
+        # 4 files -> 4 micro-batches; the fold is associative/idempotent
+        # so the split cannot change the converged sketch
+        read_table(spark, sf_dir, "events").select(
+            "event_id", "value"
+        ).repartition(4).write.parquet(landing)
+        stream = (
+            spark.readStream.schema("event_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q, sketch = run_quantile_sketch_over_stream(
+            stream, "value", "event_id", f"{scratch}/ckpt", k=256
+        )
+        q.processAllAvailable()
+        q.stop()
+        n = len(sketch.rows)
+        rows = [
+            (p, sketch.percentile(p), n)
+            for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        ]
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "p double, qvalue double, sample_rows int")

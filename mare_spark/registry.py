@@ -130,47 +130,67 @@ def register(
 #      hash-checked end-to-end: per-day sketches rolled up ≡ the
 #      oracle's single global bottom-k) — each oracle verified at all
 #      3 SFs before entering the window.
-# The 28 r3-stale rows left over (sample_temperature_rates,
-# corpus_mix_report, sample_apply_mixture,
-# corpus_vocab_stats, corpus_lang_confusion, q_join_left_outer,
-# q_join_range_band, q_having, q_pivot, q_intersect_all, q_except_all,
-# q_sql_returned_items, q_subquery_above_avg, embedding_norm_stats,
-# text_rolling_fingerprint, text_tfidf_keywords,
-# corpus_length_histogram, cross_source_contamination, q14, q7, q11,
-# q15, q19, q22, q8, events_tumbling/sliding/session_window) head the
-# r7 rotation, followed by the 45 r4-stale rows in registration order.
+# ROUND-7 ROTATION (executes the plan written here in round 6 and
+# VERDICT r6 "Next round" #1): the staleness ledger after r6 is 28 rows
+# last-green in ROUND 3, 44 in round 4, 44 in round 5, 50 in round 6 —
+#   1. queries whose operator path (or oracle text) the round-7 diff
+#      touched: the DSIR rows (gumbel log(0) clamp — oracle updated in
+#      lockstep), text_bigram_logprob (explicit complement-weight
+#      double), events_quantile_sketch (trim tiebreak now (h, v)),
+#      maintenance_merge_report (merge IO through the Hadoop FS API +
+#      Observation-based empty check), corpus_export_shards (manifest
+#      layer ported to the FS API), and dedup_cluster_stats
+#      (dedup_clusters' driver-tier gate is now byte-aware);
+#   2. round-7 registrations (check-before-register):
+#      streaming_quantile_replay (live micro-batch bottom-k replay vs
+#      the exact SQL oracle — VERDICT r6 #6), sim_pq_recall_report
+#      (quantization-tier recall audit, rows-only + self-consistency
+#      pytest — VERDICT r6 #7), sim_topk_whitened (PCA-whitening ∘
+#      similarity composition, rows-only + numpy end-to-end pytest —
+#      VERDICT r6 #8);
+#   3. the q1/q5/pipeline anchors — convention canaries in every round
+#      (pipeline_clean_corpus also exercises the re-routed
+#      dedup_clusters path);
+#   4. ALL 28 round-3-stale rows (the oldest evidence in the ledger), in
+#      registration order;
+#   5. nine r4-stale fill rows in registration order (dedup_exact,
+#      dedup_ngram_jaccard, sim_topk_cosine, pipeline_clean_corpus_v2,
+#      decontaminate_overlap_report, dedup_substring_candidates,
+#      multimodal_frame_sample, text_chunk_dedup,
+#      text_quality_classifier — dedup_cluster_stats would be next in
+#      that order but already sits in section 1).
+# After r7 no row's evidence is older than round 4; the remaining 35
+# r4-stale rows head the r8 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 1. round-6-touched operator paths --
-    "corpus_epoch_shuffle", "corpus_bpe_segment_report",
-    "corpus_bpe_pair_counts", "corpus_train_val_split",
-    # -- 2. round-6 registrations --
-    "dedup_simhash_capped", "streaming_sessionize_replay",
-    "corpus_dsir_weights", "sample_dsir_gumbel",
-    "multimodal_sniff_report", "embedding_covariance",
-    "embedding_pca_variance", "text_bigram_logprob",
-    "sim_hard_negatives", "dedup_split_leakage",
-    "maintenance_merge_report", "text_nfc_report",
-    "corpus_export_shards", "events_gapfill_locf",
-    "pack_token_ids_tape", "sample_cluster_balanced",
-    "corpus_column_profile", "text_intra_doc_dedup",
-    "events_quantile_sketch",
+    # -- 1. round-7-touched operator paths / oracles --
+    "corpus_dsir_weights", "sample_dsir_gumbel", "text_bigram_logprob",
+    "events_quantile_sketch", "maintenance_merge_report",
+    "corpus_export_shards", "dedup_cluster_stats",
+    # -- 2. round-7 registrations --
+    "streaming_quantile_replay", "sim_pq_recall_report",
+    "sim_topk_whitened",
     # -- 3. anchors --
     "q1_pricing_summary", "q5_local_supplier_volume", "pipeline_clean_corpus",
-    # -- 4. all 19 round-2-stale rows (registration order) --
-    "multimodal_decode", "text_repetition_stats", "text_quality_gates",
-    "text_pii_scrub", "q_asof_join",
-    "q_percentiles_exact", "q_percentiles_approx", "q_unpivot",
-    "q_apply_in_pandas", "q_map_in_pandas", "q_udf_python_rowwise",
-    "q2_cheapest_supplier_per_part", "q4_priority_with_late_items",
-    "q12_priority_by_linestatus", "q13_customer_order_distribution",
-    "q16_supplier_part_counts", "q18_large_orders",
-    "q20_promo_volume_suppliers", "q21_sole_returning_supplier",
-    # -- 5. round-3-stale rows (registration order; events_sessionize
-    #       swapped in for q14 — see rotation note above) --
-    "pipeline_clean_corpus_semantic",
-    "text_unigram_logprob", "dedup_semantic",
-    "corpus_ngram_heavy_hitters",
-    "events_sessionize",
+    # -- 4. all 28 round-3-stale rows (registration order) --
+    "text_rolling_fingerprint", "corpus_mix_report",
+    "sample_temperature_rates", "text_tfidf_keywords",
+    "corpus_length_histogram", "cross_source_contamination",
+    "embedding_norm_stats", "sample_apply_mixture",
+    "corpus_vocab_stats", "corpus_lang_confusion",
+    "q_join_left_outer", "q_join_range_band",
+    "q_having", "q_pivot",
+    "q_intersect_all", "q_except_all",
+    "q_sql_returned_items", "q_subquery_above_avg",
+    "q14_promo_revenue_share", "q7_volume_between_nations",
+    "q11_important_suppliers", "q15_top_supplier",
+    "q19_disjunctive_brackets", "q22_idle_wealthy_customers",
+    "q8_national_market_share", "events_tumbling_window",
+    "events_sliding_window", "events_session_window",
+    # -- 5. round-4-stale fill rows (registration order) --
+    "dedup_exact", "dedup_ngram_jaccard", "sim_topk_cosine",
+    "pipeline_clean_corpus_v2", "decontaminate_overlap_report",
+    "dedup_substring_candidates", "multimodal_frame_sample",
+    "text_chunk_dedup", "text_quality_classifier",
     # -- 6. the rest of the corpus follows in registration order --
 )
 

@@ -109,3 +109,58 @@ def test_pca_fit_validates(spark, vec_df):
     empty = spark.createDataFrame([], f"vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         pca_fit(empty, "embedding", DIM, k=2)
+
+
+def test_sim_topk_whitened_equals_numpy(spark):
+    """End-to-end numpy differential for the registered whitened-cosine
+    row: recompute PCA whitening + cosine top-k from the raw fixture in
+    pure numpy and demand the identical (id, rounded-cosine) rows."""
+    import numpy as np
+
+    from mare_spark.registry import all_queries
+    from mare_spark.tables import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    data = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    ids = sorted(data)
+    X = np.stack([data[i] for i in ids])
+    n, dim = X.shape
+
+    # the operator's integer-micro moment contract, replayed exactly:
+    # raw float64 products snapped to integer micros, summed exactly
+    s1 = np.floor(X * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+    P = X[:, :, None] * X[:, None, :]
+    s2 = np.floor(P * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+    means = s1 / 1e6 / n
+    cov = np.floor((s2 / 1e6 / n - np.outer(means, means)) * 1e6 + 0.5) / 1e6
+    means = np.floor(means * 1e6 + 0.5) / 1e6
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:16]
+    comps = eigvecs[:, order].T.copy()
+    vals = eigvals[order]
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    W = comps / np.sqrt(vals + 1e-9)[:, None]
+
+    qid = ids[0]
+    wq = W @ (data[qid] - means)
+    P = (X - means) @ W.T
+    cos = (P @ wq) / (
+        np.linalg.norm(P, axis=1) * max(np.linalg.norm(wq), 1e-300)
+    )
+    cand = [
+        (round(float(c), 6), i) for c, i in zip(cos, ids) if i != qid
+    ]
+    cand.sort(key=lambda t: (-t[0], t[1]))
+    want = [(i, c) for c, i in cand[:20]]
+
+    got = [
+        (r.vec_id, r.wcosine)
+        for r in all_queries()["sim_topk_whitened"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == want

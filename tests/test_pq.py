@@ -389,3 +389,31 @@ def test_pq_guard_paths_from_review(spark, emb):
     out = ivfpq_topk_batch(queries, index, cents, books8, 5, nprobe=4)
     rows = out.collect()
     assert rows and all(r.vec_id % 7 != 0 for r in rows)
+
+
+def test_sim_pq_recall_report_internally_consistent(spark):
+    """The registered recall audit must be self-consistent: full-probe
+    IVF-PQ hits == plain ADC hits (nprobe=nlist prunes nothing, so the
+    two tiers score identical candidate sets), exact re-rank dominates
+    raw ADC, the int8 tier is near-exact (half-step error), and every
+    recall equals hits/(n_queries*k) exactly."""
+    from mare_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.tier: r
+        for r in all_queries()["sim_pq_recall_report"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(rows) == {
+        "sq_int8", "pq_adc", "pq_rerank", "ivfpq_full", "ivfpq_n4"
+    }
+    for r in rows.values():
+        assert r.recall == round(r.hits / (r.n_queries * r.k), 4)
+        assert 0 <= r.hits <= r.n_queries * r.k
+    assert rows["ivfpq_full"].hits == rows["pq_adc"].hits
+    assert rows["pq_rerank"].hits >= rows["pq_adc"].hits
+    assert rows["ivfpq_n4"].hits <= rows["ivfpq_full"].hits
+    assert rows["sq_int8"].recall >= 0.95
+    assert rows["pq_rerank"].recall >= 0.9
