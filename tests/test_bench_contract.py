@@ -32,12 +32,17 @@ def test_bench_emits_single_json_line_with_contract_keys(
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert set(payload) == {
-        "metric", "value", "unit", "queries", "sf", "calibration"
+        "metric", "value", "value_normalized", "unit", "queries", "sf",
+        "calibration",
     }
     for probe in (payload["calibration"]["before"],
                   payload["calibration"]["after"]):
         assert probe["spark_fixed_sec"] > 0
         assert probe["python_fixed_sec"] > 0
+    # normalization only DISCOUNTS external load, never inflates
+    assert 0 < payload["value_normalized"] <= payload["value"]
+    assert payload["calibration"]["load_factor"] >= 1.0
+    assert payload["calibration"]["idle_floor_sec"] > 0
     assert payload["queries"] == {
         "q6_revenue_change": payload["queries"]["q6_revenue_change"]
     }
