@@ -27,11 +27,15 @@ def resolve_path(path: str) -> str:
     a bare path resolves against ``fs.defaultFS`` (hdfs:// typically) —
     a DIFFERENT filesystem than the local one the caller is looking at —
     so the ambiguity is resolved eagerly and identically on the Spark
-    read/write side and the manifest side. Paths that already carry a
+    read/write side and the manifest side. Scheme-less paths are made
+    absolute first: ``"file://" + "out/tbl"`` would parse ``out`` as the
+    URI *authority* and misresolve the path. Paths that already carry a
     scheme pass through untouched."""
     if "://" in path:
         return path
-    return "file://" + path
+    import os
+
+    return "file://" + os.path.abspath(path)
 
 
 class FsIO:

@@ -90,7 +90,9 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # ONE materialization of the embeddings scan: the fits, both encodes,
+    # and the 5 exact-baseline jobs all re-read it otherwise
+    emb = read_table(spark, sf_dir, "embeddings").persist()
     queries = _audit_queries(emb)
     dim = len(queries[0][1])
 
@@ -136,6 +138,7 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         sq.unpersist()
         index.unpersist()
+        emb.unpersist()
 
     report = []
     for tier in ("sq_int8", "pq_adc", "pq_rerank", "ivfpq_full", "ivfpq_n4"):

@@ -159,8 +159,9 @@ def register(
 #      multimodal_frame_sample, text_chunk_dedup,
 #      text_quality_classifier — dedup_cluster_stats would be next in
 #      that order but already sits in section 1).
-# After r7 no row's evidence is older than round 4; the remaining 35
-# r4-stale rows head the r8 rotation.
+# After r7 no row's evidence is older than round 4; the remaining 34
+# r4-stale rows (44 minus the 9 fills minus dedup_cluster_stats in
+# section 1) head the r8 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 1. round-7-touched operator paths / oracles --
     "corpus_dsir_weights", "sample_dsir_gumbel", "text_bigram_logprob",

@@ -822,7 +822,12 @@ def run_quantile_sketch_over_stream(
                 bottomk_hash(id_col, salt).alias("h"),
                 F.col(value_col).cast("double").alias("v"),
             )
-            .orderBy("h")
+            # (h, v), not h alone: a duplicate id with CONFLICTING values
+            # in one batch shares a hash, and an h-only trim at the k
+            # boundary could ship the larger value — the same
+            # smallest-value-wins tiebreak the batch sketch table trims
+            # with, so the converged sketch stays layout-deterministic.
+            .orderBy("h", "v")
             .limit(k)
             .collect()
         )

@@ -32,8 +32,11 @@ def delta_spark(spark):
 
 def test_delta_merge_upsert_insert_delete(delta_spark, tmp_path):
     """Mirror of test_merge_parquet_upsert_insert_delete: matched keys
-    take the update row, unmatched updates insert, delete keys vanish,
-    and a key in both updates and deletes keeps its update row."""
+    take the update row, unmatched updates insert, delete keys vanish —
+    and a key in BOTH updates and deletes is the same pre-validated
+    conflict the parquet twins reject, aborting BEFORE any write."""
+    import pytest
+
     from mare_spark.sources.external import merge_delta
 
     spark = delta_spark
@@ -42,20 +45,30 @@ def test_delta_merge_upsert_insert_delete(delta_spark, tmp_path):
         [(i, f"v{i}") for i in range(10)], "id long, val string"
     ).write.format("delta").save(path)
 
-    updates = spark.createDataFrame(
+    conflicted = spark.createDataFrame(
         [(3, "UPD3"), (11, "NEW11"), (5, "UPD5")], "id long, val string"
     )
     deletes = spark.createDataFrame([(7,), (5,)], "id long")
-    merge_delta(spark, path, updates, "id", delete_keys=deletes)
+    with pytest.raises(ValueError, match="merge_delta: key appears in both"):
+        merge_delta(spark, path, conflicted, "id", delete_keys=deletes)
+    # the conflict aborted before any write: table untouched
+    got = {
+        r.id: r.val
+        for r in spark.read.format("delta").load(path).collect()
+    }
+    assert got == {i: f"v{i}" for i in range(10)}
 
+    updates = spark.createDataFrame(
+        [(3, "UPD3"), (11, "NEW11")], "id long, val string"
+    )
+    merge_delta(spark, path, updates, "id", delete_keys=deletes)
     got = {
         r.id: r.val
         for r in spark.read.format("delta").load(path).collect()
     }
     assert got[3] == "UPD3" and got[11] == "NEW11"
-    assert got[5] == "UPD5"  # update wins over delete (parquet-twin algebra)
-    assert 7 not in got
-    assert got[0] == "v0" and len(got) == 10
+    assert 7 not in got and 5 not in got
+    assert got[0] == "v0" and len(got) == 9
 
 
 def test_delta_merge_partitioned_identity_and_pruning(delta_spark, tmp_path):
