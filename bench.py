@@ -30,14 +30,21 @@ import time
 
 WARM_RUNS = 3
 
-# The host's IDLE spark_fixed_sec (median of warm bit_xor(xxhash64) probes
-# on an otherwise-quiet machine): measured 0.143-0.153 across idle trials
-# in rounds 6-7 (r6 post-sweep idle calibration recorded 0.148). Used to
-# emit a load-normalized total alongside the raw one, so round-over-round
-# comparisons don't require the recording run to have been idle
-# (VERDICT r6 #2: BENCH_r06 was recorded ~1.8x loaded and the per-query
-# numbers drifted +18-24% on untouched queries).
-SPARK_FIXED_IDLE_FLOOR = 0.148
+# The host's best-observed fixed-work probe times (an otherwise-quiet
+# machine at its fast CPU epoch). Used to emit a load-normalized total
+# alongside the raw one, so round-over-round comparisons don't require
+# the recording run to have hit the fast epoch (VERDICT r6 #2: BENCH_r06
+# was recorded ~1.8x loaded and untouched queries drifted +18-24%).
+#
+# python_fixed is the normalization lever: SCALE.md's r5/r6 ledger shows
+# it tracking bench totals almost linearly (0.107 idle <-> 15.6 s total;
+# 0.142 loaded <-> 18.5 s), and the r7 A/B confirmed it again — the r6
+# commit re-benched on an epoch with python_fixed 0.14-0.17 gave 19.29 s
+# where its committed artifact said 17.48. spark_fixed (floor 0.136
+# observed r7) is recorded for drift diagnosis but misses slow epochs
+# that hit the Python/shuffle side only.
+PYTHON_FIXED_IDLE_FLOOR = 0.107
+SPARK_FIXED_IDLE_FLOOR = 0.136
 
 
 def _calibrate(spark) -> dict:
@@ -119,14 +126,15 @@ def main() -> None:
     print(f"# calibration (after): {calib_after}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    # load-normalized total: scale by the idle floor over the run's
-    # LEAST-loaded fixed-work sample (min of before/after — the sweep sits
-    # between them). Clamped so normalization can only DISCOUNT external
-    # load, never claim faster-than-measured on an idle host.
+    # load-normalized total: scale by the python-probe floor over the
+    # run's LEAST-loaded sample (min of before/after — the sweep sits
+    # between them; python_fixed is the probe that tracks totals
+    # linearly, see the floor constants above). Clamped so normalization
+    # can only DISCOUNT a slow epoch, never claim faster-than-measured.
     run_fixed = min(
-        calib_before["spark_fixed_sec"], calib_after["spark_fixed_sec"]
+        calib_before["python_fixed_sec"], calib_after["python_fixed_sec"]
     )
-    norm = SPARK_FIXED_IDLE_FLOOR / max(run_fixed, SPARK_FIXED_IDLE_FLOOR)
+    norm = PYTHON_FIXED_IDLE_FLOOR / max(run_fixed, PYTHON_FIXED_IDLE_FLOOR)
     print(
         json.dumps(
             {
@@ -139,7 +147,7 @@ def main() -> None:
                 "calibration": {
                     "before": calib_before,
                     "after": calib_after,
-                    "idle_floor_sec": SPARK_FIXED_IDLE_FLOOR,
+                    "idle_floor_sec": PYTHON_FIXED_IDLE_FLOOR,
                     "load_factor": round(1.0 / norm, 4),
                 },
             }
