@@ -93,7 +93,16 @@ class TextFile(MountPoint):
         return parts
 
     def records_from_pandas(self, pdf: pd.DataFrame) -> Iterator[str]:
-        return iter(pdf["value"].astype(str))
+        col = pdf["value"]
+        if col.isna().any():
+            # astype(str) would serialize a NULL as the literal record
+            # 'None' — silent data corruption in the piped stream
+            raise ValueError(
+                "TextFile: NULL in the 'value' column — a null record "
+                "has no text serialization; filter or fill nulls before "
+                "piping"
+            )
+        return iter(col.astype(str))
 
     def records_to_pandas(self, records: list[str]) -> pd.DataFrame:
         return pd.DataFrame({"value": pd.Series(records, dtype="object")})
@@ -135,6 +144,12 @@ class _FilePerRecord(MountPoint):
         return out
 
     def records_from_pandas(self, pdf: pd.DataFrame) -> Iterator[tuple]:
+        if pdf["path"].isna().any() or pdf["content"].isna().any():
+            raise ValueError(
+                f"{type(self).__name__}: NULL in 'path'/'content' — a "
+                "null file name or payload has no on-disk serialization; "
+                "filter or fill nulls before piping"
+            )
         return zip(pdf["path"], pdf["content"])
 
 

@@ -48,6 +48,34 @@ from mare_spark.codecs import MountPoint
 from mare_spark.runner import run_container
 
 
+def _payload_bytes(rec) -> int:
+    """Approximate serialized size of one codec record (a text record, or
+    a (name, payload) tuple) — sizing for the chunk/flush budgets."""
+    if isinstance(rec, (str, bytes, bytearray)):
+        return len(rec)
+    if isinstance(rec, tuple):
+        return sum(
+            len(v) for v in rec if isinstance(v, (str, bytes, bytearray))
+        )
+    return 64
+
+
+def _record_chunks(records: list, byte_budget: int = 256 << 20):
+    """Slice a record list into bounded-size chunks (by payload bytes,
+    with a row-count backstop) so no downstream consumer materializes an
+    unbounded single buffer."""
+    chunk: list = []
+    size = 0
+    for rec in records:
+        chunk.append(rec)
+        size += _payload_bytes(rec)
+        if size >= byte_budget or len(chunk) >= 100_000:
+            yield chunk
+            chunk, size = [], 0
+    if chunk:
+        yield chunk
+
+
 def _pipe_partition(
     batches: Iterator[pd.DataFrame],
     in_mp: MountPoint,
@@ -81,8 +109,12 @@ def _pipe_partition(
         )
 
         records = out_mp.read(tmp_out)
-        if records:
-            yield out_mp.records_to_pandas(records)
+        # Chunked yield: each yielded frame becomes ONE Arrow batch (Spark
+        # does not re-slice), and a multi-GB partition output in a single
+        # batch hits Arrow's 32-bit string/binary offset wall — so large
+        # outputs leave as bounded batches.
+        for chunk in _record_chunks(records):
+            yield out_mp.records_to_pandas(chunk)
     finally:
         for p in (tmp_in, tmp_out):
             if os.path.isdir(p):
@@ -215,24 +247,31 @@ class MaRe:
         persisted = self.df.persist(intermediate_storage_level)
         persisted.count()  # force upstream computation (MaRe.scala:205-208)
 
-        parent = os.path.dirname(os.path.abspath(local_out_path)) or "."
+        parent = os.path.dirname(os.path.abspath(local_out_path))
         tmp_dir = os.path.join(parent, f".temporary_{uuid.uuid4()}")
         os.makedirs(tmp_dir, exist_ok=True)
         tmp_in = os.path.join(tmp_dir, f"mare_{uuid.uuid4()}")
         try:
             input_mount.create_empty(tmp_in)
-            # Partition-at-a-time driver pull; append preserves the
-            # record stream exactly like the reference's per-partition loop.
+            # Streaming driver pull; append preserves the record stream
+            # exactly like the reference's per-partition loop. The flush
+            # budget is BYTES first (row count only as a backstop):
+            # 10k buffered WholeText/Binary records of ~100 MB each would
+            # be ~1 TB resident, where the documented contract is
+            # one-bounded-slice-at-a-time.
             batch: list = []
+            batch_bytes = 0
+            flush_bytes = 64 << 20
             for row in persisted.toLocalIterator(prefetchPartitions=False):
                 batch.append(row)
-                if len(batch) >= 10_000:
+                batch_bytes += _payload_bytes(tuple(row))
+                if batch_bytes >= flush_bytes or len(batch) >= 10_000:
                     input_mount.write(
                         input_mount.records_from_pandas(_rows_to_pandas(batch, persisted)),
                         tmp_in,
                         append=True,
                     )
-                    batch = []
+                    batch, batch_bytes = [], 0
             if batch:
                 input_mount.write(
                     input_mount.records_from_pandas(_rows_to_pandas(batch, persisted)),

@@ -94,32 +94,58 @@ def run_container(
 
 def _substitute_binds(command: str, binds: list[tuple[str, str]]) -> str:
     """Rewrite each container mount path to its host path — the subprocess
-    equivalent of a bind mount. Longest mount paths first so '/out2' is
-    never clobbered by a '/out' replacement, and only at a path boundary
-    (end of string, or followed by a non-path-word character such as '/',
-    space, quote, or a shell operator): under real docker binds '/dna'
-    and '/dna_0.fasta' are unrelated paths, so 'for f in /dna/dna_*.fasta'
-    must rewrite only the directory component, never the 'dna_' file
-    prefix (the naive replace corrupted exactly that and the glob
-    silently matched nothing)."""
-    cmd = command
-    for host, mount in sorted(binds, key=lambda b: -len(b[1])):
-        cmd = re.sub(
-            re.escape(mount) + r"(?![A-Za-z0-9_.\-])", lambda _: host, cmd
-        )
-    return cmd
+    equivalent of a bind mount. ONE pass with an alternation (longest
+    mount first, so '/out2' is never clobbered by '/out'), bounded on
+    BOTH sides: under real docker binds '/dna' and '/dna_0.fasta' are
+    unrelated paths ('for f in /dna/dna_*.fasta' rewrites only the
+    directory component), and '/scratch/out/x' does not contain the
+    mount '/out' (the right-boundary-only form rewrote exactly that,
+    silently redirecting unrelated paths). The single pass also means
+    substituted HOST text is never re-scanned by a later mount — with
+    tmp dirs nested under another mount's name, sequential replace
+    corrupted the already-inserted host path."""
+    if not binds:
+        return command
+    mapping = {mount: host for host, mount in binds}
+    alts = "|".join(
+        re.escape(m) for m in sorted(mapping, key=len, reverse=True)
+    )
+    rx = re.compile(
+        r"(?<![A-Za-z0-9_.\-/])(?:" + alts + r")(?![A-Za-z0-9_.\-])"
+    )
+    return rx.sub(lambda m: mapping[m.group(0)], command)
+
+
+def _tail_text(fh, limit: int = 4000) -> str:
+    fh.seek(0, os.SEEK_END)
+    size = fh.tell()
+    fh.seek(max(0, size - limit))
+    return fh.read().decode("utf-8", errors="replace")
+
+
+def _run_streamed(args: list[str]) -> tuple[int, str, str]:
+    """Run a command with stdout/stderr streamed to temp FILES, reading
+    back only a bounded tail — ``capture_output=True`` would hold the
+    full streams in executor memory, and a verbose tool over a multi-GB
+    partition OOMs the worker (the reference streams container output
+    incrementally to log4j, DockerHelper.scala AttachLoggingCallback)."""
+    import tempfile
+
+    with tempfile.TemporaryFile() as out, tempfile.TemporaryFile() as err:
+        r = subprocess.run(args, stdout=out, stderr=err, check=False)
+        return r.returncode, _tail_text(out), _tail_text(err)
 
 
 def _run_subprocess(command: str, binds: list[tuple[str, str]]) -> None:
     cmd = _substitute_binds(command, binds)
-    r = subprocess.run(["sh", "-c", cmd], capture_output=True, text=True, check=False)
-    if r.stdout:
-        log.info("pipe stdout: %s", r.stdout[-4000:])
-    if r.stderr:
-        log.info("pipe stderr: %s", r.stderr[-4000:])
-    if r.returncode != 0:
+    code, out_tail, err_tail = _run_streamed(["sh", "-c", cmd])
+    if out_tail:
+        log.info("pipe stdout: %s", out_tail)
+    if err_tail:
+        log.info("pipe stderr: %s", err_tail)
+    if code != 0:
         raise ContainerRunError(
-            f"command exited with code {r.returncode}: {command!r}\n{r.stderr[-4000:]}"
+            f"command exited with code {code}: {command!r}\n{err_tail}"
         )
 
 
@@ -144,12 +170,12 @@ def _run_docker(
     for host, mount in binds:
         args += ["-v", f"{os.path.abspath(host)}:{mount}"]
     args += ["--entrypoint", "sh", image, "-c", command]
-    r = subprocess.run(args, capture_output=True, text=True, check=False)
-    if r.stdout:
-        log.info("container stdout: %s", r.stdout[-4000:])
-    if r.stderr:
-        log.info("container stderr: %s", r.stderr[-4000:])
-    if r.returncode != 0:
+    code, out_tail, err_tail = _run_streamed(args)
+    if out_tail:
+        log.info("container stdout: %s", out_tail)
+    if err_tail:
+        log.info("container stderr: %s", err_tail)
+    if code != 0:
         raise ContainerRunError(
-            f"container exited with code {r.returncode}: {command!r}\n{r.stderr[-4000:]}"
+            f"container exited with code {code}: {command!r}\n{err_tail}"
         )

@@ -251,6 +251,21 @@ def test_subprocess_substitution_respects_path_boundaries(tmp_path):
         "touch /h/c/y /outer"
     )
 
+    # LEFT boundary: '/scratch/out/final.txt' does not contain the mount
+    # '/out' under real docker binds — must stay untouched
+    assert _substitute_binds(
+        "cp /data/x /scratch/out/final.txt && cat /out/y",
+        [("/h/o", "/out")],
+    ) == "cp /data/x /scratch/out/final.txt && cat /h/o/y"
+
+    # single pass: a host path inserted by one mount's substitution must
+    # never be re-scanned by another mount (tmp dirs nested under a
+    # directory whose name matches a different mount)
+    assert _substitute_binds(
+        "cat /in/a > /out/b",
+        [("/srv/in/mare_X", "/in"), ("/srv/in/mare_Y", "/out")],
+    ) == "cat /srv/in/mare_X/a > /srv/in/mare_Y/b"
+
     # end-to-end through the backend
     src = tmp_path / "in"
     src.mkdir()
@@ -265,3 +280,36 @@ def test_subprocess_substitution_respects_path_boundaries(tmp_path):
         backend="subprocess",
     )
     assert (out / "n.txt").read_text().strip() == "2"
+
+
+def test_codecs_reject_null_records(spark, tmp_path):
+    """NULL values entering a pipe have no serialization: TextFile's old
+    astype(str) silently produced the literal record 'None'; the
+    file-per-record codecs crashed opaquely on a null name. Both now
+    raise a named contract error before anything is written."""
+    import pandas as pd
+    import pytest
+
+    from mare_spark.codecs import BinaryFiles, TextFile, WholeTextFiles
+
+    tf = TextFile("/in")
+    with pytest.raises(ValueError, match="NULL in the 'value'"):
+        list(tf.records_from_pandas(pd.DataFrame({"value": ["a", None]})))
+    for mp in (WholeTextFiles("/in"), BinaryFiles("/in")):
+        with pytest.raises(ValueError, match="NULL in 'path'/'content'"):
+            list(mp.records_from_pandas(
+                pd.DataFrame({"path": [None], "content": ["x"]})
+            ))
+
+
+def test_record_chunks_bounded():
+    """Chunking honors the byte budget (per-record payload sizing) and
+    the row backstop, loses nothing, and preserves order."""
+    from mare_spark.dataset import _record_chunks
+
+    recs = [("f%d" % i, "x" * 1000) for i in range(100)]
+    chunks = list(_record_chunks(recs, byte_budget=10_000))
+    assert [r for c in chunks for r in c] == recs
+    assert len(chunks) == 10
+    assert all(sum(len(p) for _n, p in c) <= 10_000 for c in chunks)
+    assert list(_record_chunks([], byte_budget=10)) == []
