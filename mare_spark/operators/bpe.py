@@ -83,25 +83,15 @@ def char_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def _merge_pair_udf(a: str, b: str):
-    """Greedy left-to-right rewrite of adjacent ``(a, b)`` into ``a+b``
-    over symbol arrays (``"aaa"`` with merge ``(a,a)`` → ``[aa, a]`` —
-    the standard BPE convention, pinned by test)."""
+    """Arrow-batched wrapper around :func:`_rewrite` — ONE copy of the
+    convention-critical greedy rewrite (``"aaa"`` with merge ``(a,a)`` →
+    ``[aa, a]``, pinned by test) shared by the UDF path, segmentation,
+    and the driver learning loop, so the convention cannot silently
+    diverge between tiers."""
 
     @F.pandas_udf("array<string>")
     def merge(syms: pd.Series) -> pd.Series:
-        def apply(s):
-            out = []
-            i, n = 0, len(s)
-            while i < n:
-                if i + 1 < n and s[i] == a and s[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            return out
-
-        return syms.map(apply)
+        return syms.map(lambda s: _rewrite(list(s), a, b))
 
     return merge
 
@@ -292,7 +282,14 @@ def learn_bpe_merges(
                 nxt = nxt.localCheckpoint(eager=True)
             else:
                 nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-                nxt.count()  # materialize before dropping previous round
+                try:
+                    nxt.count()  # materialize before dropping prev round
+                except BaseException:
+                    # a failure mid-materialization must not leave the
+                    # new round's cache pinned for the session lifetime
+                    # (the finally below only unpersists wc)
+                    nxt.unpersist()
+                    raise
             wc.unpersist()
             wc = nxt
     finally:
@@ -467,8 +464,14 @@ def decode_ids(
 ) -> str:
     """Inverse of :func:`bpe_encode_ids` for loader-side spot checks:
     concatenate tokens, turn each ``end_marker`` back into a word break.
-    Lossless for any document whose characters are all in the vocab
-    (single-space word separation, the registry's token convention)."""
+    Lossless for any document whose characters are all in the vocab AND
+    whose text does not itself contain the ``end_marker`` string
+    (single-space word separation, the registry's token convention).
+    The marker caveat is inherent to the concat-then-split decode: a
+    literal ``'</w>'`` run inside a word is indistinguishable from a
+    word boundary after tokens are joined (e.g. scraped tokenizer docs)
+    — pick a marker outside the corpus alphabet, or pre-escape, when
+    round-tripping such text matters."""
     s = "".join(vocab[i] for i in token_ids)
     if end_marker:
         s = s.replace(end_marker, " ")

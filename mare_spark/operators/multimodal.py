@@ -64,10 +64,16 @@ def sample_frames(
     """
     from pyspark.sql import functions as F
 
+    # ceil, not floor+1: an exact-multiple payload must not emit a
+    # spurious empty trailing frame, and an empty payload emits NO
+    # frames (sequence(0,-1) would count DOWN, so the n=0 case is an
+    # explicit empty array; explode drops it)
     n = F.least(
-        F.floor(F.length(payload_col) / every_n_bytes) + 1, F.lit(max_frames)
+        F.ceil(F.length(payload_col) / every_n_bytes), F.lit(max_frames)
     ).cast("int")
-    idx = F.sequence(F.lit(0), n - 1)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return (
         df.select(id_col, payload_col, F.explode(idx).alias("frame_idx"))
         .select(
@@ -121,16 +127,27 @@ def decode_features(
     if decoder != "fake":
         raise ValueError(f"unknown decoder: {decoder}")
 
-    schema = f"{id_col} long, n_bytes int, features array<double>"
+    # id type derived from the input, not assumed bigint — binaryFile
+    # sources naturally key on a string path
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_bytes int, features array<double>"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            # NULL payloads propagate as NULL features/n_bytes (the
+            # sniffing path's convention) — bytes(None) is a TypeError
+            feats = [
+                None if p is None else _fake_decode(bytes(p)).tolist()
+                for p in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
-                    "features": [f.tolist() for f in feats],
+                    "n_bytes": [
+                        None if p is None else len(bytes(p))
+                        for p in pdf[payload_col]
+                    ],
+                    "features": feats,
                 }
             )
 
@@ -146,6 +163,14 @@ _SOF_MARKERS = {
     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
 }
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _i32(v: int) -> int | None:
+    """Unsigned header fields land in an int32 output schema: a hostile
+    or corrupt header with a value past 2^31-1 must DEGRADE to NULL, not
+    abort the whole scan at Arrow serialization (the 'corrupt tail must
+    not kill the scan' contract)."""
+    return v if 0 <= v <= 0x7FFFFFFF else None
 
 
 def sniff_bytes(b) -> tuple:
@@ -170,13 +195,21 @@ def sniff_bytes(b) -> tuple:
     try:
         if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
             w, h = struct.unpack(">II", b[16:24])
-            return ("image/png", w, h, _PNG_CHANNELS.get(b[25]), None)
+            return ("image/png", _i32(w), _i32(h),
+                    _PNG_CHANNELS.get(b[25]), None)
         if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
             w, h = struct.unpack("<HH", b[6:10])
             return ("image/gif", w, h, 3, None)
         if b[:2] == b"BM" and len(b) >= 26:
+            # only BITMAPINFOHEADER-or-later (DIB size >= 40) carries
+            # 32-bit dims at offset 18 — a 12-byte BITMAPCOREHEADER has
+            # 16-bit dims there and would parse to garbage, poisoning
+            # metadata-first filtering; degrade instead
+            (dib,) = struct.unpack("<I", b[14:18])
+            if dib < 40:
+                return ("image/bmp", None, None, None, None)
             w, h = struct.unpack("<ii", b[18:26])
-            return ("image/bmp", abs(w), abs(h), 3, None)
+            return ("image/bmp", _i32(abs(w)), _i32(abs(h)), 3, None)
         if b[:3] == b"\xff\xd8\xff":
             i = 2
             while i + 9 < len(b) and b[i] == 0xFF:
@@ -193,7 +226,7 @@ def sniff_bytes(b) -> tuple:
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt " and len(b) >= 28:
             (channels,) = struct.unpack("<H", b[22:24])
             (rate,) = struct.unpack("<I", b[24:28])
-            return ("audio/wav", None, None, channels, rate)
+            return ("audio/wav", None, None, channels, _i32(rate))
     except (struct.error, IndexError):
         return none
     return none

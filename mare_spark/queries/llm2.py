@@ -414,8 +414,11 @@ def sample_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="llm",
     oracle="""
     WITH t AS (
+      -- ceil, not floor+1: exact-multiple payloads emit no empty
+      -- trailing frame; empty payloads emit no frames (operator fixed
+      -- in lockstep, round 7)
       SELECT doc_id, text,
-             least(CAST(floor(octet_length(encode(text)) / 64) AS BIGINT) + 1, 8) AS n
+             least(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 8) AS n
       FROM documents
       -- char-sliced frames equal byte-sliced frames only for pure-ASCII
       -- docs (DuckDB cannot slice BLOBs); both engines apply the SAME

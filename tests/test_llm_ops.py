@@ -1361,3 +1361,58 @@ def test_text_null_contracts(spark):
           rolling_hash_fingerprint(df, "text", "doc_id").collect()}
     assert rh[0] is None
     assert list(rh[1]) == [0]  # empty doc keeps its pinned [0]
+
+
+def test_multimodal_review_guards_r7(spark):
+    """Round-7 review fixes: exact-multiple payloads emit no empty
+    trailing frame and empty payloads no frames; hostile >int32 header
+    fields degrade to NULL instead of aborting the scan at Arrow
+    serialization; a 12-byte BITMAPCOREHEADER BMP degrades instead of
+    parsing garbage dims; decode_features propagates NULL payloads and
+    honors a string id column."""
+    import struct
+
+    from mare_spark.operators.multimodal import (
+        decode_features,
+        sample_frames,
+        sniff_bytes,
+        sniff_media_metadata,
+    )
+
+    # frame arithmetic
+    df = spark.createDataFrame(
+        [(1, b"x" * 64), (2, b""), (3, b"y" * 65)],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, every_n_bytes=64).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(bytes(r.frame_bytes))
+    assert by_doc[1] == [b"x" * 64]          # exact multiple: ONE frame
+    assert 2 not in by_doc                   # empty payload: NO frames
+    assert by_doc[3] == [b"y" * 64, b"y"]    # remainder frame kept
+
+    # >int32 header fields -> NULL fields, mime kept, scan survives
+    big_png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + struct.pack(">II", 2**31 + 5, 7) + bytes([8, 6, 0, 0, 0])
+               + b"\x00" * 4)
+    assert sniff_bytes(big_png) == ("image/png", None, 7, 4, None)
+    mm = spark.createDataFrame(
+        [(1, bytearray(big_png))], "doc_id long, payload binary"
+    )
+    got = sniff_media_metadata(mm).collect()[0]
+    assert got.mime == "image/png" and got.width is None and got.height == 7
+
+    # BITMAPCOREHEADER (DIB size 12): degrade, never garbage dims
+    core_bmp = (b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+                + struct.pack("<HHHH", 10, 20, 1, 24))
+    assert sniff_bytes(core_bmp) == ("image/bmp", None, None, None, None)
+
+    # decode_features: NULL payload propagates; string ids honored
+    sdf = spark.createDataFrame(
+        [("a", b"abc"), ("b", None)], "doc_id string, payload binary"
+    )
+    feats = {r.doc_id: (r.n_bytes, r.features)
+             for r in decode_features(sdf, id_col="doc_id").collect()}
+    assert feats["a"][0] == 3 and len(feats["a"][1]) == 8
+    assert feats["b"] == (None, None)
