@@ -47,8 +47,17 @@ class Engine:
     def run_query(self, name: str) -> DataFrame:
         if self.sf_dir is None:
             raise ValueError("Engine was built without an sf_dir")
-        q = all_queries()[name]
-        return q.fn(self.spark, self.sf_dir)
+        qs = all_queries()
+        if name not in qs:
+            import difflib
+
+            near = difflib.get_close_matches(name, qs, n=3)
+            hint = f"; did you mean {near}?" if near else ""
+            raise ValueError(
+                f"unknown query {name!r}{hint} — query_names() lists the "
+                f"{len(qs)} registered queries"
+            )
+        return qs[name].fn(self.spark, self.sf_dir)
 
     def query_names(self) -> list[str]:
         return sorted(all_queries())

@@ -119,9 +119,13 @@ def sql_davg(expr: str, dtype: str = SQL_MONEY, scale: int = 4) -> str:
 
 def fround(col: Column | str, scale: int) -> Column:
     """floor(x·10^s + 0.5)/10^s — the engine-portable grid snap (see module
-    comment). Returns double; agrees with round() except within one double
-    ulp of a half boundary, where it is deterministic instead of
-    engine-dependent."""
+    comment). Returns double. Rounding rule: HALF-UP TOWARD +INFINITY on
+    exact halves (fround(-0.125, 2) = -0.12 where both engines' round()
+    gives -0.13 half-away-from-zero) — a deliberate, deterministic
+    convention, not a round() clone; away from half boundaries it agrees
+    with round() except within one double ulp, where round() is
+    engine-dependent and this is not. Parity holds because every oracle
+    applies the IDENTICAL formula (:func:`sql_fround`), never round()."""
     m = float(10**scale)
     return (F.floor(_c(col) * m + F.lit(0.5)) / m).cast("double")
 

@@ -20,18 +20,31 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def _orderable(dt) -> bool:
-    """Whether a Spark type can appear in an ORDER BY — maps cannot;
-    arrays/structs are orderable iff their element/field types are."""
+def _tie_eligible(dt) -> bool:
+    """Whether a carried column may join the tie-break sort key: ATOMIC
+    orderable types only. Arrays/structs CAN appear in a Spark ORDER BY,
+    but the pandas tier cannot sort object columns holding ndarray/dict
+    values (sort_values raises inside the UDF) — both tiers therefore
+    restrict the tie key to atomic columns so they keep picking the same
+    winner on tie-heavy data. Maps are not orderable anywhere."""
     from pyspark.sql import types as T
 
-    if isinstance(dt, T.MapType):
-        return False
-    if isinstance(dt, T.ArrayType):
-        return _orderable(dt.elementType)
-    if isinstance(dt, T.StructType):
-        return all(_orderable(f.dataType) for f in dt.fields)
-    return True
+    return not isinstance(dt, (T.MapType, T.ArrayType, T.StructType))
+
+
+def _check_suffix_clash(left: DataFrame, right_cols: list, suffix: str) -> None:
+    """Output names are ``{col}{suffix}``: a left column already bearing
+    one of those names would emit a duplicate (window tier: ambiguous
+    downstream; pandas tier: an opaque executor KeyError after merge_asof
+    re-suffixes the clash) — refuse eagerly instead."""
+    clash = [
+        f"{c}{suffix}" for c in right_cols if f"{c}{suffix}" in left.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"output columns {clash} already exist on the left side — "
+            "pick a different suffix or rename the left columns"
+        )
 
 
 def asof_join(
@@ -81,6 +94,7 @@ def asof_join(
             f"columns {sorted(clash)} collide with asof_join's internal "
             f"names (reserved: {sorted(reserved)}) — rename them first"
         )
+    _check_suffix_clash(left, right_cols, suffix)
 
     # NULL event times never match (SQL comparison semantics — DuckDB's
     # ASOF and pd.merge_asof agree): drop NULL-on right rows so they can
@@ -126,14 +140,14 @@ def asof_join(
     # ascending (backward) / descending (forward) pins the max / min tied
     # row — mirrored by asof_join_pandas' composite sort. Left rows have a
     # NULL struct; they are already separated from right rows by _side.
-    # Struct ordering requires orderable fields (maps are not): order by
-    # a struct of only the ORDERABLE carried fields — the same per-field
-    # filter asof_join_pandas applies to its tie_cols, so the two tiers
-    # pick the same winner even when some carried columns are maps.
+    # Tie key: only the ATOMIC orderable carried fields — the same
+    # per-field filter asof_join_pandas applies to its tie_cols (pandas
+    # cannot sort nested values), so the two tiers pick the same winner
+    # even when some carried columns are maps/arrays/structs.
     from pyspark.sql import types as T
 
     field_types = {f.name: f.dataType for f in r_struct_type.fields}
-    tie_fields = [c for c in right_cols if _orderable(field_types[c])]
+    tie_fields = [c for c in right_cols if _tie_eligible(field_types[c])]
     order_keys = [time_order, F.col("_side").asc()]
     if tie_fields:
         tie_struct = F.struct(*[F.col("_r")[c].alias(c) for c in tie_fields])
@@ -182,6 +196,7 @@ def asof_join_pandas(
         )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
+    _check_suffix_clash(left, right_cols, suffix)
 
     # NULL group keys never match (SQL semantics / the window tier's
     # contract): NULL-by right rows can never be carried; NULL-by left
@@ -203,7 +218,7 @@ def asof_join_pandas(
     # tie-break sort columns: the orderable carried columns (decided from
     # the Spark schema, so both tiers make the same call)
     tie_cols = [
-        c for c in right_cols if c != on and _orderable(r_types[c])
+        c for c in right_cols if c != on and _tie_eligible(r_types[c])
     ]
     int_carry = [
         c for c in right_cols
@@ -235,6 +250,11 @@ def asof_join_pandas(
         ].rename(
             columns={c: f"{c}{suffix}" for c in others}
         )
+        # the on-column self-carry must exist BEFORE the Int64 loop:
+        # created after it, an integer event-time carry would skip the
+        # guard and round through float64 on unmatched rows
+        if on in right_cols:
+            rpdf[f"{on}{suffix}"] = rpdf[on]
         # nullable Int64 BEFORE the merge: merge_asof fills misses with
         # NaN, and an int64 column upcast to float64 silently rounds
         # carried values above 2^53 (the 60-bit hash convention's range)
@@ -242,8 +262,6 @@ def asof_join_pandas(
             col = f"{c}{suffix}"
             if col in rpdf.columns:
                 rpdf[col] = rpdf[col].astype("Int64")
-        if on in right_cols:
-            rpdf[f"{on}{suffix}"] = rpdf[on]
         if rpdf.empty:
             out = pd.concat([lpdf, lnull])
             for c in right_cols:

@@ -62,6 +62,14 @@ def binned_interval_join(
             f"points/intervals share non-key columns {sorted(overlap)}; "
             "rename before joining"
         )
+    if "_bin" in points.columns or "_bin" in intervals.columns:
+        # the internal bin key would silently overwrite the user column
+        # and then drop it from the output (asof_join's reserved-name
+        # contract, applied here)
+        raise ValueError(
+            "column '_bin' collides with binned_interval_join's internal "
+            "bin key — rename it first"
+        )
     w = F.lit(float(bin_width))
     points = points.filter(F.col(point_col).isNotNull())
     intervals = intervals.filter(
@@ -81,7 +89,7 @@ def binned_interval_join(
     ).otherwise(
         F.raise_error(
             F.lit(
-                "binned_interval_join: an interval spans >= "
+                "binned_interval_join: an interval spans more than "
                 f"{max_bins_per_interval} bins — raise bin_width or fix "
                 "the degenerate interval"
             )

@@ -23,10 +23,10 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at ANY scale factor: region and
-# nation are fixed-size (5 / 25 rows) regardless of SF, so joins against them
-# should always be broadcast-hash joins — never shuffles.
-BROADCAST_TABLES = frozenset({"region", "nation"})
+# Note on fixed-size dims: region (5 rows) and nation (25 rows) never grow
+# with SF, so joins against them should be broadcast-hash joins at any
+# scale. That is enforced where it matters — explicit F.broadcast() hints
+# at the query call sites, pinned by plan tests — not by a registry here.
 
 
 def table_path(sf_dir: str, name: str) -> str:

@@ -218,3 +218,53 @@ def test_asof_review_guards(spark):
     with pytest.raises(ValueError, match="direction"):
         asof_join_pandas(left, right, on="o", by="k",
                          direction="foward")
+
+
+def test_asof_review_guards_r7(spark):
+    """Round-7 review contracts: an integer EVENT-TIME column carried via
+    right_cols survives the pandas tier exactly (the on-self-carry is
+    created before the Int64 guard now); array carries no longer crash
+    the pandas tier and both tiers exclude nested types from the tie key
+    identically; {col}{suffix} collisions with existing left columns are
+    refused eagerly in both tiers."""
+    import pytest
+
+    from mare_spark.operators.asof import asof_join, asof_join_pandas
+
+    big = 9007199254740993  # 2^53 + 1: a float64 round-trip corrupts it
+    left = spark.createDataFrame([("k", big + 10, 1)], "k string, o long, id long")
+    right = spark.createDataFrame([("k", big, 7)], "k string, o long, rv long")
+    for tier in (asof_join, asof_join_pandas):
+        row = tier(left, right, on="o", by="k",
+                   right_cols=["o", "rv"]).collect()[0]
+        assert row.o_asof == big, tier.__name__
+        assert row.rv_asof == 7, tier.__name__
+
+    # array carries: tied right rows force the tie path; both tiers must
+    # run (not crash) and agree on the carried scalar tie winner
+    rt = spark.createDataFrame(
+        [("k", 5, 1, ["a"]), ("k", 5, 2, ["b"])],
+        "k string, o long, rv long, tags array<string>",
+    )
+    got = {}
+    for tier in (asof_join, asof_join_pandas):
+        r = tier(left.select("k", F.lit(6).cast("long").alias("o"), "id"),
+                 rt, on="o", by="k", right_cols=["rv", "tags"]).collect()[0]
+        got[tier.__name__] = (r.rv_asof, list(r.tags_asof))
+    assert got["asof_join"] == got["asof_join_pandas"] == (2, ["b"])
+
+    for tier in (asof_join, asof_join_pandas):
+        with pytest.raises(ValueError, match="already exist on the left"):
+            tier(left.withColumnRenamed("id", "rv_asof"), right,
+                 on="o", by="k", right_cols=["rv"])
+
+
+def test_binned_interval_join_reserved_bin_name(spark):
+    import pytest
+
+    from mare_spark.operators.ranges import binned_interval_join
+
+    pts = spark.createDataFrame([(1.0, 9)], "p double, _bin long")
+    iv = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="_bin"):
+        binned_interval_join(pts, iv, "p", "lo", "hi", bin_width=1.0)
