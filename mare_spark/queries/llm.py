@@ -84,6 +84,8 @@ def duck_rolling_fp(keep: int, window: int = 8) -> str:
     oracle=f"""
     SELECT min(doc_id) AS doc_id, md5({_NORM}) AS digest, count(*) AS n_copies
     FROM documents
+    WHERE text IS NOT NULL  -- the operator's NULL contract: no phantom
+                            -- md5(NULL) duplicate group
     GROUP BY md5({_NORM})
     """,
 )
@@ -112,14 +114,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            (floor(common / (na + nb - common) * 1000000.0 + 0.5)
             / 1000000.0) AS jaccard
     FROM pairs
-    WHERE common / (na + nb - common) >= 0.8
+    WHERE (floor(common / (na + nb - common) * 1000000.0 + 0.5)
+            / 1000000.0) >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (inverted-index self-join,
     never a cross join)."""
     docs = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8,
+        # cap stated explicitly (registry doctrine: caps are never
+        # silent library defaults). Candidate recall loses only
+        # pairs whose EVERY shared shingle is in >1000 docs; at the
+        # sf0.01 correctness gate N=500 < cap, so it provably
+        # cannot bind there.
+        max_shingle_freq=1000,
+    )
 
 
 @register("dedup_minhash_lsh", category="llm", bench=True, oracle=None)
@@ -182,15 +193,26 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * sqrt(list_sum(list_transform(b.v, x -> x*x))))
              * 1000000.0 + 0.5) / 1000000.0) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-          / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-             * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.4
+    WHERE (floor(
+            list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+            / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+               * sqrt(list_sum(list_transform(b.v, x -> x*x))))
+            * 1000000.0 + 0.5) / 1000000.0) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs at cosine ≥ 0.4 (exact tier)."""
+    """Embedding near-dup pairs at cosine ≥ 0.4 (exact tier).
+
+    ``exact_max_rows=None`` pins the EXACT tier: the default guarded
+    routing would (a) run a probe-count job on every query construction
+    and (b) silently reroute to <1.0-recall LSH above 100k rows while
+    the registered oracle stays exact all-pairs — a guaranteed hash
+    failure at a bigger SF. The scale tier has its own registered row
+    (``dedup_embedding_lsh``)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
+    return embedding_cosine_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, exact_max_rows=None
+    )
 
 
 @register(
@@ -206,7 +228,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS common
       FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
-      HAVING common / (na + nb - common) >= 0.8
+      HAVING (floor(common / (na + nb - common) * 1000000.0 + 0.5)
+            / 1000000.0) >= 0.8
     ),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -222,7 +245,15 @@ def dedup_clusters_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mare_spark.operators.dedup import dedup_clusters, release_caches
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8,
+        # cap stated explicitly (registry doctrine: caps are never
+        # silent library defaults). Candidate recall loses only
+        # pairs whose EVERY shared shingle is in >1000 docs; at the
+        # sf0.01 correctness gate N=500 < cap, so it provably
+        # cannot bind there.
+        max_shingle_freq=1000,
+    )
     clusters = dedup_clusters(pairs)
     # dedup_clusters materialized the edges (checkpoint/collect), so the
     # pair-generation caches are droppable — without this, every
@@ -253,7 +284,15 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     """The vec_id=0 embedding as the similarity-search probe (one-row
     driver fetch — the query vector is a scalar input, not data)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    row = emb.filter(F.col("vec_id") == 0).head()
+    if row is None:
+        # a clear per-query error instead of 'NoneType is not
+        # subscriptable' aborting the whole registry sweep
+        raise ValueError(
+            f"no vec_id=0 row in {sf_dir}/embeddings.parquet — the "
+            "similarity rows probe with that fixture vector"
+        )
+    return [float(x) for x in row["embedding"]]
 
 
 _TOPK_ORACLE = """
@@ -547,7 +586,8 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS common
       FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
-      HAVING common / (na + nb - common) >= 0.8
+      HAVING (floor(common / (na + nb - common) * 1000000.0 + 0.5)
+            / 1000000.0) >= 0.8
     ),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -571,14 +611,25 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical training-data cleaning pass:
     (1) length gate (≥30 tokens), (2) near-dup detection (exact 3-gram
     Jaccard ≥0.8), (3) cluster resolution keeping the min-id representative.
-    Output: the KEPT documents. Every stage is a registered operator; the
-    whole pipeline stays declarative (no collect between stages), so
-    Catalyst plans it end-to-end."""
+    Output: the KEPT documents. Every stage is a registered operator. The
+    gate/pair/keep stages are declarative; cluster resolution is the one
+    materialization point (dedup_clusters checkpoints the edge set and,
+    in the common small-edge-set case, resolves by bounded driver
+    union-find — see its tier docs), after which the keep-filter plan is
+    again end-to-end Catalyst."""
     from mare_spark.operators.dedup import dedup_clusters, release_caches
     from mare_spark.operators.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8,
+        # cap stated explicitly (registry doctrine: caps are never
+        # silent library defaults). Candidate recall loses only
+        # pairs whose EVERY shared shingle is in >1000 docs; at the
+        # sf0.01 correctness gate N=500 < cap, so it provably
+        # cannot bind there.
+        max_shingle_freq=1000,
+    )
     clusters = dedup_clusters(pairs)
     # dedup_clusters eagerly checkpoints its labels, so the pair-generation
     # intermediates (shingle base + candidate caches) are droppable here —
@@ -613,7 +664,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS common
       FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
-      HAVING common / (na + nb - common) >= 0.8
+      HAVING (floor(common / (na + nb - common) * 1000000.0 + 0.5)
+            / 1000000.0) >= 0.8
     ),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -678,7 +730,15 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length("text") == F.octet_length("text")
     )
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8,
+        # cap stated explicitly (registry doctrine: caps are never
+        # silent library defaults). Candidate recall loses only
+        # pairs whose EVERY shared shingle is in >1000 docs; at the
+        # sf0.01 correctness gate N=500 < cap, so it provably
+        # cannot bind there.
+        max_shingle_freq=1000,
+    )
     clusters = dedup_clusters(pairs)
     release_caches(pairs)
     drop_dup = clusters.filter(F.col("member") != F.col("cluster")).select(

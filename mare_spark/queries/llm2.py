@@ -24,11 +24,14 @@ from mare_spark.operators.corpus import (
 )
 from mare_spark.operators.text import STOPWORDS, tokens
 from mare_spark.queries._decimal import fround
+
+# ONE definition of the tokenization fragments (llm.py) — a hand-copied
+# twin edited in one file but not the other would silently fork the word
+# split between oracle families
+from mare_spark.queries.llm import _NORM, _WORDS
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
-_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-_WORDS = f"string_split({_NORM}, ' ')"
 _STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 

@@ -208,7 +208,11 @@ def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_apply_mixture",
     category="llm",
     oracle="""
-    WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    WITH g AS (SELECT lang, count(*) AS n FROM documents
+           -- NULL strata are dropped BEFORE the rate table, like
+           -- the operator: a NULL-lang count in the denominator
+           -- would shift every real language's rate
+           WHERE lang IS NOT NULL GROUP BY lang),
     n1 AS (SELECT lang, n, n / sum(n) OVER () AS nat FROM g),
     n2 AS (SELECT lang, n, nat, pow(nat, 0.7) AS p FROM n1),
     n3 AS (
@@ -288,6 +292,9 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT lang_label,
         CASE
+          -- NULL text: all scores NULL -> the operator predicts NULL
+          -- (llm.py's text_lang_id oracle has the same guard)
+          WHEN score_en IS NULL THEN NULL
           WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
           WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
           WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
