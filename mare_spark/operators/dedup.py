@@ -1224,7 +1224,16 @@ def edit_distance_pairs(
     Returns ``(doc_a, doc_b, edit_dist)``, doc_a < doc_b.
     """
     s = normalize_text(F.col(text_col))
-    pk = F.md5(F.concat_ws(" ", F.slice(F.split(s, " "), 1, prefix_words)))
+    # NULL text keeps a NULL prefix key (concat_ws never returns NULL, so
+    # a bare md5 would bucket NULL-text docs under md5('') TOGETHER with
+    # genuinely-empty docs — the phantom-bucket class fp_sorted guards
+    # against): NULL keys drop out of the equi-join, matching the SQL
+    # oracle's NULL pk, and cannot push the empty-text bucket over the
+    # cap on one engine only.
+    pk = F.when(
+        F.col(text_col).isNotNull(),
+        F.md5(F.concat_ws(" ", F.slice(F.split(s, " "), 1, prefix_words))),
+    )
     # _fan_out: a small-file scan yields one partition, serializing the
     # O(len²) Levenshtein verify on a single core — same spread as the
     # shingling tiers

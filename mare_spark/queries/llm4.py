@@ -294,8 +294,6 @@ def embedding_kmeans_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SSE-descent invariant pinned in tests/test_scale_ops.py)."""
     import numpy as np
 
-    from pyspark.sql import functions as F
-
     from mare_spark.operators.similarity import (
         assign_to_centroids,
         kmeans_refine,
@@ -341,7 +339,10 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return edit_distance_pairs(
-        docs, "text", "doc_id", prefix_words=8, max_dist=50
+        docs, "text", "doc_id", prefix_words=8, max_dist=50,
+        # cap stated explicitly: the oracle's HAVING count(*) <= 1000
+        # bakes in this constant — a silent library default could drift
+        bucket_cap=1000,
     )
 
 
@@ -522,7 +523,8 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS common
       FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
-      HAVING common / (na + nb - common) >= 0.8
+      HAVING (floor(common / (na + nb - common) * 1000000.0 + 0.5)
+              / 1000000.0) >= 0.8
     ),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -560,7 +562,12 @@ def pipeline_clean_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id",
         chunk_words=_CHUNK_WORDS, max_freq=_MAX_FREQ,
     ).select("doc_id", F.col("clean_text").alias("text"))
-    pairs = ngram_jaccard_pairs(scrub, "text", "doc_id", n=3, threshold=0.8)
+    pairs = ngram_jaccard_pairs(
+        scrub, "text", "doc_id", n=3, threshold=0.8,
+        # cap stated explicitly (registry doctrine) — cannot bind at the
+        # sf0.01 gate (N=500 < 1000); see llm.py's jaccard call sites
+        max_shingle_freq=1000,
+    )
     clusters = dedup_clusters(pairs)
     release_caches(pairs)
     drop = clusters.filter(F.col("member") != F.col("cluster")).select(

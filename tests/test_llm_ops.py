@@ -1416,3 +1416,18 @@ def test_multimodal_review_guards_r7(spark):
              for r in decode_features(sdf, id_col="doc_id").collect()}
     assert feats["a"][0] == 3 and len(feats["a"][1]) == 8
     assert feats["b"] == (None, None)
+
+
+def test_edit_distance_null_text_not_bucketed_with_empty(spark):
+    """NULL-text docs must not share the md5('') bucket with genuinely
+    empty docs (concat_ws never returns NULL): the pair set contains the
+    empty-empty pair but nothing involving the NULL doc, matching the
+    SQL oracle's NULL pk semantics."""
+    from mare_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = {(r.doc_a, r.doc_b): r.edit_dist
+            for r in edit_distance_pairs(df, "text", "doc_id").collect()}
+    assert rows == {(1, 2): 0}
