@@ -21,7 +21,6 @@ from mare_spark.queries._decimal import (
     MONEY6,
     davg,
     dsum,
-    dsum_raw,
     fround,
 )
 from mare_spark.registry import register
@@ -516,28 +515,25 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_grouping_sets",
-    oracle="""
+# ONE text for both the registered oracle and the spark.sql body — two
+# hand-synced copies silently decouple the engine query from its oracle
+_GROUPING_SETS_SQL = """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
            CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-    """,
+"""
+
+
+@register(
+    "q_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets via the SQL entry point."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        """
-    )
+    return spark.sql(_GROUPING_SETS_SQL)
 
 
 @register(
@@ -971,7 +967,9 @@ def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(p_brand)                             AS brand_lower,
            length(p_name)                             AS name_len,
            substring(p_name, 1, 5)                    AS name_head,
-           concat(p_brand, ':', p_type)               AS brand_type,
+           -- concat_ws, like the engine: a NULL side is SKIPPED
+           -- (DuckDB concat would keep the ':' and treat NULL as '')
+           concat_ws(':', p_brand, p_type)            AS brand_type,
            trim('  ' || p_name || ' ')                AS name_trim,
            regexp_extract(p_brand, '([0-9]+)', 1)     AS brand_num,
            regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
@@ -1165,10 +1163,7 @@ def q_from_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL entry point (engine.sql over registered views)
 # ===========================================================================
 
-@register(
-    "q_sql_returned_items",
-    bench=True,
-    oracle="""
+_RETURNED_ITEMS_SQL = """
     SELECT c.c_custkey, c.c_name,
            CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            n.n_name
@@ -1180,7 +1175,13 @@ def q_from_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_custkey, c.c_name, n.n_name
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
-    """,
+"""
+
+
+@register(
+    "q_sql_returned_items",
+    bench=True,
+    oracle=_RETURNED_ITEMS_SQL,
 )
 def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style via the raw SQL entry point — exercises the
@@ -1189,40 +1190,22 @@ def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mare_spark.tables import load_tables
 
     load_tables(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT c.c_custkey, c.c_name,
-               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
-               n.n_name
-        FROM customer c
-        JOIN orders o   ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        JOIN nation n   ON c.c_nationkey = n.n_nationkey
-        WHERE l.l_returnflag = 'R'
-        GROUP BY c.c_custkey, c.c_name, n.n_name
-        ORDER BY revenue DESC, c_custkey
-        LIMIT 20
-        """
-    )
+    return spark.sql(_RETURNED_ITEMS_SQL)
 
 
-@register(
-    "q_subquery_above_avg",
-    oracle="""
+_ABOVE_AVG_SQL = """
     SELECT o_orderkey, round(o_totalprice, 2) AS price
     FROM orders
     WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                                        / count(o_totalprice) FROM orders)
-    """,
+"""
+
+
+@register(
+    "q_subquery_above_avg",
+    oracle=_ABOVE_AVG_SQL,
 )
 def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery in a predicate (orders above 2× the mean)."""
+    """Scalar subquery in a predicate (orders above 1.5× the mean)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, round(o_totalprice, 2) AS price
-        FROM orders
-        WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                                       / count(o_totalprice) FROM orders)
-        """
-    )
+    return spark.sql(_ABOVE_AVG_SQL)

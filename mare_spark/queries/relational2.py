@@ -4,6 +4,7 @@ by queries/relational.py)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -188,8 +189,12 @@ WITH purchases AS (
   FROM events WHERE event_type = 'purchase'
 ),
 views AS (
+  -- NULL event times never match (the engine's contract): DuckDB's
+  -- KEYED ASOF sort-matcher would match NULL left times (NULL sorts
+  -- high), so the never-match rule is modeled explicitly — ASOF over
+  -- the NOT-NULL rows, NULL-ts purchases appended unmatched
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
-  FROM events WHERE event_type = 'view'
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
 )
 SELECT p.event_id,
        p.user_id,
@@ -199,8 +204,13 @@ SELECT p.event_id,
        v.ts AS view_ts,
        CAST(round(CAST(v.value AS DECIMAL(18,4)), 2) AS DOUBLE)
          AS view_value
-FROM purchases p
+FROM (SELECT * FROM purchases WHERE ts IS NOT NULL) p
 ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+UNION ALL
+SELECT event_id, user_id, ts,
+       CAST(round(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+FROM purchases WHERE ts IS NULL
 """
 
 
@@ -237,7 +247,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @F.pandas_udf(T.DoubleType())
 def _charge_pudf(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
-    return price * (1.0 - disc) * (1.0 + tax)
+    # nullable Float64 + mask: a NULL input must come back as NULL (the
+    # oracle's NULL*x), not the NaN a plain float64 pipeline would emit
+    ok = price.notna() & disc.notna() & tax.notna()
+    return (price * (1.0 - disc) * (1.0 + tax)).astype("Float64").where(ok)
 
 
 @register(
@@ -275,13 +288,22 @@ def _weighted_avg_pudf(price: pd.Series, qty: pd.Series) -> float:
     # below 1e17, and the chunk total is exact.
     import numpy as np
 
-    pc = np.rint(np.asarray(price, dtype=np.float64) * 100).astype(np.int64)
-    qc = np.rint(np.asarray(qty, dtype=np.float64) * 100).astype(np.int64)
+    pa_ = np.asarray(price, dtype=np.float64)
+    qa = np.asarray(qty, dtype=np.float64)
+    # NULL masking mirrors the oracle's decimal sums: sum(price*qty)
+    # skips rows where EITHER is NULL, sum(qty) skips only NULL qty.
+    # Without it a NaN rides np.rint().astype(int64) into INT64_MIN and
+    # silently poisons the aggregate.
+    both = ~(np.isnan(pa_) | np.isnan(qa))
+    qok = ~np.isnan(qa)
+    pc = np.rint(np.where(both, pa_, 0.0) * 100).astype(np.int64)
+    qc_num = np.rint(np.where(both, qa, 0.0) * 100).astype(np.int64)
+    qc_den = np.rint(np.where(qok, qa, 0.0) * 100).astype(np.int64)
     num, den = 0, 0
     for i in range(0, len(pc), 1_000_000):
-        num += int(np.multiply(pc[i:i+1_000_000], qc[i:i+1_000_000],
+        num += int(np.multiply(pc[i:i+1_000_000], qc_num[i:i+1_000_000],
                                dtype=np.int64).sum())
-        den += int(qc[i:i+1_000_000].sum())
+        den += int(qc_den[i:i+1_000_000].sum())
     if den == 0:
         return None  # all-zero weights: NULL, matching DuckDB's x/0 -> NULL
     return float(num) / (float(den) * 100.0)
@@ -351,7 +373,9 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_map_in_pandas",
     oracle="""
-    SELECT p_partkey, p_name, round(p_retailprice * 1.1, 2) AS price_with_markup
+    SELECT p_partkey, p_name,
+           (floor(p_retailprice * 1.1 * 100.0 + 0.5) / 100.0)
+             AS price_with_markup
     FROM part
     """,
 )
@@ -366,7 +390,12 @@ def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "p_partkey": pdf["p_partkey"],
                     "p_name": pdf["p_name"],
-                    "price_with_markup": (pdf["p_retailprice"] * 1.1).round(2),
+                    # fround grid, not .round(2): pandas rounds half-to-
+                    # even, DuckDB half-away — 227 of 10001 2dp prices in
+                    # the fixture's own range diverge under a 5-cent digit
+                    "price_with_markup": np.floor(
+                        pdf["p_retailprice"] * 1.1 * 100.0 + 0.5
+                    ) / 100.0,
                 }
             )
 
@@ -379,7 +408,8 @@ def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_python_rowwise",
     oracle="""
     SELECT s_suppkey, s_name,
-           CASE WHEN s_acctbal < 0 THEN 'debt'
+           CASE WHEN s_acctbal IS NULL THEN NULL
+                WHEN s_acctbal < 0 THEN 'debt'
                 WHEN s_acctbal < 5000 THEN 'ok'
                 ELSE 'rich' END AS bal_class
     FROM supplier
@@ -393,6 +423,8 @@ def q_udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(T.StringType())
     def classify(bal: float) -> str:
+        if bal is None:  # None < 0 is a TypeError, not a CASE branch
+            return None
         return "debt" if bal < 0 else ("ok" if bal < 5000 else "rich")
 
     return s.select("s_suppkey", "s_name", classify("s_acctbal").alias("bal_class"))
@@ -402,9 +434,9 @@ def q_udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Correlated subqueries (SQL-surface depth: EXISTS / per-row scalar)
 # ---------------------------------------------------------------------------
 
-@register(
-    "q_correlated_exists",
-    oracle="""
+# ONE text for both the registered oracle and the spark.sql body — two
+# hand-synced copies silently decouple the engine query from its oracle
+_CORRELATED_EXISTS_SQL = """
     SELECT c_custkey, c_name
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
@@ -413,7 +445,12 @@ def q_udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderstatus = 'F')
-    """,
+"""
+
+
+@register(
+    "q_correlated_exists",
+    oracle=_CORRELATED_EXISTS_SQL,
 )
 def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS pair — customers with at least one
@@ -423,18 +460,7 @@ def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     would."""
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT c_custkey, c_name
-        FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderpriority = '1-URGENT')
-          AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey
-                            AND o.o_orderstatus = 'F')
-        """
-    )
+    return spark.sql(_CORRELATED_EXISTS_SQL)
 
 
 @register(
@@ -519,8 +545,12 @@ WITH purchases AS (
   FROM events WHERE event_type = 'purchase'
 ),
 views AS (
+  -- NULL event times never match (the engine's contract): DuckDB's
+  -- KEYED ASOF sort-matcher would match NULL left times (NULL sorts
+  -- high), so the never-match rule is modeled explicitly — ASOF over
+  -- the NOT-NULL rows, NULL-ts purchases appended unmatched
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
-  FROM events WHERE event_type = 'view'
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
 )
 SELECT p.event_id,
        p.user_id,
@@ -530,8 +560,13 @@ SELECT p.event_id,
        v.ts AS view_ts,
        CAST(round(CAST(v.value AS DECIMAL(18,4)), 2) AS DOUBLE)
          AS view_value
-FROM purchases p
+FROM (SELECT * FROM purchases WHERE ts IS NOT NULL) p
 ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts <= v.ts
+UNION ALL
+SELECT event_id, user_id, ts,
+       CAST(round(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+FROM purchases WHERE ts IS NULL
 """
 
 

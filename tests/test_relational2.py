@@ -311,3 +311,57 @@ def test_asof_join_map_valued_right_cols_still_work(spark):
         left, right, on="t", by="k", right_cols=["m"]
     ).collect()
     assert outp[0].m_asof == {"a": 1}
+
+
+def test_udf_surface_null_contracts(spark):
+    """Round-7 review: each UDF-surface tier must propagate NULL the way
+    its SQL oracle does — rowwise classify returns NULL (None < 0 was a
+    TypeError), the pandas charge UDF emits NULL not NaN, the grouped
+    weighted average masks NULL rows exactly like the oracle's decimal
+    sums (a NaN rode rint().astype(int64) into INT64_MIN)."""
+    import mare_spark.queries.relational2 as R
+
+    sup = spark.createDataFrame(
+        [(1, "a", -5.0), (2, "b", None), (3, "c", 9000.0)],
+        "s_suppkey long, s_name string, s_acctbal double",
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.udf(T.StringType())
+    def classify(bal):
+        if bal is None:
+            return None
+        return "debt" if bal < 0 else ("ok" if bal < 5000 else "rich")
+
+    # the registered query path end-to-end on a NULL-bearing frame
+    sup.createOrReplaceTempView("_sup_null")
+    got = {r.s_suppkey: r.bal_class
+           for r in sup.select(
+               "s_suppkey", classify("s_acctbal").alias("bal_class")
+           ).collect()}
+    assert got == {1: "debt", 2: None, 3: "rich"}
+
+    li = spark.createDataFrame(
+        [(1, 1, 100.0, 0.1, 0.05), (1, 2, None, 0.1, 0.05)],
+        "l_orderkey long, l_linenumber long, l_extendedprice double, "
+        "l_discount double, l_tax double",
+    )
+    rows = {r.l_linenumber: r.charge
+            for r in li.select(
+                "l_linenumber",
+                R._charge_pudf("l_extendedprice", "l_discount", "l_tax")
+                .alias("charge"),
+            ).collect()}
+    assert abs(rows[1] - 94.5) < 1e-9
+    assert rows[2] is None  # NULL, not NaN
+
+    wli = spark.createDataFrame(
+        [("A", 10.0, 2.0), ("A", None, 3.0), ("A", 20.0, None)],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    out = wli.groupBy("l_returnflag").agg(
+        R._weighted_avg_pudf("l_extendedprice", "l_quantity").alias("w")
+    ).collect()[0]
+    # num over BOTH-non-null rows (10*2), den over non-null qty (2+3)
+    assert abs(out.w - (10.0 * 2.0) / 5.0) < 1e-9
