@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mare_spark.queries._decimal import MONEY4, davg, dsum, dsum_raw
+from mare_spark.queries._decimal import MONEY4, dsum, dsum_raw
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -22,7 +22,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     WITH unit AS (
       SELECT l_partkey, l_suppkey,
              min((CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)
-                 // CAST(l_quantity AS BIGINT)) AS unit_price
+                 -- round() before the cast: DuckDB CAST rounds a
+                 -- non-integral double, Spark CAST truncates — pin
+                 -- the same integer on both engines (no-op today)
+                 // CAST(round(l_quantity) AS BIGINT)) AS unit_price
       FROM lineitem
       GROUP BY l_partkey, l_suppkey
     )
@@ -44,7 +47,7 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min(
             F.expr(
                 "CAST(round(l_extendedprice * 100) AS BIGINT) * 10000"
-                " div CAST(l_quantity AS BIGINT)"
+                " div CAST(round(l_quantity) AS BIGINT)"
             )
         ).alias("unit_price")
     )
@@ -108,9 +111,9 @@ def q7_volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q11_important_suppliers",
-    oracle="""
+# ONE text for both the registered oracle and the spark.sql body (the
+# shared-constant convention from relational.py/relational2.py)
+_Q11_SQL = """
     WITH sup AS (
       SELECT l_suppkey,
              sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS val
@@ -120,7 +123,12 @@ def q7_volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sup
     WHERE CAST(val AS DOUBLE) >
           (SELECT CAST(sum(val) AS DOUBLE) / count(*) * 1.05 FROM sup)
-    """,
+"""
+
+
+@register(
+    "q11_important_suppliers",
+    oracle=_Q11_SQL,
 )
 def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: group value above a scalar-subquery threshold
@@ -128,19 +136,7 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every SF of this near-uniform data; via SQL so Catalyst plans the
     scalar subquery natively)."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        WITH sup AS (
-          SELECT l_suppkey,
-                 sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS val
-          FROM lineitem GROUP BY l_suppkey
-        )
-        SELECT l_suppkey, CAST(round(val, 2) AS DOUBLE) AS supplier_value
-        FROM sup
-        WHERE CAST(val AS DOUBLE) >
-              (SELECT CAST(sum(val) AS DOUBLE) / count(*) * 1.05 FROM sup)
-        """
-    )
+    return spark.sql(_Q11_SQL)
 
 
 @register(
@@ -312,8 +308,12 @@ def q22_idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SOME order, so plain never-ordered would be hollow)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    n_bal = F.count("c_acctbal")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        (dsum_raw("c_acctbal") / F.count("c_acctbal")).alias("threshold")
+        # guarded like davg: an empty positive-balance set must yield a
+        # NULL threshold (-> empty result, matching the oracle), not an
+        # ANSI DIVIDE_BY_ZERO; the RAW quotient is kept (the oracle's)
+        F.when(n_bal > 0, dsum_raw("c_acctbal") / n_bal).alias("threshold")
     )
     return (
         c.join(F.broadcast(avg_bal))

@@ -1,12 +1,13 @@
 """Fourth relational batch: the remaining adaptable TPC-H query shapes
-(Q9, Q10, Q12, Q16, Q17, Q20) on the fixture schema. Columns the fixtures
-lack are substituted shape-preservingly (no partsupp → lineitem supplies the
-part-supplier relation; no l_shipmode → l_linestatus; no ps_supplycost →
-p_retailprice), exactly as the earlier batches do. All DuckDB-oracle-checked.
+(Q8, Q9, Q10, Q12, Q16, Q17, Q20, Q21) on the fixture schema. Columns the
+fixtures lack are substituted shape-preservingly (no partsupp → lineitem
+supplies the part-supplier relation; no l_shipmode → l_linestatus; no
+ps_supplycost → p_retailprice), exactly as the earlier batches do. All
+DuckDB-oracle-checked.
 
-Scale notes: only fixed-cardinality dims (nation) are broadcast-hinted;
-part/supplier/customer grow with SF, so their joins are left to AQE to pick
-broadcast vs shuffled by measured size.
+Scale notes: only fixed-cardinality dims (nation, and region in Q8) are
+broadcast-hinted; part/supplier/customer grow with SF, so their joins are
+left to AQE to pick broadcast vs shuffled by measured size.
 """
 
 from __future__ import annotations
@@ -85,8 +86,8 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("yr"))
         .agg(
-            F.round(F.sum(nation_vol), 2).cast("double").alias("nation_volume"),
-            F.round(F.sum(volume), 2).cast("double").alias("total_volume"),
+            dsum(nation_vol, MONEY4).alias("nation_volume"),
+            dsum(volume, MONEY4).alias("total_volume"),
             fround(
                 F.sum(nation_vol).cast("double") / F.sum(volume).cast("double"), 6
             ).alias("mkt_share"),
@@ -281,8 +282,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical doubles on both sides."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    n_q = F.count("l_quantity")
     pa = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        (F.lit(0.2) * (dsum_raw("l_quantity") / F.count("l_quantity"))).alias(
+        # guarded like davg: an all-NULL-quantity group must yield a NULL
+        # threshold (rows filtered, matching the oracle's NULL/0 -> NULL),
+        # not an ANSI DIVIDE_BY_ZERO; the RAW quotient is kept
+        F.when(n_q > 0, F.lit(0.2) * (dsum_raw("l_quantity") / n_q)).alias(
             "qty_threshold"
         )
     )
