@@ -96,7 +96,9 @@ def _pipe_partition(
     try:
         # Stream the whole partition (all Arrow batches) into the input mount.
         in_mp.create_empty(tmp_in)
+        n_in = 0
         for pdf in batches:
+            n_in += len(pdf)
             in_mp.write(in_mp.records_from_pandas(pdf), tmp_in, append=True)
         out_mp.create_empty(tmp_out)
 
@@ -109,6 +111,13 @@ def _pipe_partition(
         )
 
         records = out_mp.read(tmp_out)
+        # An EMPTY partition whose command also produced nothing must not
+        # mint a phantom '' record: TextFile.read of an empty file returns
+        # [''] (Java-split parity for real record streams), which would
+        # add one bogus row per empty partition and break row-count parity
+        # with any declarative twin of the command.
+        if n_in == 0 and records == [""]:
+            records = []
         # Chunked yield: each yielded frame becomes ONE Arrow batch (Spark
         # does not re-slice), and a multi-GB partition output in a single
         # batch hits Arrow's 32-bit string/binary offset wall — so large

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mare_spark.queries._decimal import dsum
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -76,6 +77,11 @@ def maintenance_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", "o_totalprice"
         )
         base.write.parquet(path)
+        # derive updates/deletes from the WRITTEN scratch copy:
+        # merge_parquet re-evaluates them ~5 times (validators + anti-
+        # join + final write), and lazy plans over the original scan
+        # would re-read the orders table each time
+        base = spark.read.parquet(path)
         updates = (
             base.filter(F.col("o_orderkey") % 10 == 3)
             .withColumn("o_totalprice", F.col("o_totalprice") + 100.00)
@@ -101,9 +107,7 @@ def maintenance_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged.groupBy(bucket.alias("bucket"))
             .agg(
                 F.count("*").alias("n_orders"),
-                F.round(
-                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
-                ).cast("double").alias("total_price"),
+                dsum("o_totalprice").alias("total_price"),
             )
             .collect()  # materialize BEFORE the scratch dir is removed
         )

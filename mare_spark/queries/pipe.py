@@ -81,9 +81,13 @@ def pipe_map_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_token_total",
     category="pipe",
     oracle="""
-    SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+    SELECT CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END) AS BIGINT)
            AS token_total
     FROM documents
+    -- awk NF counts an empty/whitespace-only line as 0 tokens;
+    -- regexp_split_to_array('') returns [''] (len 1) — gate it
     """,
 )
 def pipe_token_total(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,10 +74,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_session_window",
-    category="streaming",
-    oracle="""
+# ONE gaps-and-islands text shared by the batch session-window row AND the
+# live streaming replay (their equivalence claim is only as strong as the
+# oracle texts being identical — a shared constant enforces it)
+_SESSION_WINDOW_SQL = """
     WITH g AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
              CASE WHEN CAST(ts AS TIMESTAMP)
@@ -87,6 +87,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
+      -- Spark's session_window DROPS NULL event times (TimeWindowing
+      -- injects an isnotnull filter); the oracle must too, or a NULL-ts
+      -- row folds into an existing session on this side only
+      WHERE ts IS NOT NULL
     ),
     s AS (
       SELECT user_id, ts, value,
@@ -101,7 +105,13 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM s
     GROUP BY user_id, session_id
-    """,
+"""
+
+
+@register(
+    "events_session_window",
+    category="streaming",
+    oracle=_SESSION_WINDOW_SQL,
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (1-hour gap; end = last event + gap) —
@@ -131,6 +141,10 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR date_diff('second', lag(ts) OVER w, ts) > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM events
+      -- NULL event times are excluded on BOTH sides: Spark windows sort
+      -- them FIRST, DuckDB LAST, so they would land in different
+      -- sessions engine-to-engine; a NULL-ts event has no session
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
@@ -153,7 +167,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     key on. One shuffle on user_id; both windows share it."""
     from pyspark.sql.window import Window
 
-    e = read_table(spark, sf_dir, "events")
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # see the oracle's NULL-ts note
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     new_sess = F.when(
@@ -322,6 +338,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, count(*) AS est_count
     FROM events
+    -- the streaming fold and the CMS both exclude NULL keys; a NULL
+    -- group here could reach the top-k on this side only
+    WHERE user_id IS NOT NULL
     GROUP BY user_id
     ORDER BY est_count DESC, user_id
     LIMIT 20
@@ -380,8 +399,12 @@ def streaming_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFram
             width_bits=18,
             candidates_per_batch=1_000_000,
         )
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            # an orphaned query would keep erroring against the
+            # rmtree'd scratch dir for the rest of the session
+            q.stop()
         rows = tracker.top(len(tracker.candidates))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -392,31 +415,7 @@ def streaming_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "streaming_sessionize_replay",
     category="streaming",
-    oracle="""
-    WITH g AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-             CASE WHEN CAST(ts AS TIMESTAMP)
-                       - lag(CAST(ts AS TIMESTAMP))
-                         OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL '1 hour'
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ),
-    s AS (
-      SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM g
-    )
-    SELECT min(ts)                         AS session_start,
-           max(ts) + INTERVAL '1 hour'     AS session_end,
-           user_id,
-           count(*)                        AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
-    FROM s
-    GROUP BY user_id, session_id
-    """,
+    oracle=_SESSION_WINDOW_SQL,
 )
 def streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACTUAL streaming sessionization checked against the exact batch
@@ -537,6 +536,9 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                ORDER BY md5(CAST(event_id AS VARCHAR) || ':')) AS rn
       FROM events
+      -- the sketch fold filters NULL ids/values; a NULL value in the
+      -- bottom-256 would otherwise ride list_sort to the tail here
+      WHERE event_id IS NOT NULL AND value IS NOT NULL
     ),
     v AS (SELECT list_sort(list(value)) AS vals FROM s WHERE rn <= 256)
     SELECT CAST(p AS DOUBLE) AS p,
@@ -590,8 +592,10 @@ def streaming_quantile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, sketch = run_quantile_sketch_over_stream(
             stream, "value", "event_id", f"{scratch}/ckpt", k=256
         )
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
         n = len(sketch.rows)
         rows = [
             (p, sketch.percentile(p), n)

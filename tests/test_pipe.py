@@ -370,3 +370,24 @@ def test_collect_reduce_gzipped_binary_files(spark, tmp_path):
     assert open(os.path.join(out_dir, "total.sum")).read().strip() == str(
         expected
     )
+
+
+def test_empty_partition_emits_no_phantom_record(spark):
+    """An empty partition whose command produces nothing must contribute
+    ZERO rows (TextFile.read of an empty file is [''] for Java-split
+    parity, which would otherwise mint one bogus '' row per empty
+    partition and break row-count parity with the declarative twin)."""
+    from mare_spark.codecs import TextFile
+    from mare_spark.dataset import MaRe
+
+    df = spark.createDataFrame([("a",), ("b",)], "value string")
+    out = (
+        MaRe(df)
+        .repartition(8)  # 6 empty partitions
+        .map(
+            TextFile("/in"), TextFile("/out"), "busybox:1",
+            "tr '[:lower:]' '[:upper:]' < /in > /out",
+        )
+        .df.collect()
+    )
+    assert sorted(r.value for r in out) == ["A", "B"]
