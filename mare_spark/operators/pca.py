@@ -159,6 +159,21 @@ class PCAModel:
         total = self.eigvals.sum()
         return self.eigvals / total if total > 0 else self.eigvals * 0.0
 
+    def whitened_components(self, eps: float = 1e-9) -> np.ndarray:
+        """The (k, dim) projection matrix with per-component unit-variance
+        scaling — ONE definition shared by :func:`pca_project` and any
+        caller whitening a query vector into the same space (two inline
+        copies with independently-chosen eps would silently project
+        corpus and query into mismatched spaces)."""
+        return self.components / np.sqrt(self.eigvals + eps)[:, None]
+
+    def transform(self, x, *, whiten: bool = False,
+                  eps: float = 1e-9) -> np.ndarray:
+        """Project one driver-side vector exactly as :func:`pca_project`
+        projects the corpus (centering + the same component matrix)."""
+        W = self.whitened_components(eps) if whiten else self.components
+        return W @ (np.asarray(x, dtype=np.float64) - self.means)
+
 
 def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int) -> PCAModel:
     """Fit PCA: one distributed covariance pass + a driver-side ``eigh``
@@ -208,9 +223,9 @@ def pca_project(
     components: ``proj = C · (x − mean)``, whitened = per-component
     division by ``sqrt(eigval + eps)``. Arrow-batched matmul, zero
     shuffle; the (k × dim) matrix rides the closure."""
-    comps = model.components
-    if whiten:
-        comps = comps / np.sqrt(model.eigvals + eps)[:, None]
+    comps = (
+        model.whitened_components(eps) if whiten else model.components
+    )
     means = model.means
     dim = int(means.shape[0])
     vname = vec_col

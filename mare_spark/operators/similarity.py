@@ -806,10 +806,22 @@ def hard_negatives(
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine"), F.asc("neg_id")
     )
+    # The EXACT tier scores with the sequential expression fold
+    # (cosine_similarity: zip_with + aggregate), not the numpy UDF:
+    # numpy's pairwise-blocked summation accumulates DIFFERENT rounding
+    # than a SQL oracle's sequential list_sum, so a cosine within ~1 ulp
+    # of a 6dp grid boundary could snap differently engine-to-engine.
+    # The fold matches the oracle's summation order bit-for-bit — the
+    # same convention every other hash-checked cosine row uses. The
+    # size-guarded tier can afford expression-interpreted scoring; the
+    # IVF scale tier keeps the vectorized numpy verify.
+    from mare_spark.operators.dedup import cosine_similarity
+
     return (
         a.join(b, F.col("anchor_label") != F.col("neg_label"))
         .withColumn(
-            "cosine", fround(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6)
+            "cosine",
+            fround(cosine_similarity(F.col("v_a"), F.col("v_b")), 6),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

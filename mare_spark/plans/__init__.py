@@ -33,18 +33,49 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     return False
 
 
+def _split_top_level(body: str) -> list[str]:
+    """Split a struct body on TOP-LEVEL commas only: 'a:decimal(18,2),
+    b:map<string,int>' has commas inside (...)/<...> that a bare split
+    would turn into phantom columns, silently corrupting the pruning
+    audit."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column sets actually read by each scan (column-pruning audit)."""
     out = []
     for line in formatted_plan(df).splitlines():
         if "ReadSchema" in line:
             cols = line.split("struct<", 1)[-1]
-            out.append([c.split(":")[0] for c in cols.rstrip(">").split(",") if c])
+            out.append(
+                [c.split(":")[0]
+                 for c in _split_top_level(cols.rstrip(">")) if c]
+            )
     return out
 
 
 def count_broadcast_joins(df: DataFrame) -> int:
-    return formatted_plan(df).count("BroadcastHashJoin")
+    """Number of BroadcastHashJoin NODES. Counted from the '(n) NodeName'
+    details headers only — a bare substring count sees each node twice
+    (tree line + details header), so one broadcast join counted as 2
+    would let a '>= 2 joins broadcast' audit pass after a regression
+    dropped one of them to a shuffle join."""
+    import re
+
+    return len(re.findall(r"\(\d+\) BroadcastHashJoin\b", formatted_plan(df)))
 
 
 def count_shuffle_exchanges(df: DataFrame) -> int:

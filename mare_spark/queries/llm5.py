@@ -14,20 +14,48 @@ from mare_spark.registry import register
 from mare_spark.tables import read_table
 
 
+def split_assignment(id_col: str):
+    """THE deterministic 98/1/1 train/val/test assignment — 60-bit md5
+    prefix mod 100 (see corpus_train_val_split's docstring for why).
+    ONE definition: llm7's dedup_split_leakage audits exactly this
+    assignment, so a hand-copied twin edited here but not there would
+    make the leakage audit silently judge a DIFFERENT split."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(100),
+    ).cast("int")
+    return (
+        F.when(bucket < 98, "train").when(bucket == 98, "val")
+        .otherwise("test")
+    )
+
+
+def sql_split_case(id_expr: str) -> str:
+    """DuckDB mirror of :func:`split_assignment` (same 60-bit prefix
+    convention as the registry's other hash fragments)."""
+    b = (
+        f"CAST(CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), "
+        "1, 15)) AS BIGINT) % 100 AS INT)"
+    )
+    return (
+        f"CASE WHEN {b} < 98 THEN 'train' "
+        f"WHEN {b} = 98 THEN 'val' ELSE 'test' END"
+    )
+
+
 @register(
     "corpus_train_val_split",
     category="llm",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT lang,
              length(string_split(text, ' ')) AS n_tokens,
-             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                       AS BIGINT) % 100 AS INT) AS bucket
+             {sql_split_case("doc_id")} AS split
       FROM documents
     )
-    SELECT CASE WHEN bucket < 98 THEN 'train'
-                WHEN bucket = 98 THEN 'val'
-                ELSE 'test' END AS split,
+    SELECT split,
            lang,
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
@@ -56,15 +84,7 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fraction.
     """
     d = read_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-        ).cast("long"),
-        F.lit(100),
-    ).cast("int")
-    split = (
-        F.when(bucket < 98, "train").when(bucket == 98, "val").otherwise("test")
-    )
+    split = split_assignment("doc_id")
     return (
         d.select(
             split.alias("split"),

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from mare_spark.queries.llm import DUCK_EXACT_CC, _SHINGLES3
 from mare_spark.queries.llm2 import _duck_ngrams, _WORDS
+from mare_spark.queries.llm5 import sql_split_case
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -355,7 +356,13 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mare_spark.operators.similarity import hard_negatives
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return hard_negatives(emb, "embedding", "vec_id", "label", k=1)
+    # exact_max_rows=None pins the EXACT tier this oracle models: the
+    # guarded default would run a probe-count job per construction and
+    # silently reroute to the <1.0-recall IVF tier above 100k rows (the
+    # dedup_embedding_cosine precedent)
+    return hard_negatives(
+        emb, "embedding", "vec_id", "label", k=1, exact_max_rows=None
+    )
 
 
 @register(
@@ -380,12 +387,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     {DUCK_EXACT_CC},
     sp AS (
       SELECT l.node AS member, l.label AS cluster,
-             CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(l.node AS VARCHAR)),
-                                  1, 15)) AS BIGINT) % 100 AS INT) < 98
-                  THEN 'train'
-                  WHEN CAST(CAST(('0x' || substr(md5(CAST(l.node AS VARCHAR)),
-                                  1, 15)) AS BIGINT) % 100 AS INT) = 98
-                  THEN 'val' ELSE 'test' END AS split
+             {sql_split_case("l.node")} AS split
       FROM labels l
     )
     SELECT cluster, count(*) AS n_members,
@@ -418,16 +420,9 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
     clusters = dedup_clusters(pairs)
     release_caches(pairs)
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col("member").cast("string")), 1, 15), 16, 10
-        ).cast("long"),
-        F.lit(100),
-    ).cast("int")
-    split = (
-        F.when(bucket < 98, "train").when(bucket == 98, "val")
-        .otherwise("test")
-    )
+    from mare_spark.queries.llm5 import split_assignment
+
+    split = split_assignment("member")
     return (
         clusters.withColumn("split", split)
         .groupBy("cluster")

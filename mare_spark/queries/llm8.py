@@ -218,7 +218,10 @@ _INTRA_CHUNK = 8
     "text_intra_doc_dedup",
     category="llm",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents
+               -- the operator drops NULL-text docs; without this gate
+               -- the oracle would emit a (doc_id, NULL, NULL) row
+               WHERE text IS NOT NULL),
     c AS (
       SELECT doc_id,
              list_transform(
@@ -269,6 +272,10 @@ _QSK = 256
                PARTITION BY event_type
                ORDER BY md5(CAST(event_id AS VARCHAR) || ':')) AS rn
       FROM events
+      -- the sketch excludes NULL ids/values before the trim; a NULL
+      -- value in the bottom-k would waste the slot and shift the
+      -- percentile indexing on this side only
+      WHERE event_id IS NOT NULL AND value IS NOT NULL
     ),
     v AS (
       SELECT event_type, list_sort(list(value)) AS vals

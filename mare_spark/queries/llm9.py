@@ -91,23 +91,26 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ONE materialization of the embeddings scan: the fits, both encodes,
-    # and the 5 exact-baseline jobs all re-read it otherwise
+    # and the 5 exact-baseline jobs all re-read it otherwise. Every
+    # persist happens INSIDE the try so a raised fit/assign can't leak a
+    # cached frame into the long-lived driver session.
     emb = read_table(spark, sf_dir, "embeddings").persist()
-    queries = _audit_queries(emb)
-    dim = len(queries[0][1])
-
-    mins, maxs = fit_scalar_quantizer(emb, "embedding", dim)
-    sq = sq_encode(emb, "embedding", mins, maxs).persist()
-    books = train_pq_codebooks(emb, "embedding", "vec_id", m=16, nbits=6)
-    cents = train_ivf_centroids(emb, nlist=16)
-    index = pq_assign(
-        ivf_assign(emb, cents), "embedding", books
-    ).persist()
-    qdf = spark.createDataFrame(
-        [(qid, qv) for qid, qv in queries],
-        "qid long, qvec array<double>",
-    )
+    sq = index = None
     try:
+        queries = _audit_queries(emb)
+        dim = len(queries[0][1])
+
+        mins, maxs = fit_scalar_quantizer(emb, "embedding", dim)
+        sq = sq_encode(emb, "embedding", mins, maxs).persist()
+        books = train_pq_codebooks(emb, "embedding", "vec_id", m=16, nbits=6)
+        cents = train_ivf_centroids(emb, nlist=16)
+        index = pq_assign(
+            ivf_assign(emb, cents), "embedding", books
+        ).persist()
+        qdf = spark.createDataFrame(
+            [(qid, qv) for qid, qv in queries],
+            "qid long, qvec array<double>",
+        )
         exact = {
             qid: [r.vec_id for r in _exact_l2_topk(emb, qv, _K).collect()]
             for qid, qv in queries
@@ -136,8 +139,10 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 by_q[r.qid].append(r.vec_id)
             got[tier] = by_q
     finally:
-        sq.unpersist()
-        index.unpersist()
+        if sq is not None:
+            sq.unpersist()
+        if index is not None:
+            index.unpersist()
         emb.unpersist()
 
     report = []
@@ -172,8 +177,6 @@ def sim_topk_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered — the whitening adds ZERO shuffles over plain
     brute-force cosine.
     """
-    import numpy as np
-
     from mare_spark.operators.pca import pca_fit, pca_project
     from mare_spark.operators.similarity import cosine_to_query
 
@@ -181,8 +184,10 @@ def sim_topk_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     qid, qvec = _audit_queries(emb)[0]
     dim = len(qvec)
     model = pca_fit(emb, "embedding", dim, k=16)
-    comps = model.components / np.sqrt(model.eigvals + 1e-9)[:, None]
-    wq = (comps @ (np.asarray(qvec) - model.means)).tolist()
+    # model.transform shares pca_project's exact whitening matrix (same
+    # eps) — an inline re-derivation could drift and put query and
+    # corpus in mismatched spaces
+    wq = model.transform(qvec, whiten=True).tolist()
     proj = pca_project(
         emb, "embedding", "vec_id", model, whiten=True, out_col="wvec"
     )
