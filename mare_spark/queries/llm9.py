@@ -10,6 +10,7 @@ end-to-end).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,22 +37,62 @@ def _audit_queries(emb):
     ]
 
 
-def _exact_l2_topk(df, query_vec, k):
-    """Exact squared-L2 top-k (the PQ tiers' metric — cosine is the
-    brute_force_topk row's metric) as JVM expression code."""
-    q = F.lit([float(x) for x in query_vec])
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), q, lambda x, y: (x.cast("double") - y) ** 2
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _exact_l2_topk_batch(df, queries, k):
+    """Exact squared-L2 top-k for ALL audit queries in ONE Spark job:
+    a single Arrow pass scores every corpus vector against the whole
+    query block (one (batch, n_queries) numpy matmul-shaped distance
+    matrix per Arrow batch), then one per-query window top-k — the
+    map side trims to k per query per task (WindowGroupLimit), so the
+    exchange carries at most tasks·queries·k rows. Replaces the
+    previous per-query loop (n_queries sequential actions) with one
+    action. Returns {qid: [vec_id, ...]} under the (dist, vec_id)
+    tie-break every tier shares."""
+    import pyarrow as pa
+    from pyspark.sql.window import Window
+
+    Q = np.array([qv for _, qv in queries], dtype=np.float64)
+    qids = np.array([qid for qid, _ in queries], dtype=np.int64)
+    nq, dim = Q.shape
+
+    def score(batches):
+        for batch in batches:
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            X = np.asarray(batch.column(1).flatten(), dtype=np.float64)
+            X = X.reshape(-1, dim)
+            # ||x-q||^2 expanded form: one GEMM instead of a (B, nq, dim)
+            # broadcasted cube
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ Q.T)
+                + (Q * Q).sum(axis=1)[None, :]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.tile(qids, len(ids))),
+                    pa.array(np.repeat(ids, nq)),
+                    pa.array(d2.ravel()),
+                ],
+                names=["qid", "vec_id", "dist"],
+            )
+
+    scored = (
+        df.filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .mapInArrow(score, "qid long, vec_id long, dist double")
     )
-    return (
-        df.select("vec_id", d2.alias("dist"))
-        .orderBy("dist", "vec_id")
-        .limit(k)
+    w = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    rows = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("qid", "rnk")
+        .collect()
     )
+    out: dict[int, list[int]] = {int(q): [] for q in qids}
+    for r in rows:
+        out[r.qid].append(r.vec_id)
+    return out
 
 
 @register("sim_pq_recall_report", category="llm", oracle=None)
@@ -74,6 +115,13 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiers' own outputs. Everything upstream of the final bounded
     collects (k rows per tier per query) runs distributed; the report
     is O(tiers x queries x k) driver work.
+
+    This is an AUDIT TOOL, not a batch-scoring path: its per-tier
+    single-query probes are sequential bounded actions, deliberately
+    mirroring how each tier is called in production for ONE query.
+    Score a query workload with :func:`ivfpq_topk_batch` (the thing
+    this row audits); the exact baseline here already runs as one
+    batched job (:func:`_exact_l2_topk_batch`).
     """
     from mare_spark.operators.pq import (
         fit_scalar_quantizer,
@@ -91,7 +139,7 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ONE materialization of the embeddings scan: the fits, both encodes,
-    # and the 5 exact-baseline jobs all re-read it otherwise. Every
+    # and the batched exact-baseline job all re-read it otherwise. Every
     # persist happens INSIDE the try so a raised fit/assign can't leak a
     # cached frame into the long-lived driver session.
     emb = read_table(spark, sf_dir, "embeddings").persist()
@@ -111,10 +159,7 @@ def sim_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(qid, qv) for qid, qv in queries],
             "qid long, qvec array<double>",
         )
-        exact = {
-            qid: [r.vec_id for r in _exact_l2_topk(emb, qv, _K).collect()]
-            for qid, qv in queries
-        }
+        exact = _exact_l2_topk_batch(emb, queries, _K)
         got: dict[str, dict[int, list[int]]] = {}
         got["sq_int8"] = {
             qid: [r.vec_id

@@ -417,3 +417,36 @@ def test_sim_pq_recall_report_internally_consistent(spark):
     assert rows["ivfpq_n4"].hits <= rows["ivfpq_full"].hits
     assert rows["sq_int8"].recall >= 0.95
     assert rows["pq_rerank"].recall >= 0.9
+
+
+def test_exact_l2_batch_equals_per_query_expression(spark):
+    """The r8 batched exact baseline (one Arrow job + per-query window
+    top-k) must return exactly the per-query JVM-expression form it
+    replaced, query by query, under the shared (dist, vec_id)
+    tie-break."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.queries.llm9 import _audit_queries, _exact_l2_topk_batch
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    queries = _audit_queries(emb)
+    batch = _exact_l2_topk_batch(emb, queries, 20)
+    assert set(batch) == {qid for qid, _ in queries}
+    for qid, qv in queries:
+        q = F.lit([float(x) for x in qv])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), q,
+                lambda x, y: (x.cast("double") - y) ** 2,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        loop = [
+            r.vec_id
+            for r in emb.select("vec_id", d2.alias("dist"))
+            .orderBy("dist", "vec_id")
+            .limit(20)
+            .collect()
+        ]
+        assert batch[qid] == loop
