@@ -2,11 +2,14 @@
 
 The Spark-side contract is real and tested — ``binary`` payload columns,
 ``struct`` metadata, Arrow-batched ``mapInPandas`` decode with a stable
-output schema and bounded batch sizes. The actual media decoding is STUBBED
-(image/audio libraries are not in this container): ``decoder="fake"``
-produces a deterministic feature vector from the bytes so the pipeline is
-end-to-end testable; ``decoder="image"``/``"audio"`` raise
-``NotImplementedError`` at the point where PIL/librosa would be called.
+output schema and bounded batch sizes. Decoding comes in three honesty
+tiers: REAL header sniffing for PNG/GIF/BMP/JPEG/WAV (:func:`sniff_bytes`),
+REAL pure-numpy payload decoding for the formats that are pure byte
+arithmetic (24bpp BMP pixels, PCM WAV samples — :func:`decode_bmp` /
+:func:`decode_wav`), and import-gated stubs for the codec-library formats
+(``decoder="image"``/``"audio"`` raise ``NotImplementedError`` at the
+point where PIL/librosa would be called; ``decoder="fake"`` is the
+deterministic end-to-end test path).
 
 At 100 TB: payloads stay opaque bytes until the latest possible stage
 (decode is the expensive hop, so filter/dedup on metadata FIRST); decode
@@ -105,6 +108,121 @@ def resize_payload(
     )
 
 
+def decode_bmp(b) -> np.ndarray | None:
+    """Decode an uncompressed 24-bit BITMAPINFOHEADER BMP to a
+    ``(height, width, 3)`` uint8 array in the file's own BGR channel
+    order, logical top-down row order — REAL pixel decoding in pure
+    numpy (the format is byte arithmetic: 54-byte header, rows stored
+    bottom-up unless height is negative, each row padded to a 4-byte
+    boundary). Anything this slice doesn't cover (other bit depths,
+    RLE/bitfields compression, BITMAPCOREHEADER, truncated pixel data)
+    returns ``None`` — the degrade-not-raise posture of
+    :func:`sniff_bytes`, so a corrupt tail can't kill a scan."""
+    import struct
+
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    try:
+        (offset,) = struct.unpack("<I", b[10:14])
+        (dib,) = struct.unpack("<I", b[14:18])
+        if dib < 40:
+            return None
+        w, h = struct.unpack("<ii", b[18:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        (compression,) = struct.unpack("<I", b[30:34])
+    except struct.error:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte multiples
+    if offset + stride * h > len(b) or offset < 54:
+        return None
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3)
+    return px if top_down else px[::-1]
+
+
+def decode_wav(b) -> tuple[np.ndarray, int] | None:
+    """Decode a PCM 16-bit RIFF/WAVE payload to ``(samples, rate)`` —
+    samples as an ``(n_frames, channels)`` int16 array, little-endian as
+    stored — by walking the RIFF chunk chain (fmt may be followed by
+    other chunks before data; the canonical 44-byte layout is the common
+    case, not an assumption). Non-PCM codecs (float, ADPCM, mp3-in-RIFF
+    ...) and malformed chains return ``None``: compressed audio is the
+    honest librosa-gated tier, this is the dependency-free PCM slice."""
+    import struct
+
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            codec, channels = struct.unpack("<HH", body[:4])
+            (rate,) = struct.unpack("<I", body[4:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if codec != 1 or bits != 16 or channels < 1:
+                return None
+            fmt = (channels, rate)
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            channels, rate = fmt
+            n = len(body) // (2 * channels)
+            samples = np.frombuffer(
+                body, dtype="<i2", count=n * channels
+            ).reshape(n, channels)
+            return samples, rate
+        # chunks are word-aligned: odd lengths carry a pad byte
+        i += 8 + clen + (clen & 1)
+    return None
+
+
+def _bmp_features(p) -> list | None:
+    px = decode_bmp(p)
+    if px is None:
+        return None
+    f = px.astype(np.float64)
+    return [
+        float(px.shape[1]), float(px.shape[0]), 3.0,
+        float(f[:, :, 0].mean()), float(f[:, :, 1].mean()),
+        float(f[:, :, 2].mean()), float(f.min()), float(f.max()),
+    ]
+
+
+def _wav_features(p) -> list | None:
+    got = decode_wav(p)
+    if got is None:
+        return None
+    samples, rate = got
+    f = samples.astype(np.float64)
+    n = samples.shape[0]
+    return [
+        float(samples.shape[1]), float(rate), float(n),
+        float(f.mean()) if f.size else 0.0,
+        float(np.sqrt((f ** 2).mean())) if f.size else 0.0,
+        float(f.min()) if f.size else 0.0,
+        float(f.max()) if f.size else 0.0,
+        float(n) / rate * 1000.0 if rate else 0.0,
+    ]
+
+
+_REAL_DECODERS = {"bmp": _bmp_features, "wav": _wav_features}
+
+
 def decode_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -114,30 +232,42 @@ def decode_features(
     """Decode binary payloads to fixed-size feature vectors via Arrow-batched
     mapInPandas (vectorized Python; one worker per partition).
 
-    ``decoder="image"|"audio"|"video"`` are stubs: the Spark plumbing
-    (schema, batching, partitioning) is identical, only the per-bytes
-    function differs — they raise ``NotImplementedError`` where the codec
-    library would be invoked.
+    ``decoder="bmp"|"wav"`` are REAL dependency-free decoders
+    (:func:`decode_bmp` / :func:`decode_wav`): BMP rows yield
+    ``[width, height, channels, mean_b, mean_g, mean_r, min, max]``, WAV
+    rows ``[channels, rate, n_frames, mean, rms, min, max, duration_ms]``
+    — 8 doubles either way, the module's FEATURE_DIM contract. Payloads
+    the decoder doesn't cover degrade to NULL features (n_bytes stays
+    real), never an exception mid-scan.
+
+    ``decoder="image"|"audio"|"video"`` remain stubs for the codec-library
+    formats: the Spark plumbing (schema, batching, partitioning) is
+    identical, only the per-bytes function differs — they raise
+    ``NotImplementedError`` where PIL/librosa would be invoked.
     """
     if decoder in ("image", "audio", "video"):
         raise NotImplementedError(
             f"{decoder} decoding requires codec libraries not present in this "
-            "environment; use decoder='fake' for the deterministic test path"
+            "environment; decoder='bmp'/'wav' are the dependency-free REAL "
+            "slices, decoder='fake' the deterministic test path"
         )
-    if decoder != "fake":
+    if decoder != "fake" and decoder not in _REAL_DECODERS:
         raise ValueError(f"unknown decoder: {decoder}")
 
     # id type derived from the input, not assumed bigint — binaryFile
     # sources naturally key on a string path
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, n_bytes int, features array<double>"
+    decode = _REAL_DECODERS.get(
+        decoder, lambda p: _fake_decode(bytes(p)).tolist()
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # NULL payloads propagate as NULL features/n_bytes (the
             # sniffing path's convention) — bytes(None) is a TypeError
             feats = [
-                None if p is None else _fake_decode(bytes(p)).tolist()
+                None if p is None else decode(p)
                 for p in pdf[payload_col]
             ]
             yield pd.DataFrame(
@@ -255,6 +385,30 @@ def synthesize_media_payload(
     if kind == "bmp":
         return (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
                 + struct.pack("<ii", width, height) + body)
+    if kind == "bmp24":
+        # a COMPLETE uncompressed 24bpp BMP (not just a sniffable header):
+        # ``body`` is the logical top-down unpadded BGR pixel bytes
+        # (width*height*3); rows are stored bottom-up and padded to
+        # 4-byte boundaries per the spec, so decode_bmp must really undo
+        # the file layout to recover ``body``
+        if len(body) != width * height * 3:
+            raise ValueError(
+                f"bmp24 body must be width*height*3={width * height * 3} "
+                f"bytes, got {len(body)}"
+            )
+        stride = (width * 3 + 3) & ~3
+        pad = b"\x00" * (stride - width * 3)
+        rows = [
+            body[y * width * 3 : (y + 1) * width * 3] + pad
+            for y in range(height - 1, -1, -1)
+        ]
+        pixels = b"".join(rows)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+            len(pixels), 2835, 2835, 0, 0,
+        )
+        filehdr = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        return filehdr + dib + pixels
     if kind == "jpeg":
         app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
         sof0 = (b"\xff\xc0" + struct.pack(">H", 8 + 3 * 3) + b"\x08"
@@ -311,3 +465,64 @@ def sniff_media_metadata(
         F.col("_m.channels").alias("channels"),
         F.col("_m.sample_rate").alias("sample_rate"),
     )
+
+
+def decode_media_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mime-routed REAL decode report: sniff each payload's format from
+    its magic bytes, run the dependency-free decoder for the formats
+    pure byte arithmetic covers (BMP 24bpp pixels via :func:`decode_bmp`,
+    PCM WAV samples via :func:`decode_wav`), and emit exact-integer
+    stats over the decoded values — ``(id, mime, n_units, val_sum,
+    val_min, val_max)`` where units are channel bytes (BMP) or int16
+    samples (WAV). Integer sums make the row hash-stable across engines
+    with no float rounding convention.
+
+    Formats that genuinely need codec libraries (PNG/GIF/JPEG,
+    compressed audio) report their sniffed mime with NULL stats — the
+    import-gated tier stays gated; nothing raises mid-scan.
+
+    Scale shape: one Arrow-batched mapInPandas riding the scan, zero
+    shuffle — decode is the expensive hop, so this runs AFTER
+    metadata-first filtering has cut the corpus, and the per-row output
+    is 6 scalars regardless of payload size.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, mime string, n_units bigint, "
+        "val_sum bigint, val_min int, val_max int"
+    )
+
+    def route(p):
+        mime = sniff_bytes(p)[0]
+        vals = None
+        if mime == "image/bmp":
+            px = decode_bmp(p)
+            if px is not None:
+                vals = px.astype(np.int64).ravel()
+        elif mime == "audio/wav":
+            got = decode_wav(p)
+            if got is not None:
+                vals = got[0].astype(np.int64).ravel()
+        if vals is None or vals.size == 0:
+            return (mime, None, None, None, None)
+        return (
+            mime, int(vals.size), int(vals.sum()),
+            int(vals.min()), int(vals.max()),
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [route(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(
+                rows,
+                columns=["mime", "n_units", "val_sum", "val_min", "val_max"],
+                dtype=object,
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=schema)

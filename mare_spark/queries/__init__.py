@@ -17,6 +17,7 @@ from mare_spark.queries import (  # noqa: F401
     llm7,
     llm8,
     llm9,
+    llm10,
     maintenance,
     pipe,
     relational,

@@ -1431,3 +1431,139 @@ def test_edit_distance_null_text_not_bucketed_with_empty(spark):
     rows = {(r.doc_a, r.doc_b): r.edit_dist
             for r in edit_distance_pairs(df, "text", "doc_id").collect()}
     assert rows == {(1, 2): 0}
+
+
+def test_decode_bmp_wav_real_byte_arithmetic(spark):
+    """Round-8 dependency-free decode slice: BMP pixel decoding really
+    undoes the file layout (bottom-up row order, 4-byte row padding,
+    top-down negative heights), WAV decoding really walks the RIFF
+    chunk chain (extra chunks before data, odd-length word-align pad),
+    and everything outside the slice (compressed, non-PCM, truncated)
+    degrades to None instead of raising."""
+    import struct
+
+    import numpy as np
+
+    from mare_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        synthesize_media_payload,
+    )
+
+    # bottom-up + padding round trip (w=3 -> 9-byte rows pad to 12)
+    body = bytes(((np.arange(3 * 2 * 3) * 13 + 7) % 256).astype(np.uint8))
+    p = synthesize_media_payload("bmp24", width=3, height=2, body=body)
+    assert bytes(decode_bmp(p).ravel()) == body
+    # top-down variant: flip the height sign, rows already logical order
+    td = bytearray(p)
+    td[22:26] = struct.pack("<i", -2)
+    rows = [body[y * 9 : (y + 1) * 9] + b"\x00\x00\x00" for y in (0, 1)]
+    td = bytes(td[:54]) + b"".join(rows)
+    assert bytes(decode_bmp(td).ravel()) == body
+    # outside the slice: 8bpp, compressed, truncated pixels -> None
+    bad_bpp = bytearray(p); bad_bpp[28:30] = struct.pack("<H", 8)
+    assert decode_bmp(bytes(bad_bpp)) is None
+    comp = bytearray(p); comp[30:34] = struct.pack("<I", 1)
+    assert decode_bmp(bytes(comp)) is None
+    assert decode_bmp(p[:-1]) is None
+    assert decode_bmp(None) is None
+
+    # WAV: extra odd-length chunk between fmt and data must be walked
+    s = (np.arange(10, dtype=np.int64) * 500 - 2000).astype("<i2")
+    canonical = synthesize_media_payload(
+        "wav", channels=2, sample_rate=8000, body=s.tobytes()
+    )
+    got = decode_wav(canonical)
+    assert got is not None and got[1] == 8000
+    assert got[0].shape == (5, 2) and (got[0].ravel() == s).all()
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    chained = canonical[:fmt_end] + extra + canonical[fmt_end:]
+    riff = bytearray(chained)
+    riff[4:8] = struct.pack("<I", len(chained) - 8)
+    got2 = decode_wav(bytes(riff))
+    assert got2 is not None and (got2[0].ravel() == s).all()
+    # non-PCM codec degrades
+    flt = bytearray(canonical); flt[20:22] = struct.pack("<H", 3)
+    assert decode_wav(bytes(flt)) is None
+    assert decode_wav(b"RIFFxxxxWAVE") is None
+    assert decode_wav(None) is None
+
+
+def test_decode_features_real_bmp_wav_tiers(spark):
+    """decode_features(decoder='bmp'|'wav') returns REAL stats for
+    payloads in the slice and NULL features (real n_bytes) for payloads
+    outside it; the codec-library gates are unchanged."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mare_spark.operators.multimodal import (
+        decode_features,
+        synthesize_media_payload,
+    )
+
+    body = bytes(((np.arange(2 * 2 * 3) * 3) % 256).astype(np.uint8))
+    bmp = synthesize_media_payload("bmp24", width=2, height=2, body=body)
+    s = np.array([100, -100, 300, -300], dtype="<i2")
+    wav = synthesize_media_payload(
+        "wav", channels=1, sample_rate=16000, body=s.tobytes()
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(wav)), (3, b"not media")],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_features(df, decoder="bmp").collect()}
+    px = np.frombuffer(body, dtype=np.uint8).reshape(2, 2, 3).astype(float)
+    assert got[1].features == [
+        2.0, 2.0, 3.0,
+        px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean(),
+        px.min(), px.max(),
+    ]
+    assert got[2].features is None and got[2].n_bytes == len(wav)
+    assert got[3].features is None
+    got = {r.doc_id: r for r in decode_features(df, decoder="wav").collect()}
+    assert got[1].features is None
+    f = got[2].features
+    assert f[0] == 1.0 and f[1] == 16000.0 and f[2] == 4.0
+    assert f[3] == float(s.astype(np.float64).mean())
+    assert f[5] == -300.0 and f[6] == 300.0
+    with _pytest.raises(NotImplementedError):
+        decode_features(df, decoder="image")
+    with _pytest.raises(NotImplementedError):
+        decode_features(df, decoder="audio")
+
+
+def test_decode_media_stats_routes_and_gates(spark):
+    """decode_media_stats: mime-routed real decode for BMP/WAV, NULL
+    stats (sniffed mime kept) for codec-gated formats and garbage."""
+    import numpy as np
+
+    from mare_spark.operators.multimodal import (
+        decode_media_stats,
+        synthesize_media_payload,
+    )
+
+    body = bytes(((np.arange(1 * 1 * 3) * 11 + 5) % 256).astype(np.uint8))
+    bmp = synthesize_media_payload("bmp24", width=1, height=1, body=body)
+    s = np.array([7, -9, 11], dtype="<i2")
+    wav = synthesize_media_payload(
+        "wav", channels=1, sample_rate=8000, body=s.tobytes()
+    )
+    png = synthesize_media_payload("png", width=4, height=4)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(wav)),
+         (3, bytearray(png)), (4, b"zz")],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_media_stats(df).collect()}
+    assert (got[1].mime, got[1].n_units, got[1].val_sum) == (
+        "image/bmp", 3, int(sum(body))
+    )
+    assert got[1].val_min == min(body) and got[1].val_max == max(body)
+    assert (got[2].mime, got[2].n_units, got[2].val_sum) == (
+        "audio/wav", 3, 9
+    )
+    assert (got[2].val_min, got[2].val_max) == (-9, 11)
+    assert got[3].mime == "image/png" and got[3].n_units is None
+    assert got[4].mime == "application/octet-stream"
+    assert got[4].val_sum is None
