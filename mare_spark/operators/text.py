@@ -442,3 +442,55 @@ def normalize_nfc(
 
     nfc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return df.withColumn(out_col, F.pandas_udf(nfc, "string")(F.col(text_col)))
+
+
+def hashing_embed(
+    df: DataFrame,
+    text_col: str,
+    *,
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Append a ``dim``-float unit vector for a text column via the
+    feature-hashing trick (Weinberger et al. 2009): each whitespace
+    token lands in bucket ``md5(token) mod dim`` with a ±1 sign from the
+    hash's next bit, counts accumulate, and the vector is L2-normalized.
+    Deterministic in the text alone — no model, no vocabulary, no fit
+    pass — which is exactly what a retrieval pipeline needs for a
+    model-free embedding tier (and what the RAG composition row uses to
+    embed chunks and queries identically).
+
+    Empty/whitespace-only texts get the zero vector (un-normalizable);
+    NULL text propagates NULL.
+
+    Scale: one Arrow-batched scan-side pass, zero shuffle; the per-token
+    digest is the cost (cheap vs any model forward pass), and the output
+    is ``dim`` doubles per row regardless of text size.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def embed(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            v = np.zeros(dim, dtype=np.float64)
+            for tok in t.split():
+                h = hashlib.md5(tok.encode("utf-8")).digest()
+                bucket = int.from_bytes(h[:8], "big") % dim
+                sign = 1.0 if h[8] & 1 else -1.0
+                v[bucket] += sign
+            norm = np.linalg.norm(v)
+            return (v / norm if norm > 0 else v).tolist()
+
+        return texts.map(one)
+
+    embed.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return df.withColumn(
+        out_col, F.pandas_udf(embed, "array<double>")(F.col(text_col))
+    )

@@ -11,6 +11,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mare_spark.numeric import fround
 from mare_spark.registry import register
 from mare_spark.tables import read_table
 
@@ -101,3 +102,102 @@ def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.withColumn("payload", build(F.col("doc_id")))
     return decode_media_stats(payloads, "payload", "doc_id")
+
+
+# RAG composition parameters — fixed so the registered row and its
+# step-by-step pytest replay are the same pure function of the fixture.
+_RAG = dict(window=32, stride=16, dim=64, nlist=8, m=8, nbits=4,
+            k=10, nprobe=2, n_queries=3)
+
+
+@register("rag_retrieval_report", category="llm", oracle=None)
+def rag_retrieval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG-shaped end-to-end composition, driver-visible: chunk the
+    corpus (:func:`text.sliding_chunks`, distinct-content tails), embed
+    every chunk AND every query through the same model-free hashing
+    embedder (:func:`text.hashing_embed` — one operator, so query and
+    corpus can't drift into mismatched spaces), build an IVF-PQ index
+    over the chunk vectors, and run METADATA-GATED retrieval: each query
+    doc's language filters the index BEFORE the probe (the gate composes
+    with partition pruning on an on-disk index — cheap rows never reach
+    the scorer).
+
+    Queries are the fixture's first ``n_queries`` documents; each query
+    text is the doc's own first chunk, so retrieval must find a
+    near-exact hit inside its language gate. The batch prober runs once
+    per distinct query language (bounded by n_queries), each a
+    cell-keyed cogroup job — never per query.
+
+    Rows-only by design (IVF/PQ training is iterative numpy); the
+    differential pytest replays the composition step by step and pins
+    the report bit-identical (tests/test_pq.py).
+
+    Returns ``(qid, lang, rnk, doc_id, chunk_idx, adc_dist)`` — rnk
+    1..k within each query's gate.
+    """
+    from mare_spark.operators.pq import (
+        ivfpq_topk_batch,
+        pq_assign,
+        train_pq_codebooks,
+    )
+    from mare_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+    from mare_spark.operators.text import hashing_embed, sliding_chunks
+
+    p = _RAG
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = sliding_chunks(
+        docs, "text", "doc_id",
+        window=p["window"], stride=p["stride"],
+        keep_cols=("lang",), drop_redundant_tail=True,
+    ).withColumn(
+        "chunk_uid",
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx"))
+        .cast("long"),
+    )
+    emb = hashing_embed(chunks, "chunk_text", dim=p["dim"]).persist()
+    try:
+        cents = train_ivf_centroids(emb, nlist=p["nlist"])
+        books = train_pq_codebooks(
+            emb, "embedding", "chunk_uid", m=p["m"], nbits=p["nbits"]
+        )
+        index = pq_assign(ivf_assign(emb, cents), "embedding", books)
+
+        # queries: doc's own first chunk, embedded by the same operator
+        qrows = (
+            emb.filter(F.col("chunk_idx") == 0)
+            .select("doc_id", "lang", "embedding")
+            .orderBy("doc_id")
+            .limit(p["n_queries"])
+            .collect()
+        )
+        by_lang: dict[str, list] = {}
+        for r in qrows:
+            by_lang.setdefault(r.lang, []).append(
+                (int(r.doc_id), [float(x) for x in r.embedding])
+            )
+        reports = []
+        for lang, qs in sorted(by_lang.items()):
+            qdf = spark.createDataFrame(
+                qs, "qid long, qvec array<double>"
+            )
+            gated = index.filter(F.col("lang") == lang)
+            topk = ivfpq_topk_batch(
+                qdf, gated, cents, books, p["k"],
+                nprobe=p["nprobe"], id_col="chunk_uid",
+            )
+            reports.append(topk.withColumn("lang", F.lit(lang)))
+        out = reports[0]
+        for r in reports[1:]:
+            out = out.unionByName(r)
+        return out.select(
+            "qid", "lang", "rnk",
+            (F.col("chunk_uid") / 1_000_000).cast("long").alias("doc_id"),
+            F.pmod(F.col("chunk_uid"), F.lit(1_000_000)).cast("int")
+            .alias("chunk_idx"),
+            fround(F.col("adc_dist"), 6).alias("adc_dist"),
+        ).orderBy("qid", "rnk")
+    finally:
+        emb.unpersist()

@@ -450,3 +450,118 @@ def test_exact_l2_batch_equals_per_query_expression(spark):
             .collect()
         ]
         assert batch[qid] == loop
+
+
+def test_rag_retrieval_report_equals_stepwise_composition(spark):
+    """The registered RAG row must be nothing more than its published
+    steps: replaying chunk -> hashing-embed -> IVF/PQ train -> index ->
+    per-language gate -> batch probe by hand, with the row's own fixed
+    parameters, reproduces the report bit-identically — and each query's
+    rank-1 hit is its own first chunk (the query IS that chunk's text,
+    so anything else means the spaces drifted)."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.pq import (
+        ivfpq_topk_batch,
+        pq_assign,
+        train_pq_codebooks,
+    )
+    from mare_spark.operators.similarity import ivf_assign, train_ivf_centroids
+    from mare_spark.operators.text import hashing_embed, sliding_chunks
+    from mare_spark.queries.llm10 import _RAG
+    from mare_spark.registry import all_queries
+
+    got = [
+        tuple(r)
+        for r in all_queries()["rag_retrieval_report"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    ]
+
+    p = _RAG
+    docs = read_table(spark, SF_SMOKE, "documents")
+    chunks = sliding_chunks(
+        docs, "text", "doc_id",
+        window=p["window"], stride=p["stride"],
+        keep_cols=("lang",), drop_redundant_tail=True,
+    ).withColumn(
+        "chunk_uid",
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx"))
+        .cast("long"),
+    )
+    emb = hashing_embed(chunks, "chunk_text", dim=p["dim"]).persist()
+    try:
+        cents = train_ivf_centroids(emb, nlist=p["nlist"])
+        books = train_pq_codebooks(
+            emb, "embedding", "chunk_uid", m=p["m"], nbits=p["nbits"]
+        )
+        index = pq_assign(ivf_assign(emb, cents), "embedding", books)
+        qrows = (
+            emb.filter(F.col("chunk_idx") == 0)
+            .select("doc_id", "lang", "embedding")
+            .orderBy("doc_id")
+            .limit(p["n_queries"])
+            .collect()
+        )
+        want = []
+        for q in qrows:
+            qdf = spark.createDataFrame(
+                [(int(q.doc_id), [float(x) for x in q.embedding])],
+                "qid long, qvec array<double>",
+            )
+            rows = (
+                ivfpq_topk_batch(
+                    qdf, index.filter(F.col("lang") == q.lang),
+                    cents, books, p["k"],
+                    nprobe=p["nprobe"], id_col="chunk_uid",
+                )
+                .orderBy("rnk")
+                .collect()
+            )
+            want.extend(
+                (
+                    r.qid, q.lang, r.rnk,
+                    r.chunk_uid // 1_000_000, r.chunk_uid % 1_000_000,
+                    round(r.adc_dist, 6),
+                )
+                for r in rows
+            )
+    finally:
+        emb.unpersist()
+    assert sorted(got) == sorted(want)
+    top1 = {r[0]: (r[3], r[4]) for r in got if r[2] == 1}
+    assert top1 == {qid: (qid, 0) for qid in top1}
+
+
+def test_hashing_embed_contract(spark):
+    """Feature-hashing embedder: unit norm for non-empty text, zero
+    vector for empty/whitespace, NULL propagates, token-order
+    independence (bag semantics), and a known single-token vector is
+    one +/-1 bucket before normalization."""
+    import hashlib
+
+    import numpy as np
+
+    from mare_spark.operators.text import hashing_embed
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta beta alpha"), (3, ""),
+         (4, "   "), (5, None), (6, "alpha")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.embedding
+        for r in hashing_embed(df, "text", dim=16).collect()
+    }
+    assert got[5] is None
+    assert got[3] == [0.0] * 16 and got[4] == [0.0] * 16
+    assert got[1] == got[2]  # bag-of-tokens: order-free
+    assert abs(np.linalg.norm(got[1]) - 1.0) < 1e-12
+    h = hashlib.md5(b"alpha").digest()
+    bucket = int.from_bytes(h[:8], "big") % 16
+    sign = 1.0 if h[8] & 1 else -1.0
+    expect = np.zeros(16); expect[bucket] = sign
+    assert got[6] == expect.tolist()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hashing_embed(df, "text", dim=0)
