@@ -565,3 +565,83 @@ def test_hashing_embed_contract(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hashing_embed(df, "text", dim=0)
+
+
+def test_ivfpq_batch_skew_valve_under_real_skew(spark):
+    """The cell_splits skew valve under ENGINEERED skew: ~60% of the
+    corpus lands in one IVF cell; cell_splits=4 must (a) reproduce the
+    unsalted results bit-identically and (b) measurably cut the max
+    rows any one cogroup group carries — the valve's actual claim
+    (pq.py cell_splits docs), previously pinned only for correctness.
+    Group sizes are measured with the SAME key expressions the cogroup
+    shuffles on, so the numbers are the group sizes its tasks see."""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.pq import (
+        ivfpq_topk_batch,
+        pq_assign,
+        train_pq_codebooks,
+    )
+    from mare_spark.operators.similarity import ivf_assign
+
+    dim, n, hot = 8, 400, 240
+    cents = np.eye(4, dim)  # 4 cells: unit basis directions
+    rows = []
+    for i in range(n):
+        v = np.zeros(dim)
+        if i < hot:  # 60%: tightly around e0 -> one hot cell
+            v[0] = 1.0
+            v[1] = ((i * 7) % 13) / 130.0
+        else:  # the rest spread over e1..e3
+            v[1 + i % 3] = 1.0
+            v[4 + i % 4] = ((i * 11) % 17) / 170.0
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq_codebooks(df, "embedding", "vec_id", m=4, nbits=4)
+    index = ivf_assign(df, cents)
+    cell_counts = {r.ivf_cell: r.cnt for r in
+                   index.groupBy("ivf_cell").agg(F.count("*").alias("cnt"))
+                   .collect()}
+    assert cell_counts[0] >= n * 0.5, cell_counts  # the skew is real
+    index = pq_assign(index, "embedding", books).persist()
+    try:
+        queries = spark.createDataFrame(
+            [(0, rows[3][1]), (1, rows[5][1]), (2, rows[250][1])],
+            "qid long, qvec array<double>",
+        )
+        base = sorted(
+            (r.qid, r.vec_id, round(r.adc_dist, 12), r.rnk)
+            for r in ivfpq_topk_batch(
+                queries, index, cents, books, 10, nprobe=2
+            ).collect()
+        )
+        salted = sorted(
+            (r.qid, r.vec_id, round(r.adc_dist, 12), r.rnk)
+            for r in ivfpq_topk_batch(
+                queries, index, cents, books, 10, nprobe=2, cell_splits=4
+            ).collect()
+        )
+        assert base == salted  # the valve never changes results
+
+        # task-level evidence: max rows per cogroup key, measured with
+        # the exact key expressions the batch prober shuffles on
+        unsalted_max = (
+            index.groupBy("ivf_cell").agg(F.count("*").alias("c"))
+            .agg(F.max("c")).collect()[0][0]
+        )
+        salted_max = (
+            index.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(4)).cast("int"),
+            )
+            .groupBy("ivf_cell", "_salt").agg(F.count("*").alias("c"))
+            .agg(F.max("c")).collect()[0][0]
+        )
+        assert unsalted_max == cell_counts[0]
+        # splits=4 must cut the hottest group by >= 2x (expect ~4x;
+        # the slack absorbs hash imbalance on 240 rows)
+        assert salted_max * 2 <= unsalted_max, (salted_max, unsalted_max)
+        print(f"skew-valve evidence: hot cell {unsalted_max} rows -> "
+              f"max salted group {salted_max} rows at cell_splits=4")
+    finally:
+        index.unpersist()
