@@ -105,7 +105,7 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      WHERE doc_id < 200
+      WHERE doc_id < 200 AND text IS NOT NULL
     )
     SELECT doc_id, CAST(i AS INT) - 1 AS pos, ws[CAST(i AS INT)] AS word
     FROM t, UNNEST(range(1, least(len(ws), 5) + 1)) AS u(i)
@@ -117,7 +117,10 @@ def q_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic — the missing piece of the UDF surface (scalar UDF / pandas_udf
     / applyInPandas / mapInPandas are all registered already). The UDTF
     emits (position, word) for each document's first five words; the
-    oracle replays it with a lateral UNNEST.
+    oracle replays it with a lateral UNNEST (NULL text excluded
+    explicitly — DuckDB's least() IGNORES a NULL len(ws) rather than
+    propagating it, so without the guard a NULL-text doc would emit 5
+    phantom NULL-word rows the UDTF's None guard never yields).
 
     Deliberately the API-completeness tier: a Python UDTF is row-at-a-time
     (no Arrow batching), so hot paths should use posexplode/slice

@@ -258,3 +258,42 @@ def test_agg_stats_constant_group_clamps_negative_variance(spark, tmp_path):
     assert rows[const_flag].std_price == 0.0
     assert rows[const_flag].var_qty == 0.0
     compare(q.fn(spark, sf), q.oracle, sf)
+
+
+def test_udtf_oracle_null_text_parity(spark, tmp_path):
+    """Regression (r8 review): DuckDB's least() IGNORES a NULL argument
+    instead of propagating it, so `least(len(ws), 5)` on a NULL-text doc
+    is 5 and the un-guarded oracle emitted five phantom (pos, NULL-word)
+    rows the UDTF's `if text is None: return` never yields. With the
+    explicit NULL-text guard both engines skip the doc."""
+    import shutil
+
+    import pandas as pd
+
+    from mare_spark.tables import TABLE_NAMES, table_path
+
+    sf = str(tmp_path / "sfnull")
+    (tmp_path / "sfnull").mkdir()
+    for t in TABLE_NAMES:
+        shutil.copy(table_path(SF_ORACLE, t), table_path(sf, t))
+
+    docs = ["alpha beta gamma delta epsilon zeta", None, "solo"]
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": docs,
+            "lang": ["en"] * 3,
+            "source": ["src0"] * 3,
+            "n_chars": [len(d) if d else 0 for d in docs],
+        }
+    ).to_parquet(table_path(sf, "documents"))
+
+    q = QUERIES["q_udtf_word_positions"]
+    got = sorted(
+        (r.doc_id, r.pos, r.word) for r in q.fn(spark, sf).collect()
+    )
+    assert got == [
+        (0, 0, "alpha"), (0, 1, "beta"), (0, 2, "gamma"),
+        (0, 3, "delta"), (0, 4, "epsilon"), (2, 0, "solo"),
+    ]
+    compare(q.fn(spark, sf), q.oracle, sf)
