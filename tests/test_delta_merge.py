@@ -18,7 +18,7 @@ def delta_spark(spark):
     from mare_spark.sources.external import _require_format
 
     try:
-        _require_format(spark, "delta", "io.delta:delta-spark_2.13")
+        _require_format(spark, "delta")
     except NotImplementedError as ex:
         pytest.skip(str(ex))
     ext = spark.conf.get("spark.sql.extensions", "") or ""
