@@ -248,8 +248,9 @@ def quantile_sketch_table(
     k: int = 1024,
     salt: str = "",
 ) -> DataFrame:
-    """Materializable per-group QUANTILE sketches: the bottom-``k`` rows
-    by md5(id, salt) — a deterministic uniform sample whose merge is
+    """Materializable per-group QUANTILE sketches: the bottom-``k``
+    distinct md5(id, salt) hashes (min value per hash) — a deterministic
+    uniform sample whose merge is
     EXACT (bottom-k of a union equals bottom-k over the inputs'
     bottom-ks), the property that makes it a table you persist per
     (day, source, ...) partition and roll up later without re-scanning
@@ -275,6 +276,14 @@ def quantile_sketch_table(
     ahead of every real sample row, and a NULL value would occupy a
     sample slot only to surface as a NULL percentile read.
 
+    The sample is the bottom-``k`` DISTINCT hashes (min value per hash),
+    not the bottom-k rows: the per-hash dedup must happen BEFORE the
+    trim, or a duplicate id with conflicting values at the k boundary
+    would burn two sample slots and evict a hash that any other epoch/
+    partition slicing of the same rows keeps — the build would stop
+    being associative with its own merge (r8 review finding; pinned by
+    test_quantile_build_is_associative_under_conflicting_dup_ids).
+
     The emitted ``sketch_k`` column records the build k; merges clamp to
     the smallest build k they see, because bottom-k merges are exact
     only at (or below) the smallest k any input was trimmed to.
@@ -283,14 +292,17 @@ def quantile_sketch_table(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # Trim orders by (h, v), not h alone: the same id ingested twice in
-    # ONE input with conflicting values shares a hash, and an h-only
-    # order would leave the tie at the k boundary partition-order-
-    # dependent. (h, v) makes the smaller value deterministically
-    # survive — the same smallest-value-wins rule the merge and the
-    # streaming fold apply.
-    w = Window.partitionBy(*group_cols).orderBy("h", "v")
-    trimmed = (
+    # Two windows over ONE partitioning and one physical sort:
+    # dense_rank over (h) counts DISTINCT hashes (duplicate-id rows tie)
+    # and is rank-like, so Catalyst's WindowGroupLimit still inserts the
+    # map-side partial trim before the exchange; the lag window then
+    # orders by (h, v) — a superset sort that satisfies the rank
+    # window's (h) requirement, so no second sort — and keeps the first
+    # row of each hash run, i.e. the per-hash MINIMUM value, the same
+    # smallest-value-wins rule the merge and the streaming fold apply.
+    w_rank = Window.partitionBy(*group_cols).orderBy("h")
+    w_dedup = Window.partitionBy(*group_cols).orderBy("h", "v")
+    pre = (
         df.filter(
             F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
         )
@@ -299,9 +311,13 @@ def quantile_sketch_table(
             bottomk_hash(id_col, salt).alias("h"),
             F.col(value_col).cast("double").alias("v"),
         )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    )
+    trimmed = (
+        pre.withColumn("_dr", F.dense_rank().over(w_rank))
+        .filter(F.col("_dr") <= k)
+        .withColumn("_ph", F.lag("h").over(w_dedup))
+        .filter(F.col("_ph").isNull() | (F.col("_ph") != F.col("h")))
+        .drop("_dr", "_ph")
     )
     return trimmed.groupBy(*group_cols).agg(
         F.array_sort(

@@ -266,16 +266,26 @@ _QSK = 256
     "events_quantile_sketch",
     category="llm",
     oracle=f"""
-    WITH s AS (
-      SELECT event_type, value,
-             row_number() OVER (
-               PARTITION BY event_type
-               ORDER BY md5(CAST(event_id AS VARCHAR) || ':')) AS rn
+    WITH d AS (
+      -- dedup per hash BEFORE the trim (min value per hash — the
+      -- sketch's smallest-value-wins rule), mirroring the r8
+      -- dedup-before-trim fix; with the fixture's unique event_ids the
+      -- aggregate is a no-op, but the oracle must model the semantics
+      SELECT event_type,
+             md5(CAST(event_id AS VARCHAR) || ':') AS h,
+             min(value) AS value
       FROM events
       -- the sketch excludes NULL ids/values before the trim; a NULL
       -- value in the bottom-k would waste the slot and shift the
       -- percentile indexing on this side only
       WHERE event_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
     ),
     v AS (
       SELECT event_type, list_sort(list(value)) AS vals

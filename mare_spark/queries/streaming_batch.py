@@ -531,14 +531,20 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_quantile_replay",
     category="streaming",
     oracle="""
-    WITH s AS (
-      SELECT value,
-             row_number() OVER (
-               ORDER BY md5(CAST(event_id AS VARCHAR) || ':')) AS rn
+    WITH d AS (
+      -- dedup per hash before the trim (min value per hash), mirroring
+      -- the r8 dedup-before-trim fix in the fold; a no-op on the
+      -- fixture's unique event_ids but the semantics must match
+      SELECT md5(CAST(event_id AS VARCHAR) || ':') AS h,
+             min(value) AS value
       FROM events
       -- the sketch fold filters NULL ids/values; a NULL value in the
       -- bottom-256 would otherwise ride list_sort to the tail here
       WHERE event_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT value, row_number() OVER (ORDER BY h) AS rn FROM d
     ),
     v AS (SELECT list_sort(list(value)) AS vals FROM s WHERE rn <= 256)
     SELECT CAST(p AS DOUBLE) AS p,

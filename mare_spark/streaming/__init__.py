@@ -25,6 +25,33 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from mare_spark.numeric import VALUE4, davg, dsum
 
+
+def _infer_or_cold_start(
+    spark: SparkSession, source_dir: str, default_schema: str
+):
+    """Shared file-source bootstrap (r8 review: this block existed as
+    two hand-synced copies in the events and documents readers): infer
+    the schema from the landing dir's own parquet footers (one metadata
+    read, no data scan), fall back to ``default_schema`` on a cold start
+    (empty or not-yet-created dir — a stream cannot change schema after
+    start, so it must begin with the contract schema and wait), and
+    return ``(schema, readStream)`` with the one-file-per-trigger
+    replay setting both readers share."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+
+    try:
+        schema = spark.read.parquet(source_dir).schema
+    except AnalysisException:
+        schema = T._parse_datatype_string(default_schema)
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return schema, reader
+
+
 def read_events_stream(
     spark: SparkSession,
     source_dir: str,
@@ -48,7 +75,6 @@ def read_events_stream(
     TIMESTAMP(NANOS), pass ``cold_start_schema`` with ``ts long`` so the
     div-1000 conversion path engages when the first file lands.
     """
-    from pyspark.errors import AnalysisException
     from pyspark.sql import types as T
 
     # same defensive confs as tables.read_table (the repo's documented
@@ -56,21 +82,11 @@ def read_events_stream(
     # long-read, and a non-UTC session TZ would shift every window edge
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        schema = spark.read.parquet(source_dir).schema
-    except AnalysisException:
-        # cold start: the landing dir is empty (or not yet created) — fall
-        # back to the contract schema so the stream can start and wait for
-        # files instead of failing before the first one lands
-        schema = T._parse_datatype_string(
-            cold_start_schema
-            or "event_id long, ts timestamp, user_id long, "
-            "event_type string, value double, props string"
-        )
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
+    schema, raw = _infer_or_cold_start(
+        spark, source_dir,
+        cold_start_schema
+        or "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
     )
     if isinstance(schema["ts"].dataType, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -355,27 +371,19 @@ def read_documents_stream(
 ) -> DataFrame:
     """File-source stream over a documents landing directory (parquet).
 
-    Same footer-inferred-schema / cold-start pattern as
-    :func:`read_events_stream`; the documents contract has no event-time
-    column, so downstream stateful operators key their watermark on ingest
-    time (see :func:`clean_corpus_stream`).
+    Same footer-inferred-schema / cold-start bootstrap as
+    :func:`read_events_stream` (shared: :func:`_infer_or_cold_start`);
+    the documents contract has no event-time column, so downstream
+    stateful operators key their watermark on ingest time (see
+    :func:`clean_corpus_stream`).
     """
-    from pyspark.errors import AnalysisException
-    from pyspark.sql import types as T
-
-    try:
-        schema = spark.read.parquet(source_dir).schema
-    except AnalysisException:
-        schema = T._parse_datatype_string(
-            cold_start_schema
-            or "doc_id long, text string, lang string, source string, "
-            "n_chars long"
-        )
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
+    _schema, reader = _infer_or_cold_start(
+        spark, source_dir,
+        cold_start_schema
+        or "doc_id long, text string, lang string, source string, "
+        "n_chars long",
     )
+    return reader
 
 
 def clean_corpus_stream(
@@ -408,6 +416,16 @@ def clean_corpus_stream(
     from mare_spark.operators.dedup import normalize_text
     from mare_spark.operators.text import token_count
 
+    # the scrub stream's reserved-name posture (r8 review): a caller
+    # column named like an output/internal column would be silently
+    # clobbered (id_col='digest' would even lose the document ids)
+    reserved = {"n_tokens", "digest", "_ingest_ts"}
+    clash = reserved.intersection({id_col, text_col, *docs.columns})
+    if clash:
+        raise ValueError(
+            "column names clash with clean_corpus_stream output/internal "
+            f"columns: {sorted(clash)} (reserved: {sorted(reserved)})"
+        )
     return (
         docs.withColumn("n_tokens", token_count(F.col(text_col)))
         .filter(F.col("n_tokens") >= min_tokens)
@@ -475,7 +493,19 @@ def _sketch_state(checkpoint_dir: str, filename: str, params: dict = None):
                 **extra,
                 **arrays,
             )
+            # fsync before the rename: Spark fsyncs its commit log, so a
+            # power loss after the epoch commits but before the page
+            # cache writes back would otherwise leave a truncated state
+            # file for an epoch the restart will SKIP — permanently
+            # losing its fold (the sketch must never underestimate)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, state_path)
+        dfd = os.open(checkpoint_dir, os.O_RDONLY)
+        try:  # persist the rename itself
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def guard(fold, after):
         def wrapped(batch_df: DataFrame, epoch_id: int) -> None:
@@ -524,8 +554,10 @@ def run_cms_over_stream(
       so a restarted query resumes full-history counts instead of
       silently starting from zeros while Structured Streaming skips the
       already-committed epochs;
-    * the applied-epoch set persists with it, so a foreachBatch RETRY of
-      an uncommitted epoch is folded exactly once.
+    * the MAX applied epoch id persists with it (epoch ids are monotonic
+      per checkpoint, so one int gives the retry-folds-once guarantee at
+      O(1) state — see :func:`_sketch_state`), so a foreachBatch RETRY
+      of an uncommitted epoch is folded exactly once.
 
     Returns ``(query, sketch)``: the running sketch object updates in
     place as epochs commit; call ``query.processAllAvailable()`` (tests)
@@ -599,7 +631,13 @@ def run_heavy_hitters_over_stream(
         def top(self, n: int = k):
             if not self.candidates:
                 return []
-            vals = np.fromiter(self.candidates, dtype=np.int64)
+            # sorted(), not raw set order: the stable argsort breaks
+            # estimate TIES by input position, and set iteration order
+            # differs between a fresh run (insertion order) and a
+            # restart (npz reload) — sorting keys first makes the
+            # boundary tie-break (count DESC, key ASC) run-history-
+            # independent (r8 review)
+            vals = np.fromiter(sorted(self.candidates), dtype=np.int64)
             est = self.sketch.estimate(vals)
             order = np.argsort(-est.astype(np.int64), kind="stable")
             return [
@@ -616,23 +654,32 @@ def run_heavy_hitters_over_stream(
         tracker.candidates.update(int(c) for c in loaded["candidates"])
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        part = build_cms(
-            batch_df, key_col, width_bits=width_bits, depth=depth
-        )
-        # merge_bytes, never a raw `+=`: the helper invalidates any
-        # cached executor broadcast (a live cms_probe_expr would
-        # otherwise read stale pre-epoch counts on a real cluster)
-        tracker.sketch.merge_bytes(part.table.tobytes())
-        top_rows = (
-            batch_df.filter(F.col(key_col).isNotNull())  # int(None) would
-            # abort the query; build_cms excludes NULLs the same way
-            .groupBy(key_col)
-            .count()
-            .orderBy(F.desc("count"), F.asc(key_col))
-            .limit(candidates_per_batch)
-            .collect()
-        )
-        tracker.candidates.update(int(r[0]) for r in top_rows)
+        from pyspark import StorageLevel
+
+        # two consumers (CMS build + exact top-N) — persist so the
+        # micro-batch source isn't re-read per action (the scrub fold's
+        # own pattern; r8 review)
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            part = build_cms(
+                batch_df, key_col, width_bits=width_bits, depth=depth
+            )
+            # merge_bytes, never a raw `+=`: the helper invalidates any
+            # cached executor broadcast (a live cms_probe_expr would
+            # otherwise read stale pre-epoch counts on a real cluster)
+            tracker.sketch.merge_bytes(part.table.tobytes())
+            top_rows = (
+                batch_df.filter(F.col(key_col).isNotNull())  # int(None)
+                # would abort the query; build_cms excludes NULLs too
+                .groupBy(key_col)
+                .count()
+                .orderBy(F.desc("count"), F.asc(key_col))
+                .limit(candidates_per_batch)
+                .collect()
+            )
+            tracker.candidates.update(int(r[0]) for r in top_rows)
+        finally:
+            batch_df.unpersist()
 
     def _persist() -> None:
         save(
@@ -683,16 +730,17 @@ def scrub_corpus_stream(
     """
     from pyspark import StorageLevel
 
-    from mare_spark.operators.corpus import _chunk_explode, _chunk_reassemble
+    from mare_spark.operators.corpus import (
+        _check_scrub_columns,
+        _chunk_explode,
+        _chunk_reassemble,
+    )
     from mare_spark.operators.sketches import (
         CountMinSketch,
         build_cms,
         cms_probe_expr,
     )
 
-    _check_scrub_columns = __import__(
-        "mare_spark.operators.corpus", fromlist=["_check_scrub_columns"]
-    )._check_scrub_columns
     _check_scrub_columns("scrub_corpus_stream", id_col, text_col, keep_cols)
     loaded, _, save, guard = _sketch_state(
         checkpoint_dir, "scrub_state.npz",
@@ -822,12 +870,16 @@ def run_quantile_sketch_over_stream(
                 bottomk_hash(id_col, salt).alias("h"),
                 F.col(value_col).cast("double").alias("v"),
             )
-            # (h, v), not h alone: a duplicate id with CONFLICTING values
-            # in one batch shares a hash, and an h-only trim at the k
-            # boundary could ship the larger value — the same
-            # smallest-value-wins tiebreak the batch sketch table trims
-            # with, so the converged sketch stays layout-deterministic.
-            .orderBy("h", "v")
+            # dedup per hash BEFORE the trim (min v — the shared
+            # smallest-value-wins rule): a duplicate id with CONFLICTING
+            # values in one batch would otherwise burn two of the k row
+            # slots and evict a hash that a different epoch slicing of
+            # the same rows keeps, breaking the "any slicing converges
+            # to the identical sketch" contract at the k boundary
+            # (r8 review finding; the batch build dedups the same way).
+            .groupBy("h")
+            .agg(F.min("v").alias("v"))
+            .orderBy("h")
             .limit(k)
             .collect()
         )

@@ -325,3 +325,52 @@ def test_cms_mutation_invalidates_broadcast(spark):
     assert getattr(sk, "_bc", None) is None  # cache invalidated
     again = df.select(cms_probe_expr(F.col("k"), sk).alias("e")).head().e
     assert again == 4
+
+
+def test_quantile_build_is_associative_under_conflicting_dup_ids(spark):
+    """r8 review regression: the build trims the bottom-k DISTINCT
+    hashes (min value per hash), not the bottom-k rows — a duplicate id
+    with conflicting values at the k boundary must not burn two sample
+    slots and evict a hash that a different slicing of the same rows
+    keeps. Pinned as build(A ∪ B) == merge(build(A), build(B)) on a
+    fixture engineered so the duplicate pair sits exactly at the
+    boundary under the old row-trim."""
+    from mare_spark.operators.sketches import (
+        merge_quantile_estimates,
+        quantile_sketch_table,
+    )
+
+    # find ids whose md5 order puts the dup-id first: take three ids,
+    # use the hash-smallest twice with conflicting values
+    import hashlib
+
+    ids = sorted(range(100), key=lambda i: hashlib.md5(
+        f"{i}:".encode()).hexdigest())
+    dup, other = ids[0], ids[1]
+    rows = [(dup, "g", 2.0), (dup, "g", 1.0), (other, "g", 5.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    k = 2
+
+    whole = quantile_sketch_table(df, "v", "id", ["g"], k=k).head()
+    got = sorted((e.h, e.v) for e in whole.quantile_sketch)
+    # both DISTINCT hashes present, dup id at its min value
+    assert len(got) == 2
+    assert [v for _h, v in got] == [1.0, 5.0]
+
+    a = quantile_sketch_table(
+        spark.createDataFrame(rows[:2], "id long, g string, v double"),
+        "v", "id", ["g"], k=k,
+    )
+    b = quantile_sketch_table(
+        spark.createDataFrame(rows[2:], "id long, g string, v double"),
+        "v", "id", ["g"], k=k,
+    )
+    merged = merge_quantile_estimates(a.union(b), ["g"], [1.0], k=k).head()
+    assert merged.sample_rows == 2 and merged.p100 == 5.0
+    direct = merge_quantile_estimates(
+        quantile_sketch_table(df, "v", "id", ["g"], k=k),
+        ["g"], [1.0], k=k,
+    ).head()
+    assert (direct.sample_rows, direct.p100) == (
+        merged.sample_rows, merged.p100
+    )

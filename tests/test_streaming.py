@@ -611,3 +611,98 @@ def test_streaming_sketch_review_guards(spark, tmp_path):
     # state file carries max_epoch (an int), not the epoch history
     st = np.load(str(tmp_path / "hhck" / "hh_state.npz"))
     assert "max_epoch" in st.files and st["max_epoch"].shape == ()
+
+
+def test_streaming_quantile_epoch_slicing_with_conflicting_dup_ids(
+    spark, tmp_path
+):
+    """r8 review regression: a duplicate id with conflicting values at
+    the k boundary must not change the converged sketch between epoch
+    slicings. Old per-batch trim took k ROWS, so the single-batch run
+    burned both slots on the dup hash and never admitted the other id;
+    the dedup-before-trim fold keeps the slicings identical."""
+    import hashlib
+
+    ids = sorted(range(100), key=lambda i: hashlib.md5(
+        f"{i}:".encode()).hexdigest())
+    dup, other = ids[0], ids[1]
+    rows_a = [(dup, 2.0), (dup, 1.0)]
+    rows_b = [(other, 5.0)]
+
+    def run(split: bool, tag: str):
+        d = tmp_path / f"land_{tag}"
+        d.mkdir()
+        if split:
+            spark.createDataFrame(rows_a, "id long, v double").write.parquet(
+                str(d / "f0.parquet"))
+        else:
+            spark.createDataFrame(
+                rows_a + rows_b, "id long, v double"
+            ).coalesce(1).write.parquet(str(d / "f0.parquet"))
+        stream = spark.readStream.schema("id long, v double").parquet(
+            str(d) + "/*")
+        q, sk = S.run_quantile_sketch_over_stream(
+            stream, "v", "id", str(tmp_path / f"ck_{tag}"), k=2)
+        try:
+            q.processAllAvailable()
+            if split:
+                spark.createDataFrame(
+                    rows_b, "id long, v double"
+                ).write.parquet(str(d / "f1.parquet"))
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return sk.rows
+
+    one = run(False, "one")
+    two = run(True, "two")
+    assert one == two
+    assert len(one) == 2 and sorted(v for _h, v in one) == [1.0, 5.0]
+
+
+def test_clean_corpus_stream_reserved_columns(spark, tmp_path):
+    """r8 review: caller columns that clash with the dedup ledger's
+    output/internal names must fail loud instead of being silently
+    clobbered (id_col='digest' would lose the document ids)."""
+    import pytest
+
+    land = tmp_path / "land_reserved"
+    land.mkdir()
+    df = spark.readStream.schema(
+        "digest string, text string"
+    ).parquet(str(land))
+    with pytest.raises(ValueError, match="clash"):
+        S.clean_corpus_stream(df, id_col="digest")
+    df2 = spark.readStream.schema(
+        "doc_id long, text string, n_tokens int"
+    ).parquet(str(land))
+    with pytest.raises(ValueError, match="clash"):
+        S.clean_corpus_stream(df2)
+
+
+def test_heavy_hitters_top_is_restart_order_independent():
+    """r8 review: top(k) boundary ties must break on sorted key order,
+    not set-iteration order (which differs between a fresh run and an
+    npz reload)."""
+    from mare_spark.operators.sketches import CountMinSketch
+    from mare_spark.streaming import run_heavy_hitters_over_stream  # noqa: F401
+
+    # replicate _Tracker's logic through the real class by constructing
+    # the same tie: two keys, equal counts, ask for top(1)
+    import numpy as np
+
+    class T:
+        pass
+
+    # insertion orders that differ: {5, 9} vs {9, 5}
+    for insert_order in ([5, 9], [9, 5]):
+        sk = CountMinSketch(8, 2)
+        arr = np.array([5, 9], dtype=np.int64)
+        sk.add(arr)  # one count each -> tie
+        cands = set()
+        for c in insert_order:
+            cands.add(c)
+        vals = np.fromiter(sorted(cands), dtype=np.int64)
+        est = sk.estimate(vals)
+        order = np.argsort(-est.astype(np.int64), kind="stable")
+        assert int(vals[order[0]]) == 5  # always the smaller key
