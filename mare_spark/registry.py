@@ -162,36 +162,70 @@ def register(
 # After r7 no row's evidence is older than round 4; the remaining 34
 # r4-stale rows (44 minus the 9 fills minus dedup_cluster_stats in
 # section 1) head the r8 rotation.
+# ROUND-8 ROTATION (executes the plan written here in round 7 and
+# VERDICT r7 "Next round" #1): the staleness ledger after r7 is 34 rows
+# last-green in ROUND 4, 44 in round 5, 41 in round 6, 50 in round 7 —
+#   1. queries whose operator path (or oracle text) the round-8 diff
+#      touched: events_quantile_sketch + streaming_quantile_replay (the
+#      quantile trim is now dedup-before-trim — bottom-k DISTINCT
+#      hashes, min value per hash — making the build associative with
+#      its own merge; both oracles updated in lockstep),
+#      streaming_sessionize_replay (read_events_stream now bootstraps
+#      through the shared _infer_or_cold_start helper),
+#      sim_pq_recall_report (the exact baseline is one batched Arrow
+#      job instead of 5 sequential actions), multimodal_decode
+#      (decode_features routes through the _REAL_DECODERS table), and
+#      q_udtf_word_positions (oracle gained the NULL-text guard —
+#      DuckDB least() ignores NULL; also r4-stale, counted here).
+#      multimodal_sniff_report's builder gained only the additive bmp24
+#      branch (existing kinds byte-identical, pytest-pinned) and stays
+#      on its r6 evidence.
+#   2. round-8 registrations (check-before-register):
+#      multimodal_media_stats (REAL BMP-pixel/WAV-PCM decode vs an
+#      arithmetic oracle — VERDICT r7 #4) and rag_retrieval_report
+#      (chunk -> hashing-embed -> IVF-PQ -> language-gated retrieval,
+#      rows-only + step-replay pytest — VERDICT r7 #8).
+#   3. the q1/q5/pipeline anchors — convention canaries in every round;
+#   4. the 33 remaining round-4-stale rows (the whole sub-r5 ledger
+#      except q_udtf_word_positions, already in section 1), in
+#      registration order — streaming_heavy_hitters_replay's operator
+#      path also changed this round (sorted tie-break, persisted
+#      micro-batch), so its refresh is load-bearing twice over;
+#   5. six r5-stale fill rows in registration order (dedup_minhash_lsh,
+#      dedup_simhash, dedup_embedding_cosine, dedup_clusters_resolve,
+#      dedup_embedding_lsh, sim_filtered_topk).
+# After r8 the oldest evidence in the ledger is round 5: 38 r5-stale
+# rows remain (44 minus the 6 fills) and head the r9 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- 1. round-7-touched operator paths / oracles --
-    "corpus_dsir_weights", "sample_dsir_gumbel", "text_bigram_logprob",
-    "events_quantile_sketch", "maintenance_merge_report",
-    "corpus_export_shards", "dedup_cluster_stats",
-    # -- 2. round-7 registrations --
-    "streaming_quantile_replay", "sim_pq_recall_report",
-    "sim_topk_whitened",
+    # -- 1. round-8-touched operator paths / oracles --
+    "events_quantile_sketch", "streaming_quantile_replay",
+    "streaming_sessionize_replay", "sim_pq_recall_report",
+    "multimodal_decode", "q_udtf_word_positions",
+    # -- 2. round-8 registrations --
+    "multimodal_media_stats", "rag_retrieval_report",
     # -- 3. anchors --
     "q1_pricing_summary", "q5_local_supplier_volume", "pipeline_clean_corpus",
-    # -- 4. all 28 round-3-stale rows (registration order) --
-    "text_rolling_fingerprint", "corpus_mix_report",
-    "sample_temperature_rates", "text_tfidf_keywords",
-    "corpus_length_histogram", "cross_source_contamination",
-    "embedding_norm_stats", "sample_apply_mixture",
-    "corpus_vocab_stats", "corpus_lang_confusion",
-    "q_join_left_outer", "q_join_range_band",
-    "q_having", "q_pivot",
-    "q_intersect_all", "q_except_all",
-    "q_sql_returned_items", "q_subquery_above_avg",
-    "q14_promo_revenue_share", "q7_volume_between_nations",
-    "q11_important_suppliers", "q15_top_supplier",
-    "q19_disjunctive_brackets", "q22_idle_wealthy_customers",
-    "q8_national_market_share", "events_tumbling_window",
-    "events_sliding_window", "events_session_window",
-    # -- 5. round-4-stale fill rows (registration order) --
-    "dedup_exact", "dedup_ngram_jaccard", "sim_topk_cosine",
-    "pipeline_clean_corpus_v2", "decontaminate_overlap_report",
-    "dedup_substring_candidates", "multimodal_frame_sample",
-    "text_chunk_dedup", "text_quality_classifier",
+    # -- 4. the 33 remaining round-4-stale rows (registration order) --
+    "q3_shipping_priority", "q_agg_stats",
+    "q_rollup", "q_cube",
+    "q_grouping_sets", "q_window_running",
+    "q_udf_pandas_scalar", "q_udf_grouped_agg",
+    "q_math_conditional", "q6_revenue_change",
+    "q9_product_type_profit", "q10_returned_item_reporting",
+    "q17_small_quantity_revenue", "events_user_anomalies",
+    "sample_fixed_k_per_lang", "sample_token_budget",
+    "text_ngram_novelty", "q_correlated_exists",
+    "q_correlated_scalar", "events_funnel",
+    "events_cohort_retention", "text_chunk_dedup_cms",
+    "q_variant_json", "embedding_cluster_assign",
+    "embedding_kmeans_refined", "dedup_edit_distance",
+    "text_sliding_chunks", "corpus_snapshot_diff",
+    "corpus_quality_funnel", "pipeline_clean_corpus_v3",
+    "q_asof_join_forward", "streaming_heavy_hitters_replay",
+    "q_join_interval_binned",
+    # -- 5. round-5-stale fill rows (registration order) --
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_clusters_resolve", "dedup_embedding_lsh", "sim_filtered_topk",
     # -- 6. the rest of the corpus follows in registration order --
 )
 
