@@ -180,6 +180,12 @@ def decode_wav(b) -> tuple[np.ndarray, int] | None:
         elif cid == b"data":
             if fmt is None:
                 return None
+            if i + 8 + clen > len(b):
+                # truncated data chunk (crawler-cut tail): decoding the
+                # partial body would report a successful decode over
+                # missing audio — degrade like decode_bmp's truncated-
+                # pixel check instead
+                return None
             channels, rate = fmt
             n = len(body) // (2 * channels)
             samples = np.frombuffer(
@@ -499,14 +505,22 @@ def decode_media_stats(
     def route(p):
         mime = sniff_bytes(p)[0]
         vals = None
-        if mime == "image/bmp":
+        bb = None if p is None else bytes(p)
+        # route on the container MAGIC, not the sniffed mime: sniff_bytes
+        # checks the canonical layout (WAV fmt chunk at byte 12), but
+        # decode_wav's chunk walk handles non-canonical chains (JUNK/LIST
+        # before fmt) that sniffing reports as octet-stream — the decoder
+        # decides, and a successful decode corrects the mime
+        if bb and bb[:2] == b"BM":
             px = decode_bmp(p)
             if px is not None:
                 vals = px.astype(np.int64).ravel()
-        elif mime == "audio/wav":
+                mime = "image/bmp"
+        elif bb and bb[:4] == b"RIFF" and bb[8:12] == b"WAVE":
             got = decode_wav(p)
             if got is not None:
                 vals = got[0].astype(np.int64).ravel()
+                mime = "audio/wav"
         if vals is None or vals.size == 0:
             return (mime, None, None, None, None)
         return (

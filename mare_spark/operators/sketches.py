@@ -292,14 +292,14 @@ def quantile_sketch_table(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # Two windows over ONE partitioning and one physical sort:
-    # dense_rank over (h) counts DISTINCT hashes (duplicate-id rows tie)
-    # and is rank-like, so Catalyst's WindowGroupLimit still inserts the
-    # map-side partial trim before the exchange; the lag window then
-    # orders by (h, v) — a superset sort that satisfies the rank
-    # window's (h) requirement, so no second sort — and keeps the first
-    # row of each hash run, i.e. the per-hash MINIMUM value, the same
-    # smallest-value-wins rule the merge and the streaming fold apply.
+    # Two windows over ONE exchange: dense_rank over (h) counts DISTINCT
+    # hashes (duplicate-id rows tie) and is rank-like, so Catalyst's
+    # WindowGroupLimit still inserts the map-side partial trim before
+    # the exchange; the lag window shares the partitioning and re-sorts
+    # by (h, v) AFTER the final rank trim — i.e. over at most k rows per
+    # group (plan in PLANS.md) — keeping the first row of each hash run,
+    # the per-hash MINIMUM value, the same smallest-value-wins rule the
+    # merge and the streaming fold apply.
     w_rank = Window.partitionBy(*group_cols).orderBy("h")
     w_dedup = Window.partitionBy(*group_cols).orderBy("h", "v")
     pre = (

@@ -30,7 +30,10 @@ WITH b AS (
          CASE WHEN doc_id % 2 = 0
               THEN (1 + doc_id % 5) * (1 + doc_id % 4) * 3
               ELSE (8 + doc_id % 9) * (1 + doc_id % 2) END AS n
-  FROM documents
+  -- NULL doc_ids excluded in lockstep with the builder (int(NaN) would
+  -- abort the pandas_udf; range(NULL) would silently drop here — the
+  -- guard makes both engines skip the row identically)
+  FROM documents WHERE doc_id IS NOT NULL
 ),
 v AS (
   SELECT doc_id, mime, n,
@@ -99,7 +102,11 @@ def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return ids.map(one)
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id").isNotNull())  # lockstep with the oracle
+    )
     payloads = docs.withColumn("payload", build(F.col("doc_id")))
     return decode_media_stats(payloads, "payload", "doc_id")
 
@@ -165,14 +172,25 @@ def rag_retrieval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         index = pq_assign(ivf_assign(emb, cents), "embedding", books)
 
-        # queries: doc's own first chunk, embedded by the same operator
+        # queries: doc's own first chunk, embedded by the same operator.
+        # NULL-lang docs are excluded from the QUERY set explicitly — a
+        # NULL gate value matches nothing under `==` and would also make
+        # the per-language grouping unsortable (the NULL-contract class
+        # the repo's review sweeps pin)
         qrows = (
-            emb.filter(F.col("chunk_idx") == 0)
+            emb.filter(
+                (F.col("chunk_idx") == 0) & F.col("lang").isNotNull()
+            )
             .select("doc_id", "lang", "embedding")
             .orderBy("doc_id")
             .limit(p["n_queries"])
             .collect()
         )
+        if not qrows:
+            raise ValueError(
+                "rag_retrieval_report: no chunk-0 rows with a non-NULL "
+                "lang — cannot form a query set"
+            )
         by_lang: dict[str, list] = {}
         for r in qrows:
             by_lang.setdefault(r.lang, []).append(
@@ -194,7 +212,9 @@ def rag_retrieval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out.unionByName(r)
         return out.select(
             "qid", "lang", "rnk",
-            (F.col("chunk_uid") / 1_000_000).cast("long").alias("doc_id"),
+            # integer division, not `/`: double promotion loses exactness
+            # past 2^53 and could mis-attribute a hit to a neighbor doc
+            F.expr("chunk_uid div 1000000").alias("doc_id"),
             F.pmod(F.col("chunk_uid"), F.lit(1_000_000)).cast("int")
             .alias("chunk_idx"),
             fround(F.col("adc_dist"), 6).alias("adc_dist"),

@@ -1567,3 +1567,42 @@ def test_decode_media_stats_routes_and_gates(spark):
     assert got[3].mime == "image/png" and got[3].n_units is None
     assert got[4].mime == "application/octet-stream"
     assert got[4].val_sum is None
+
+
+def test_decode_media_review_guards_r8(spark):
+    """r8 diff-review regressions: a truncated data chunk degrades to
+    None (no partial-audio 'successful' decode); decode_media_stats
+    routes on container magic so a non-canonical PCM WAV (JUNK chunk
+    before fmt) still decodes even though canonical-layout sniffing
+    calls it octet-stream."""
+    import struct
+
+    import numpy as np
+
+    from mare_spark.operators.multimodal import (
+        decode_media_stats,
+        decode_wav,
+        synthesize_media_payload,
+    )
+
+    s = np.array([10, -20, 30, -40, 50, -60], dtype="<i2")
+    wav = synthesize_media_payload(
+        "wav", channels=1, sample_rate=8000, body=s.tobytes()
+    )
+    assert decode_wav(wav) is not None
+    assert decode_wav(wav[:-4]) is None  # truncated data chunk
+
+    # non-canonical: JUNK chunk between WAVE and fmt
+    junk = b"JUNK" + struct.pack("<I", 4) + b"\x00" * 4
+    chained = wav[:12] + junk + wav[12:]
+    nc = bytearray(chained)
+    nc[4:8] = struct.pack("<I", len(chained) - 8)
+    nc = bytes(nc)
+    got = decode_wav(nc)
+    assert got is not None and (got[0].ravel() == s).all()
+    df = spark.createDataFrame(
+        [(1, bytearray(nc))], "doc_id long, payload binary"
+    )
+    row = decode_media_stats(df).collect()[0]
+    assert row.mime == "audio/wav"
+    assert (row.n_units, row.val_sum) == (6, int(s.sum()))
