@@ -45,11 +45,14 @@ def read_csv(
     **options,
 ) -> DataFrame:
     """CSV scan. Pass an explicit schema in production — ``inferSchema``
-    costs a full extra pass over the data."""
+    costs a full extra pass over the data. With neither a schema nor an
+    explicit ``inferSchema`` option, inference defaults ON (the
+    exploratory path); ``inferSchema=False`` in options opts out to the
+    all-strings read without being silently overridden (r8 review)."""
     reader = spark.read.options(header=header, **options)
     if schema is not None:
         reader = reader.schema(schema)
-    else:
+    elif "inferSchema" not in options:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
 
@@ -121,7 +124,11 @@ def read_fixed_record_text(
     raw = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("file"), "value"
     )
-    sp = F.split(F.col("value"), "\n", -1)
+    # \r?\n, not bare \n: Hadoop's LineReader (the SingleFastqInputFormat
+    # parity target) strips \r, so CRLF files must yield the same record
+    # content as their LF twins (r8 review) — the re-join below normalizes
+    # records to LF
+    sp = F.split(F.col("value"), "\r?\n", -1)
     # a trailing newline yields one trailing empty element — drop exactly it
     lines = F.when(
         (F.size(sp) > 0) & (F.element_at(sp, -1) == ""),
@@ -145,21 +152,42 @@ def read_fixed_record_text(
 
 
 def read_whole_text(
-    spark: SparkSession, path: str, charset: str = "UTF-8"
+    spark: SparkSession,
+    path: str,
+    charset: str = "UTF-8",
+    path_glob_filter: str | None = None,
+    on_error: str = "replace",
 ) -> DataFrame:
     """Whole-file text scan → (path, content) — reference parity with
     ``sc.wholeTextFiles`` (MaReTest.scala:71), built on the binaryFile
-    source so it composes with pathGlobFilter/partition discovery."""
+    source so it composes with pathGlobFilter/partition discovery
+    (``path_glob_filter`` passes through, mirroring :func:`read_binary`).
+
+    ``on_error="replace"`` (default) decodes LENIENTLY — malformed bytes
+    become U+FFFD, exactly what ``sc.wholeTextFiles``' Text decoding
+    does — via an Arrow-batched decode (whole files cross the boundary
+    anyway; file-granular, not a hot row path). Under Spark 4's default
+    ANSI mode the JVM ``decode()`` would instead abort the WHOLE scan on
+    one stray non-UTF-8 file (r8 review, confirmed live) — that strict
+    contract remains available as ``on_error="fail"`` (fast JVM path)."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
-    return (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select(
-            F.col("path"),
-            F.decode(F.col("content"), charset).alias("content"),
-        )
-    )
+    if on_error not in ("replace", "fail"):
+        raise ValueError(f"on_error must be 'replace' or 'fail', got {on_error!r}")
+    raw = read_binary(spark, path, path_glob_filter)
+    if on_error == "fail":
+        content = F.decode(F.col("content"), charset)
+    else:
+        def dec(payloads: pd.Series) -> pd.Series:
+            return payloads.map(
+                lambda b: None if b is None
+                else bytes(b).decode(charset, errors="replace")
+            )
+
+        dec.__annotations__ = {"payloads": pd.Series, "return": pd.Series}
+        content = F.pandas_udf(dec, "string")(F.col("content"))
+    return raw.select(F.col("path"), content.alias("content"))
 
 
 def read_binary(
@@ -207,7 +235,10 @@ def write_parquet(
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
-    df.write.mode(mode).options(header=True, **options).csv(path)
+    """CSV sink; headers default ON but an explicit ``header=`` in
+    options wins (previously a TypeError — r8 review)."""
+    options.setdefault("header", True)
+    df.write.mode(mode).options(**options).csv(path)
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
@@ -220,14 +251,35 @@ def write_single_file(df: DataFrame, path: str, fmt: str = "csv", **options) -> 
     ``path``. For driver-sized results only (the distributed sinks above are
     the at-scale path; this mirrors the reference's collectReduce
     local-output contract, MaRe.scala:194-241)."""
+    # local-filesystem contract, checked up front: the part-file move
+    # below runs on the driver's OS paths, so a remote URI would "write"
+    # successfully and then die in the glob with an opaque IndexError,
+    # leaking the staging dir (r8 review). file:// URIs are accepted and
+    # stripped; other schemes are rejected with the at-scale pointer.
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    if "://" in path:
+        raise ValueError(
+            f"write_single_file moves the part file with local OS calls "
+            f"and supports local paths only, got {path!r} — use the "
+            "distributed sinks for remote filesystems"
+        )
+    if os.path.isdir(path):
+        raise ValueError(
+            f"write_single_file target {path!r} is an existing DIRECTORY "
+            "— the part file would silently land inside it; pass a file "
+            "path (or remove the directory first)"
+        )
     staging = path + ".staging"
     writer = df.coalesce(1).write.mode("overwrite").options(**options)
-    if fmt == "csv":
+    if fmt == "csv" and "header" not in options:
         writer = writer.option("header", True)
-    getattr(writer, fmt)(staging)
-    part = glob.glob(os.path.join(staging, f"part-*"))[0]
-    shutil.move(part, path)
-    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        getattr(writer, fmt)(staging)
+        part = glob.glob(os.path.join(staging, "part-*"))[0]
+        shutil.move(part, path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return path
 
 
@@ -248,16 +300,16 @@ def read_with_quarantine(
     The parsed DataFrame is cached before splitting: Spark evaluates the
     corrupt column during parsing only, so filtering on it alone over a
     fresh scan is unsupported (raises AnalysisException) — the cache
-    materializes parse results once and both splits read from it.
+    materializes parse results once and both splits read from it. The
+    cache is SHARED: call ``release_caches`` only after BOTH splits are
+    consumed.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
     corrupt = "_corrupt_record"
     if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
+        schema = StructType.fromDDL(schema)
     full = StructType(list(schema.fields)).add(corrupt, StringType())
     reader = (
         spark.read.options(**options)
@@ -272,7 +324,10 @@ def read_with_quarantine(
     bad = df.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw_record")
     )
-    # the cached parse is recorded on both splits so callers can
-    # release_caches(good_or_bad) once consumed — long sessions otherwise
-    # pin one full-feed cache per call
+    # ONE shared cache is recorded on both splits: release_caches(...)
+    # only after BOTH splits are fully consumed — releasing via one split
+    # while the other is still pending would send the other back to the
+    # raw scan, where a corrupt-column-only projection raises the very
+    # AnalysisException the cache exists to avoid (r8 review: the
+    # contract is shared, not per-split)
     return attach_caches(good, df), attach_caches(bad, df)

@@ -196,3 +196,89 @@ def test_read_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) >= {"id", "v", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_sources_review_guards_r8(spark, tmp_path):
+    """r8 review sweep over sources/__init__.py: lenient whole-text
+    decode (one bad file must not kill a corpus scan under ANSI);
+    explicit header/inferSchema opts no longer silently overridden;
+    write_single_file rejects directory targets and remote URIs, honors
+    header=False, accepts file:// and cleans staging; CRLF fixed-record
+    parity; quarantine accepts DDL strings via the public API."""
+    import os
+
+    import pytest
+
+    from mare_spark.sources import (
+        read_csv,
+        read_fixed_record_text,
+        read_whole_text,
+        write_csv,
+        write_single_file,
+    )
+
+    # --- lenient vs strict whole-text decode
+    d = tmp_path / "wt"
+    d.mkdir()
+    (d / "good.txt").write_text("hello")
+    (d / "bad.txt").write_bytes(b"he\xff\xfello")
+    got = {os.path.basename(r.path): r.content
+           for r in read_whole_text(spark, str(d)).collect()}
+    assert got["good.txt"] == "hello"
+    assert got["bad.txt"] == "he\ufffd\ufffdllo"  # replaced, not raised
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+    with pytest.raises((PySparkException, Py4JJavaError, Exception)):
+        read_whole_text(spark, str(d), on_error="fail").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        read_whole_text(spark, str(d), on_error="ignore")
+    only = read_whole_text(spark, str(d), path_glob_filter="good.txt")
+    assert only.count() == 1
+
+    # --- CRLF fixed-record parity with the LF twin
+    lf = tmp_path / "lf.txt"; crlf = tmp_path / "crlf.txt"
+    lf.write_text("@r1\nACGT\n+\n!!!!\n")
+    crlf.write_bytes(b"@r1\r\nACGT\r\n+\r\n!!!!\r\n")
+    va = read_fixed_record_text(spark, str(lf), 4).collect()[0].value
+    vb = read_fixed_record_text(spark, str(crlf), 4).collect()[0].value
+    assert va == vb == "@r1\nACGT\n+\n!!!!"
+
+    # --- header / inferSchema opt-outs honored
+    df = spark.range(3).selectExpr("id")
+    p_noheader = str(tmp_path / "noheader.csv")
+    write_single_file(df, p_noheader, fmt="csv", header=False)
+    assert open(p_noheader).read().splitlines()[0] == "0"
+    assert not os.path.exists(p_noheader + ".staging")
+    dcsv = tmp_path / "csvdir"
+    write_csv(df, str(dcsv), header=False)
+    text = "".join(
+        open(dcsv / f).read() for f in os.listdir(dcsv)
+        if f.startswith("part-"))
+    assert "id" not in text
+    strings = read_csv(
+        spark, str(dcsv), header=False, inferSchema=False
+    )
+    assert [f.dataType.simpleString() for f in strings.schema.fields] == [
+        "string"
+    ]
+
+    # --- single-file sink contracts
+    with pytest.raises(ValueError, match="DIRECTORY"):
+        write_single_file(df, str(tmp_path))
+    with pytest.raises(ValueError, match="local paths"):
+        write_single_file(df, "s3a://bucket/out.csv")
+    via_uri = write_single_file(df, "file://" + str(tmp_path / "u.csv"))
+    assert open(via_uri).read().splitlines()[0] == "id"
+
+    # --- quarantine via public DDL parse
+    feed = tmp_path / "feed.csv"
+    feed.write_text("a,b\n1,2\nbadrow\n")
+    from mare_spark.sources import read_with_quarantine
+
+    good, bad = read_with_quarantine(
+        spark, str(feed), "a int, b int", fmt="csv", header=True
+    )
+    assert good.count() == 1 and bad.count() == 1
+    from mare_spark.operators.dedup import release_caches
+
+    release_caches(good)
