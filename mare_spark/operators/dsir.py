@@ -49,6 +49,12 @@ def hashed_gram_buckets(
     hashed-ngram featurization: unigrams+bigrams by default, md5 → 32-bit
     prefix → mod ``num_buckets`` — the established md5→int parity pattern,
     so a DuckDB oracle replays it byte-for-byte)."""
+    if num_buckets < 1:
+        raise ValueError(
+            f"num_buckets must be >= 1, got {num_buckets} (long % 0 is "
+            "NULL in non-ANSI Spark — every feature would silently drop "
+            "at the scoring join)"
+        )
     grams = F.concat(*[word_ngrams(text_col, n) for n in ns])
     return F.transform(
         grams,
@@ -98,13 +104,18 @@ def dsir_logratios(
 
     Output is ≤ ``num_buckets`` rows: broadcast it into the scoring join.
     """
-    if alpha < 1:
-        raise ValueError("alpha must be a positive integer")
+    if not isinstance(alpha, int) or isinstance(alpha, bool) or alpha < 1:
+        # a FLOAT alpha would silently turn the one-exact-division
+        # guarantee into double arithmetic (cross-engine drift)
+        raise ValueError(f"alpha must be a positive integer, got {alpha!r}")
     spark = raw_df.sparkSession
     t = bucket_counts(target_df, text_col, ns=ns, num_buckets=num_buckets)
     r = bucket_counts(raw_df, text_col, ns=ns, num_buckets=num_buckets)
-    tot_t = t.agg(F.sum("cnt").alias("T"))
-    tot_r = r.agg(F.sum("cnt").alias("R"))
+    # coalesce to 0: sum() over an EMPTY corpus is NULL, which would
+    # silently NULL every logratio (the oracle's count(*) totals are 0
+    # on empty — this keeps the engines in lockstep; r8 review)
+    tot_t = t.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("T"))
+    tot_r = r.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("R"))
     dense = (
         spark.range(num_buckets).withColumnRenamed("id", "bucket")
         .join(t.withColumnRenamed("cnt", "t_cnt"), "bucket", "left")
@@ -119,11 +130,32 @@ def dsir_logratios(
     den = (F.coalesce("r_cnt", F.lit(0)) + a) * (
         F.col("T") + a * F.lit(num_buckets)
     )
+    # exact-double invariant, CHECKED (r8 review): the parity story
+    # needs both int64 products representable exactly as doubles, i.e.
+    # < 2^53. (t_cnt+a) <= (T+a), so bounding the total-level products
+    # bounds every bucket's. Past the bound the engines would diverge
+    # silently (Spark wraps int64, DuckDB errors) — raise with the dial
+    # to turn instead. Lazy per-row check on <= num_buckets rows.
+    limit = float(2 ** 53)
+    ab = a * F.lit(num_buckets)
+    too_big = (
+        ((F.col("T") + a).cast("double") * (F.col("R") + ab).cast("double")
+         >= limit)
+        | ((F.col("R") + a).cast("double") * (F.col("T") + ab).cast("double")
+           >= limit)
+    )
+    ratio = num.cast("double") / den.cast("double")
     return dense.select(
         "bucket",
-        fround(F.log(num.cast("double") / den.cast("double")), 6).alias(
-            "logratio"
-        ),
+        F.when(
+            too_big,
+            F.raise_error(F.lit(
+                "dsir_logratios: smoothed-ratio products exceed 2^53 — "
+                "the exact-double cross-engine parity would break (and "
+                "int64 would overflow); shard the corpus or aggregate "
+                "counts at a coarser granularity"
+            )),
+        ).otherwise(fround(F.log(ratio), 6)).alias("logratio"),
     )
 
 
@@ -199,14 +231,17 @@ def dsir_gumbel_topk(
     Appends ``gumbel_key`` (kept in the output on purpose: re-auditing a
     selection months later needs the realized keys, not just the ranks).
     """
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    from mare_spark.operators.text import deterministic_uniform
+
+    # the SHARED md5-uniform + an exact +0.5/2^32 offset ((2h+1)*2^-33 is
+    # representable, so this is bit-identical to (h+0.5)/2^32 — one
+    # definition for every sampler, r8 review). NULL ids are EXCLUDED
+    # up front: their NULL u would slip through least() (which ignores
+    # NULLs on both engines) straight to the clamp, handing NULL-id docs
+    # the MAXIMUM gumbel bonus — deterministic_uniform's contract says
+    # consumers must filter.
+    weights_df = weights_df.filter(F.col(id_col).isNotNull())
+    u = deterministic_uniform(F.col(id_col), salt) + F.lit(0.5 / float(1 << 32))
     # ln(u) < 0, snapped to the 6dp grid. For u within ~5e-7 of 1 the
     # snap lands exactly on 0 and -ln(-0) would be NULL under Spark
     # (silently unsampleable) and an error/divergence in a SQL oracle —

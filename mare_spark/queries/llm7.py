@@ -120,7 +120,9 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * 1000000.0 + 0.5) / 1000000.0,
                  -0.000001
                )) * 1000000.0 + 0.5) / 1000000.0) AS gumbel_key
-      FROM sc
+      -- NULL doc_ids excluded in lockstep with dsir_gumbel_topk (a NULL
+      -- uniform would slip through least() to the clamp on both engines)
+      FROM sc WHERE doc_id IS NOT NULL
     )
     SELECT doc_id, n_feats, log_weight, gumbel_key
     FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50

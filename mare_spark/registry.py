@@ -176,7 +176,10 @@ def register(
 #      job instead of 5 sequential actions), multimodal_decode
 #      (decode_features routes through the _REAL_DECODERS table), and
 #      q_udtf_word_positions (oracle gained the NULL-text guard —
-#      DuckDB least() ignores NULL; also r4-stale, counted here).
+#      DuckDB least() ignores NULL; also r4-stale, counted here), and
+#      the DSIR rows corpus_dsir_weights + sample_dsir_gumbel (empty-
+#      corpus totals coalesce, checked 2^53 product guard, NULL-id
+#      exclusion from the gumbel draw — oracle in lockstep).
 #      multimodal_sniff_report's builder gained only the additive bmp24
 #      branch (existing kinds byte-identical, pytest-pinned) and stays
 #      on its r6 evidence.
@@ -191,16 +194,17 @@ def register(
 #      registration order — streaming_heavy_hitters_replay's operator
 #      path also changed this round (sorted tie-break, persisted
 #      micro-batch), so its refresh is load-bearing twice over;
-#   5. six r5-stale fill rows in registration order (dedup_minhash_lsh,
-#      dedup_simhash, dedup_embedding_cosine, dedup_clusters_resolve,
-#      dedup_embedding_lsh, sim_filtered_topk).
-# After r8 the oldest evidence in the ledger is round 5: 38 r5-stale
-# rows remain (44 minus the 6 fills) and head the r9 rotation.
+#   5. four r5-stale fill rows in registration order (dedup_minhash_lsh,
+#      dedup_simhash, dedup_embedding_cosine, dedup_clusters_resolve) —
+#      two fills displaced by the late-round DSIR touches above.
+# After r8 the oldest evidence in the ledger is round 5: 40 r5-stale
+# rows remain (44 minus the 4 fills) and head the r9 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 1. round-8-touched operator paths / oracles --
     "events_quantile_sketch", "streaming_quantile_replay",
     "streaming_sessionize_replay", "sim_pq_recall_report",
     "multimodal_decode", "q_udtf_word_positions",
+    "corpus_dsir_weights", "sample_dsir_gumbel",
     # -- 2. round-8 registrations --
     "multimodal_media_stats", "rag_retrieval_report",
     # -- 3. anchors --
@@ -225,7 +229,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_interval_binned",
     # -- 5. round-5-stale fill rows (registration order) --
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_clusters_resolve", "dedup_embedding_lsh", "sim_filtered_topk",
+    "dedup_clusters_resolve",
     # -- 6. the rest of the corpus follows in registration order --
 )
 
