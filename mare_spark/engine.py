@@ -21,19 +21,20 @@ class Engine:
         self.spark = spark
         self.sf_dir = sf_dir
         self.backend = backend
-        self._tables: dict[str, DataFrame] = {}
         if sf_dir is not None:
-            self._tables = load_tables(spark, sf_dir)
+            load_tables(spark, sf_dir)
 
     # -- catalog ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:
-        if name in self._tables:
-            return self._tables[name]
+        # always the live catalog view — a cached DataFrame handle would go
+        # stale the moment the temp view is replaced outside register()
+        # (e.g. via eng.sql("CREATE OR REPLACE TEMP VIEW ...")), making
+        # table() and sql() silently disagree about the same name
+        # (r8 review)
         return self.spark.table(name)
 
     def register(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
-        self._tables[name] = df
 
     # -- SQL entry point ----------------------------------------------------
     def sql(self, query: str) -> DataFrame:

@@ -56,10 +56,15 @@ class FsIO:
             )
         self._jvm = jvm
         try:
-            self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-                jvm.java.net.URI.create(resolve_path(path)),
-                jsc.hadoopConfiguration(),
-            )
+            # Path(...).getFileSystem, not FileSystem.get(URI.create(...)):
+            # URI.create throws on URI-illegal characters legal in paths
+            # (space, %, #), while Hadoop's Path constructor percent-quotes
+            # them — the same resolution Spark's writers use, and the same
+            # parsing _p() already applies to every subsequent call
+            # (r8 review)
+            self._fs = jvm.org.apache.hadoop.fs.Path(
+                resolve_path(path)
+            ).getFileSystem(jsc.hadoopConfiguration())
         except Exception as ex:  # missing scheme jar / bad credentials
             raise ValueError(
                 f"cannot resolve a Hadoop FileSystem for {path!r}: the "
@@ -107,8 +112,18 @@ class FsIO:
             )
 
     def rename(self, src: str, dst: str) -> None:
-        """Rename/move; raises when the filesystem reports failure (e.g.
-        an existing destination — Hadoop rename never overwrites)."""
+        """Rename/move; raises on failure AND on an existing destination.
+        The existence check is explicit because the underlying contract
+        diverges by scheme: HDFS rename refuses to overwrite, but
+        RawLocalFileSystem delegates to POSIX rename(2), which silently
+        REPLACES an existing destination file — so code tested on
+        file:// would destroy data that the same code protects on a real
+        cluster (r8 review)."""
+        if self._fs.exists(self._p(dst)):
+            raise IOError(
+                f"rename {src} -> {dst}: destination exists on "
+                f"{self._fs.getUri().toString()} (rename never overwrites)"
+            )
         if not self._fs.rename(self._p(src), self._p(dst)):
             raise IOError(
                 f"rename {src} -> {dst} failed on "

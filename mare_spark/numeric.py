@@ -125,7 +125,14 @@ def fround(col: Column | str, scale: int) -> Column:
     convention, not a round() clone; away from half boundaries it agrees
     with round() except within one double ulp, where round() is
     engine-dependent and this is not. Parity holds because every oracle
-    applies the IDENTICAL formula (:func:`sql_fround`), never round()."""
+    applies the IDENTICAL formula (:func:`sql_fround`), never round().
+
+    Domain: |x·10^s| must stay below 2^63 — Spark's floor(double) returns
+    BIGINT and silently SATURATES at Long.MaxValue past that, while
+    DuckDB's floor stays double, so the engines would diverge without an
+    error (r8 review). Money/ratio magnitudes in this engine sit many
+    orders below the cliff; callers snapping astronomical values must
+    rescale first."""
     m = float(10**scale)
     return (F.floor(_c(col) * m + F.lit(0.5)) / m).cast("double")
 

@@ -89,7 +89,14 @@ def read_events_stream(
         "event_type string, value double, props string",
     )
     if isinstance(schema["ts"].dataType, T.LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # FLOOR division — tables.read_table's pre-epoch contract, kept
+        # in lockstep (bare div truncates toward zero)
+        raw = raw.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr(
+                "ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
+            )),
+        )
     elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
         # Watermarks require TIMESTAMP (with-TZ); the session TZ is pinned
         # to UTC above, so this cast is value-preserving.

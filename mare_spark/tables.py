@@ -59,7 +59,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # FLOOR division, not bare `div`: div truncates toward zero, so a
+        # pre-epoch nano value like -1500 ns would land at -1 µs while the
+        # true instant floors to -2 µs — the value a nanos-native oracle
+        # reads (the pre-epoch parity class; r8 review). `/` is out
+        # entirely (double round-trip loses int64 precision).
+        micros = F.expr(
+            "ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
+        )
+        df = df.withColumn("ts", F.timestamp_micros(micros))
     return df
 
 

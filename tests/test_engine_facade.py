@@ -116,3 +116,26 @@ def test_merge_delta_reserves_op_column(spark):
     df = spark.createDataFrame([(1, "u")], "id long, _op string")
     with pytest.raises(ValueError, match="reserved"):
         merge_delta(spark, "/tmp/nx", df, "id")
+
+
+def test_engine_table_tracks_live_catalog(spark):
+    """r8 review: eng.table() must see the SAME relation eng.sql() sees
+    after a view is replaced through SQL — the cached-DataFrame shortcut
+    made the two silently disagree."""
+    from mare_spark.engine import Engine
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    n_all = eng.table("orders").count()
+    eng.sql(
+        "CREATE OR REPLACE TEMP VIEW orders AS "
+        "SELECT * FROM parquet.`/root/testdata/sf0.001/orders.parquet` "
+        "WHERE o_orderstatus = 'F'"
+    )
+    try:
+        via_sql = eng.sql("SELECT count(*) AS n FROM orders").head().n
+        assert eng.table("orders").count() == via_sql < n_all
+    finally:
+        eng.sql(
+            "CREATE OR REPLACE TEMP VIEW orders AS "
+            "SELECT * FROM parquet.`/root/testdata/sf0.001/orders.parquet`"
+        )

@@ -685,3 +685,24 @@ def test_maintenance_viewfs_scheme(spark, viewfs_root):
     assert got[5] == 999 and got[1000] == 1 and 7 not in got
     assert len(got) == 200  # +1 insert, -1 delete
     assert os.path.isdir(str(root / "maint_tbl"))
+
+
+def test_fsio_review_guards_r8(spark, tmp_path):
+    """r8 review over fsio.py: paths with URI-illegal characters (space)
+    resolve through Hadoop's own Path parsing instead of URI.create;
+    rename enforces the never-overwrite contract explicitly (POSIX
+    rename(2) under file:// would silently replace)."""
+    from mare_spark.fsio import FsIO
+
+    weird = tmp_path / "my files"
+    weird.mkdir()
+    io = FsIO(spark, str(weird))
+    io.write_text_atomic(str(weird / "m.json"), "{}")
+    assert io.read_text(str(weird / "m.json")) == "{}"
+    assert io.exists(str(weird / "m.json"))
+
+    io.write_text_atomic(str(weird / "other.json"), "{1}".replace("1", ""))
+    with pytest.raises(IOError, match="destination exists"):
+        io.rename(str(weird / "m.json"), str(weird / "other.json"))
+    # both files intact — nothing was silently replaced
+    assert io.read_text(str(weird / "m.json")) == "{}"

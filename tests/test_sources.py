@@ -282,3 +282,43 @@ def test_sources_review_guards_r8(spark, tmp_path):
     from mare_spark.operators.dedup import release_caches
 
     release_caches(good)
+
+
+def test_read_table_pre_epoch_nanos_floor(spark, tmp_path):
+    """r8 review: nanos->micros conversion must FLOOR (a nanos-native
+    oracle floors), not truncate toward zero — pre-epoch values differed
+    by one microsecond."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mare_spark.tables import TABLE_NAMES, read_table, table_path
+    from tests.conftest import SF_SMOKE
+
+    sf = str(tmp_path / "sfnanos")
+    (tmp_path / "sfnanos").mkdir()
+    for t in TABLE_NAMES:
+        shutil.copy(table_path(SF_SMOKE, t), table_path(sf, t))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([-1500, -2000, 1500], pa.timestamp("ns")),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(["a", "a", "a"]),
+            "value": pa.array([1.0, 1.0, 1.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, table_path(sf, "events"))
+    from pyspark.sql import functions as SF
+
+    got = {
+        r.event_id: r.us
+        for r in read_table(spark, sf, "events")
+        .select("event_id", SF.unix_micros("ts").alias("us")).collect()
+    }
+    # floor semantics: -1500 ns -> -2 us; exact multiples unchanged
+    assert got[1] == -2
+    assert got[2] == -2
+    assert got[3] == 1
