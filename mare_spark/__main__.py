@@ -56,15 +56,30 @@ def cmd_list(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_run(args: argparse.Namespace) -> int:
+def _lookup(name: str):
+    """Shared unknown-name path (r8 review: run/explain carried two
+    copies and neither showed the did-you-mean hints Engine.run_query
+    already computes). Returns the QueryDef or None after printing the
+    suggestion to stderr."""
     from mare_spark.registry import all_queries
 
     queries = all_queries()
-    if args.name not in queries:
-        print(f"unknown query: {args.name} (see `list`)", file=sys.stderr)
+    if name in queries:
+        return queries[name]
+    import difflib
+
+    near = difflib.get_close_matches(name, queries, n=3)
+    hint = f"; did you mean {', '.join(near)}?" if near else ""
+    print(f"unknown query: {name}{hint} (see `list`)", file=sys.stderr)
+    return None
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    q = _lookup(args.name)
+    if q is None:
         return 2
     spark = _spark(f"mare_spark_run_{args.name}")
-    _emit(queries[args.name].fn(spark, args.sf_dir), args.limit, args.json)
+    _emit(q.fn(spark, args.sf_dir), args.limit, args.json)
     return 0
 
 
@@ -78,14 +93,24 @@ def cmd_sql(args: argparse.Namespace) -> int:
 
 def cmd_explain(args: argparse.Namespace) -> int:
     from mare_spark import plans as P
-    from mare_spark.registry import all_queries
 
-    queries = all_queries()
-    if args.name not in queries:
-        print(f"unknown query: {args.name} (see `list`)", file=sys.stderr)
+    q = _lookup(args.name)
+    if q is None:
         return 2
     spark = _spark("mare_spark_explain")
-    print(P.formatted_plan(queries[args.name].fn(spark, args.sf_dir)))
+    # Driver-composed queries (maintenance/export/BPE reports and the
+    # streaming replays) EXECUTE their preparation jobs inside fn() and
+    # return a frame built from collected rows — their printed plan is a
+    # LocalTableScan of the result, not the work (r8 review). Warn so
+    # the surprise (minutes of jobs for an "explain") is at least named.
+    if q.category in ("maintenance", "streaming") or "driver" in q.doc:
+        print(
+            f"# note: {args.name} composes driver-side jobs inside its "
+            "builder; explain EXECUTES those jobs and the plan below "
+            "covers only the final result frame",
+            file=sys.stderr,
+        )
+    print(P.formatted_plan(q.fn(spark, args.sf_dir)))
     return 0
 
 
@@ -104,8 +129,17 @@ def cmd_report(args: argparse.Namespace) -> int:
         ("length histogram", "corpus_length_histogram"),
     ]
     for title, name in sections:
-        print(f"\n== {title} [{name}] ==")
-        _emit(queries[name].fn(spark, args.sf_dir), args.limit, args.json)
+        # section headers are DIAGNOSTICS under --json: interleaving them
+        # into stdout would break the documented JSONL pipe contract
+        # (r8 review); JSON consumers get the section on each row instead
+        header = f"\n== {title} [{name}] =="
+        print(header, file=sys.stderr if args.json else sys.stdout)
+        df = queries[name].fn(spark, args.sf_dir)
+        if args.json:
+            from pyspark.sql import functions as F
+
+            df = df.select(F.lit(name).alias("section"), "*")
+        _emit(df, args.limit, args.json)
     return 0
 
 

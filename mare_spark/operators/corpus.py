@@ -1323,7 +1323,12 @@ def epoch_shuffle(
     ).cast("int")
     w = Window.partitionBy("shard").orderBy("_ord", id_col)
     return (
-        df.select(
+        # NULL ids are EXCLUDED: a row without a key has no replayable
+        # training-order address (concat_ws would silently hash the bare
+        # 'epoch:salt' string for every such row — colliding orders and
+        # diverging from NULL-propagating SQL replays; r8 review)
+        df.filter(F.col(id_col).isNotNull())
+        .select(
             id_col, *keep_cols,
             ordkey.alias("_ord"), shard.alias("shard"),
         )

@@ -105,7 +105,9 @@ def corpus_bpe_segment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
                                              || ':0:'), 1, 15)) AS BIGINT)
                     % {_N_SHARDS} AS INT) AS shard
-        FROM documents
+        -- NULL doc_ids excluded in lockstep with epoch_shuffle (no
+        -- replayable training-order address without a key)
+        FROM documents WHERE doc_id IS NOT NULL
       )
     )
     """,

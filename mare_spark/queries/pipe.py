@@ -26,7 +26,9 @@ from mare_spark.tables import read_table
     oracle="""
     SELECT CAST(sum(length(text) - length(regexp_replace(text, '[gc]', '', 'g')))
            AS BIGINT) AS gc_total
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
+    -- NULL text excluded in lockstep with the pipe side: the TextFile
+    -- codec rejects NULL records by contract (r8 review)
     """,
 )
 def pipe_gc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,7 +36,11 @@ def pipe_gc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship pipeline (MaReTest.scala:35-66) re-targeted at the documents
     table: count 'g'/'c' characters per partition with awk, tree-reduce the
     partials by summing."""
-    docs = read_table(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # TextFile rejects NULL records
+        .select(F.col("text").alias("value"))
+    )
     result = (
         MaRe(docs)
         .repartition(5)
@@ -58,12 +64,35 @@ def pipe_gc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipe_map_upper",
     category="pipe",
-    oracle="SELECT upper(text) AS value FROM documents",
+    oracle="""
+    SELECT translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                           'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS value
+    FROM documents
+    WHERE text IS NOT NULL AND text <> '' AND NOT contains(text, chr(10))
+    -- the oracle models what `tr '[:lower:]' '[:upper:]'` DOES, not what
+    -- SQL upper() does: tr is byte-wise ASCII in the C locale (a Unicode
+    -- 'e-acute' passes through unchanged where upper() would uppercase
+    -- it) — translate() is the exact mirror. The WHERE pins the codec's
+    -- record domain: NULL records are rejected by TextFile, embedded
+    -- newlines would split one document into several records, and a
+    -- trailing empty record is dropped by the Java-split read rule
+    -- (r8 review — all three were fixture-lucky before)
+    """,
 )
 def pipe_map_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-only pipe: uppercase every record with ``tr`` (record-count and
-    content-preserving, so it is exactly SQL ``upper``)."""
-    docs = read_table(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    """Map-only pipe: uppercase every record with ``tr`` — byte-wise ASCII
+    in the C locale, which the oracle mirrors with translate() rather than
+    the Unicode-aware upper(). Input is pinned to the TextFile codec's
+    record domain (non-NULL, newline-free, non-empty) on BOTH sides."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.col("text") != "")
+            & ~F.col("text").contains("\n")
+        )
+        .select(F.col("text").alias("value"))
+    )
     return (
         MaRe(docs)
         .repartition(4)
@@ -81,18 +110,29 @@ def pipe_map_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_token_total",
     category="pipe",
     oracle="""
-    SELECT CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+    SELECT CAST(sum(CASE WHEN t = '' THEN 0
+                     ELSE len(regexp_split_to_array(t, '[ \t\n]+'))
                 END) AS BIGINT)
            AS token_total
-    FROM documents
-    -- awk NF counts an empty/whitespace-only line as 0 tokens;
-    -- regexp_split_to_array('') returns [''] (len 1) — gate it
+    FROM (
+      SELECT regexp_replace(text, '^[ \t\n]+|[ \t\n]+$', '', 'g') AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    -- awk NF semantics, mirrored exactly (r8 review): fields split on
+    -- runs of BLANKS (space/tab; newlines are record boundaries, which
+    -- sum out identically for a total) — plain trim() strips spaces
+    -- only, so a leading tab would mint a phantom '' field here; an
+    -- empty/whitespace-only record is 0 tokens; NULL text is excluded
+    -- in lockstep with the codec's NULL rejection
     """,
 )
 def pipe_token_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token total via awk NF + tree reduce (associative sum)."""
-    docs = read_table(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())  # TextFile rejects NULL records
+        .select(F.col("text").alias("value"))
+    )
     result = (
         MaRe(docs)
         .repartition(5)

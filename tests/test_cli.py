@@ -65,3 +65,30 @@ def test_cli_report(capsys):
     for section in ("corpus mix", "quality funnel", "duplicate clusters",
                     "length histogram"):
         assert section in out
+
+
+def test_cli_report_json_is_pure_jsonl(spark, capsys):
+    """r8 review: --json stdout must be machine-parseable JSONL — the
+    section headers were interleaved into stdout, breaking the
+    documented pipe contract; they now go to stderr and each row carries
+    its section name."""
+    import json as _json
+
+    assert main(
+        ["report", "--sf-dir", SF_SMOKE, "--limit", "3", "--json"]
+    ) == 0
+    out = capsys.readouterr()
+    sections = set()
+    for line in out.out.splitlines():
+        if not line.strip():
+            continue
+        row = _json.loads(line)  # every stdout line parses
+        sections.add(row["section"])
+    assert "corpus_mix_report" in sections
+    assert "== " in out.err  # headers landed on stderr
+
+
+def test_cli_unknown_query_suggests(spark, capsys):
+    assert main(["run", "q1_pricing_sumary", "--sf-dir", SF_SMOKE]) == 2
+    err = capsys.readouterr().err
+    assert "did you mean" in err and "q1_pricing_summary" in err

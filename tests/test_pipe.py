@@ -391,3 +391,53 @@ def test_empty_partition_emits_no_phantom_record(spark):
         .df.collect()
     )
     assert sorted(r.value for r in out) == ["A", "B"]
+
+
+def test_pipe_differentials_on_adversarial_text(spark, tmp_path):
+    """r8 review: the pipe-vs-SQL differentials hold beyond the
+    fixture-lucky corpus — NULL text, tabs, unicode, newlines, empty
+    strings. The oracles now model what the TOOLS do (byte-wise ASCII
+    tr via translate(), awk blank-splitting) over the codec's pinned
+    record domain."""
+    import shutil
+
+    import pandas as pd
+
+    from mare_spark.registry import all_queries
+    from mare_spark.tables import TABLE_NAMES, table_path
+    from tests.conftest import SF_ORACLE
+    from tests.oracle import compare
+
+    sf = str(tmp_path / "sfadv")
+    (tmp_path / "sfadv").mkdir()
+    for t in TABLE_NAMES:
+        shutil.copy(table_path(SF_ORACLE, t), table_path(sf, t))
+    docs = [
+        "plain ascii words",
+        None,                      # codec NULL rejection vs SQL NULL
+        "\ttab\tseparated\t",      # awk blanks vs trim()
+        "café résumé",  # tr is ASCII-only
+        "",                        # empty record
+        "  spaced  out  ",
+        "multi\nline text here",   # record-splitting domain gate
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["src0"] * len(docs),
+            "n_chars": [len(d) if d else 0 for d in docs],
+        }
+    ).to_parquet(table_path(sf, "documents"))
+
+    qs = all_queries()
+    for name in ("pipe_gc_count", "pipe_token_total", "pipe_map_upper"):
+        compare(qs[name].fn(spark, sf), qs[name].oracle, sf)
+    # spot-check the modeled tool semantics directly
+    upper = {r.value for r in qs["pipe_map_upper"].fn(spark, sf).collect()}
+    assert "CAFé RéSUMé" in upper  # e-acute NOT uppercased
+    tok = qs["pipe_token_total"].fn(spark, sf).head().token_total
+    # awk NF over the 6 non-NULL docs ('multi\nline text here' = 1 + 3:
+    # the newline is a record boundary, fields sum across records)
+    assert tok == 3 + 2 + 2 + 0 + 2 + 4
