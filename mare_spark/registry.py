@@ -179,7 +179,11 @@ def register(
 #      DuckDB least() ignores NULL; also r4-stale, counted here), and
 #      the DSIR rows corpus_dsir_weights + sample_dsir_gumbel (empty-
 #      corpus totals coalesce, checked 2^53 product guard, NULL-id
-#      exclusion from the gumbel draw — oracle in lockstep).
+#      exclusion from the gumbel draw — oracle in lockstep), the three
+#      pipe differentials (oracles now model the TOOLS: byte-wise ASCII
+#      tr via translate(), awk blank-splitting; codec record domain
+#      pinned on both sides), and corpus_epoch_shuffle (NULL-id
+#      exclusion, oracle in lockstep).
 #      multimodal_sniff_report's builder gained only the additive bmp24
 #      branch (existing kinds byte-identical, pytest-pinned) and stays
 #      on its r6 evidence.
@@ -194,17 +198,22 @@ def register(
 #      registration order — streaming_heavy_hitters_replay's operator
 #      path also changed this round (sorted tie-break, persisted
 #      micro-batch), so its refresh is load-bearing twice over;
-#   5. four r5-stale fill rows in registration order (dedup_minhash_lsh,
-#      dedup_simhash, dedup_embedding_cosine, dedup_clusters_resolve) —
-#      two fills displaced by the late-round DSIR touches above.
-# After r8 the oldest evidence in the ledger is round 5: 40 r5-stale
-# rows remain (44 minus the 4 fills) and head the r9 rotation.
+#   5. no fill rows — the twelve touched rows + two registrations +
+#      three anchors + thirty-three r4-stale rows fill the window
+#      exactly (the pipe/epoch touches displaced the last four r5-stale
+#      fills; four of the twelve touched rows are themselves r5-stale).
+# After r8 the oldest evidence in the ledger is round 5: 41 r5-stale
+# rows remain (44 minus pipe_gc_count/pipe_map_upper/pipe_token_total,
+# refreshed here as touched rows; corpus_epoch_shuffle was r6) and head
+# the r9 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 1. round-8-touched operator paths / oracles --
     "events_quantile_sketch", "streaming_quantile_replay",
     "streaming_sessionize_replay", "sim_pq_recall_report",
     "multimodal_decode", "q_udtf_word_positions",
     "corpus_dsir_weights", "sample_dsir_gumbel",
+    "pipe_gc_count", "pipe_map_upper", "pipe_token_total",
+    "corpus_epoch_shuffle",
     # -- 2. round-8 registrations --
     "multimodal_media_stats", "rag_retrieval_report",
     # -- 3. anchors --
@@ -227,9 +236,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_quality_funnel", "pipeline_clean_corpus_v3",
     "q_asof_join_forward", "streaming_heavy_hitters_replay",
     "q_join_interval_binned",
-    # -- 5. round-5-stale fill rows (registration order) --
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_clusters_resolve",
+    # -- 5. (no fill rows this round — window exactly full) --
     # -- 6. the rest of the corpus follows in registration order --
 )
 
