@@ -1075,9 +1075,17 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float array columns, computed in double
-    precision (matches the SQL oracle's explicit-double formula)."""
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    """Cosine similarity of two float array columns via the SEQUENTIAL
+    expression fold — summation order matches a SQL oracle's list_sum
+    bit-for-bit (numpy's pairwise-blocked sums round differently at the
+    ulp level, which can flip a 6dp grid snap; hash-checked rows use
+    THIS, scale tiers use the vectorized numpy UDFs). Degenerate (zero)
+    vectors score 0.0 on both engines by an explicit guard — the raw
+    division is NaN in Spark but NULL in DuckDB (r8 review)."""
+    # denominator spelled EXACTLY as the oracles spell it —
+    # sqrt(Σa²)·sqrt(Σb²), never sqrt(Σa²·Σb²), which rounds differently
+    den = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / den)
 
 
 def embedding_cosine_pairs(
@@ -1087,6 +1095,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     exact_max_rows: int | None = 100_000,
     dim: int | None = None,
+    scoring: str = "numpy",
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold.
 
@@ -1119,14 +1128,26 @@ def embedding_cosine_pairs(
             return embedding_lsh_pairs(
                 df, vec_col=vec_col, id_col=id_col, threshold=threshold, dim=dim
             )
-    from mare_spark.operators.similarity import pairwise_cosine
+    # scoring tiers (r8 review — hard_negatives' convention): "fold" is
+    # the sequential expression fold whose summation order matches a SQL
+    # oracle's list_sum bit-for-bit (hash-checked rows); "numpy" is the
+    # vectorized Arrow scale path (pairwise-blocked sums — ulp-different
+    # near a 6dp grid boundary, fine when no oracle replays the value)
+    if scoring == "fold":
+        pair_cos = cosine_similarity
+    elif scoring == "numpy":
+        from mare_spark.operators.similarity import pairwise_cosine
+
+        pair_cos = pairwise_cosine
+    else:
+        raise ValueError(f"scoring must be 'numpy' or 'fold', got {scoring!r}")
 
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     a = base.withColumnsRenamed({"vid": "id_a", "v": "v_a"})
     b = base.withColumnsRenamed({"vid": "id_b", "v": "v_b"})
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", fround(pairwise_cosine(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn("cosine", fround(pair_cos(F.col("v_a"), F.col("v_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -125,15 +125,42 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    scoring: str = "numpy",
 ) -> DataFrame:
-    """Exact top-k cosine. Deterministic tie-break on the id column."""
-    return (
-        df.select(
-            F.col(id_col),
-            fround(cosine_to_query(F.col(vec_col), query_vec), 6).alias(
-                "cosine"
-            ),
+    """Exact top-k cosine. Deterministic tie-break on the id column.
+
+    ``scoring="numpy"`` (default) is the scale path — one BLAS matvec
+    per Arrow batch. ``scoring="fold"`` scores with the sequential
+    expression fold (``dedup.cosine_similarity``) whose summation order
+    matches a SQL oracle's list_sum bit-for-bit — the hash-checked
+    registered rows use it (hard_negatives' convention; numpy's
+    pairwise-blocked sums can snap differently within ~1 ulp of a 6dp
+    grid boundary, r8 review). NULL vectors fold to NULL cosine and
+    sort after every real value under DESC on both engines."""
+    if scoring == "fold":
+        import math
+
+        from mare_spark.operators.dedup import _dot
+
+        # query-side specialization: Σq² is a constant, folded HERE with
+        # the same sequential left-to-right order the oracle's list_sum
+        # uses (bit-identical double), so each row pays two folds, not
+        # three; den multiplication order stays sqrt(Σv²)·sqrt(Σq²)
+        q = [float(x) for x in query_vec]
+        qd = 0.0
+        for x in q:
+            qd += x * x
+        v = F.col(vec_col)
+        den = F.sqrt(_dot(v, v)) * F.lit(math.sqrt(qd))
+        score = F.when(den == 0.0, F.lit(0.0)).otherwise(
+            _dot(v, F.lit(q)) / den
         )
+    elif scoring == "numpy":
+        score = cosine_to_query(F.col(vec_col), query_vec)
+    else:
+        raise ValueError(f"scoring must be 'numpy' or 'fold', got {scoring!r}")
+    return (
+        df.select(F.col(id_col), fround(score, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

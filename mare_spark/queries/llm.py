@@ -31,6 +31,63 @@ _SHINGLES3 = (
     f"i -> array_to_string(({_WORDS})[i:i+2], ' ')))"
 )
 
+
+def _sql_cosine(av: str, bv: str) -> str:
+    """ONE definition of the oracle-side cosine (single-definition rule,
+    r8 review): dot/(sqrt·sqrt) spelled exactly as the engine's
+    sequential fold evaluates it, with the degenerate-vector guard the
+    fold applies (raw 0/0 is NaN in Spark but NULL in DuckDB)."""
+    dot = f"list_sum(list_transform(range(1, 65), i -> {av}[i] * {bv}[i]))"
+    den = (f"(sqrt(list_sum(list_transform({av}, x -> x*x)))"
+           f" * sqrt(list_sum(list_transform({bv}, x -> x*x))))")
+    return (f"(CASE WHEN {den} = 0 THEN 0.0 ELSE "
+            f"floor({dot} / {den} * 1000000.0 + 0.5) / 1000000.0 END)")
+
+
+def _sql_list(words) -> str:
+    return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+
+# oracle literals GENERATED from the operator's own constants (r8 review:
+# hand-inlined twins fork silently when text.py's lists change)
+from mare_spark.operators.text import LANG_MARKERS, STOPWORDS  # noqa: E402
+
+_SQL_STOPLIST = _sql_list(STOPWORDS)
+_SQL_MARKERS = {lang: _sql_list(ws) for lang, ws in LANG_MARKERS.items()}
+
+
+_J_SNAP = ("(floor(common / (na + nb - common) * 1000000.0 + 0.5)\n"
+           "            / 1000000.0)")
+
+
+def _jaccard_pairs_ctes(src: str = "documents", having: bool = True) -> str:
+    """docs/inv/pairs CTE chain for exact word-3-gram Jaccard near-dup
+    pairs over ``src`` — ONE definition for the four oracles that used to
+    carry hand-synced copies (r8 review): a threshold or shingle change
+    now lands everywhere or nowhere. ``having=True`` filters at >= 0.8
+    inside the chain (the cluster/pipeline form); ``having=False`` leaves
+    pairs unfiltered for call sites that SELECT the jaccard value."""
+    hav = (f"\n      HAVING {_J_SNAP} >= 0.8" if having else "")
+    return f"""docs AS (
+      SELECT doc_id, {_SHINGLES3} AS sh FROM {src}
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             count(*) AS common
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4{hav}
+    )"""
+
+
+def _jaccard_edges_ctes(src: str = "documents") -> str:
+    """The pair chain + symmetric edge closure (feeds DUCK_EXACT_CC)."""
+    return f"""{_jaccard_pairs_ctes(src)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    )"""
+
 # EXACT connected components for the cluster/pipeline oracles: a recursive
 # reachability fixpoint over a bound ``edges(src, dst)`` CTE (bidirectional),
 # yielding ``labels(node, label)`` with label = component minimum. The
@@ -100,22 +157,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="llm",
     bench=True,
     oracle=f"""
-    WITH docs AS (
-      SELECT doc_id, {_SHINGLES3} AS sh FROM documents
-    ),
-    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-             count(*) AS common
-      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-    )
+    WITH {_jaccard_pairs_ctes(having=False)}
     SELECT doc_a, doc_b,
-           (floor(common / (na + nb - common) * 1000000.0 + 0.5)
-            / 1000000.0) AS jaccard
+           {_J_SNAP} AS jaccard
     FROM pairs
-    WHERE (floor(common / (na + nb - common) * 1000000.0 + 0.5)
-            / 1000000.0) >= 0.8
+    WHERE {_J_SNAP} >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,23 +227,15 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     category="llm",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           (floor(
-             list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-             / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                * sqrt(list_sum(list_transform(b.v, x -> x*x))))
-             * 1000000.0 + 0.5) / 1000000.0) AS cosine
+           {_sql_cosine("a.v", "b.v")} AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE (floor(
-            list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-            / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-               * sqrt(list_sum(list_transform(b.v, x -> x*x))))
-            * 1000000.0 + 0.5) / 1000000.0) >= 0.4
+    WHERE {_sql_cosine("a.v", "b.v")} >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,8 +248,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure at a bigger SF. The scale tier has its own registered row
     (``dedup_embedding_lsh``)."""
     emb = read_table(spark, sf_dir, "embeddings")
+    # scoring="fold": the hash-checked row scores with the sequential
+    # expression fold the oracle replays bit-for-bit (r8 review — numpy's
+    # pairwise-blocked sums can snap differently at a 6dp grid boundary);
+    # the scale tier (dedup_embedding_lsh) keeps the numpy verify
     return embedding_cosine_pairs(
-        emb, "embedding", "vec_id", threshold=0.4, exact_max_rows=None
+        emb, "embedding", "vec_id", threshold=0.4, exact_max_rows=None,
+        scoring="fold",
     )
 
 
@@ -219,22 +262,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters_resolve",
     category="llm",
     oracle=f"""
-    WITH RECURSIVE docs AS (
-      SELECT doc_id, {_SHINGLES3} AS sh FROM documents
-    ),
-    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-             count(*) AS common
-      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-      HAVING (floor(common / (na + nb - common) * 1000000.0 + 0.5)
-            / 1000000.0) >= 0.8
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs
-    ),
+    WITH RECURSIVE {_jaccard_edges_ctes()},
     {DUCK_EXACT_CC}
     SELECT node AS member, label AS cluster FROM labels
     """,
@@ -295,18 +323,14 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row["embedding"]]
 
 
-_TOPK_ORACLE = """
+_TOPK_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
 SELECT vec_id,
-       (floor(
-         list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
-         / (sqrt(list_sum(list_transform(v, x -> x*x)))
-            * sqrt(list_sum(list_transform(qv, x -> x*x))))
-         * 1000000.0 + 0.5) / 1000000.0) AS cosine
+       {_sql_cosine("v", "qv")} AS cosine
 FROM e, q
 ORDER BY cosine DESC, vec_id
 LIMIT 10
@@ -318,17 +342,19 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine against the vec_id=0 probe — brute-force scan +
     TakeOrderedAndProject (per-partition heap, no global sort)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, _query_vector(spark, sf_dir), k=10)
+    return brute_force_topk(
+        emb, _query_vector(spark, sf_dir), k=10, scoring="fold"
+    )
 
 
 @register(
     "sim_filtered_topk",
     category="llm",
-    oracle="""
+    oracle=f"""
     WITH kept AS (
       SELECT doc_id FROM documents
       WHERE lang = 'en'
-        AND len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) >= 30
+        AND len({_WORDS}) >= 30
     ),
     e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -339,11 +365,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id = 0
     )
     SELECT vec_id,
-           (floor(
-             list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
-             / (sqrt(list_sum(list_transform(v, x -> x*x)))
-                * sqrt(list_sum(list_transform(qv, x -> x*x))))
-             * 1000000.0 + 0.5) / 1000000.0) AS cosine
+           {_sql_cosine("v", "qv")} AS cosine
     FROM e, q
     ORDER BY cosine DESC, vec_id
     LIMIT 10
@@ -363,7 +385,9 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en") & (F.size(tokens(F.col("text"))) >= 30)
     ).select(F.col("doc_id").alias("vec_id"))
     gated = emb.join(kept, "vec_id", "left_semi")
-    return brute_force_topk(gated, _query_vector(spark, sf_dir), k=10)
+    return brute_force_topk(
+        gated, _query_vector(spark, sf_dir), k=10, scoring="fold"
+    )
 
 
 @register("sim_ann_lsh", category="llm", oracle=None)
@@ -403,12 +427,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, words, n_chars, n_punct,
              len(words) AS n_tokens,
              len(list_filter(words, w -> list_contains(
-               ['a','and','das','de','der','des','die','ein','el','es','est',
-                'et','is','ist','la','le','les','of','que','the','to','und','y'],
-               w))) AS stop_hits,
-             len(list_intersect(words,
-               ['a','and','das','de','der','des','die','ein','el','es','est',
-                'et','is','ist','la','le','les','of','que','the','to','und','y'])) AS n_marker,
+               {_SQL_STOPLIST}, w))) AS stop_hits,
+             len(list_intersect(words, {_SQL_STOPLIST})) AS n_marker,
              length(replace(array_to_string(words, ' '), ' ', '')) AS alpha_chars
       FROM t
     )
@@ -441,18 +461,17 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_lang_id",
     category="llm",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id,
-             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+      SELECT doc_id, {_WORDS} AS words
       FROM documents
     ),
     s AS (
       SELECT doc_id,
-        len(list_intersect(words, ['the','a','of','and','to','is']))    AS score_en,
-        len(list_intersect(words, ['el','la','de','que','y','es']))     AS score_es,
-        len(list_intersect(words, ['der','die','und','das','ist','ein'])) AS score_de,
-        len(list_intersect(words, ['le','la','les','et','des','est']))  AS score_fr
+        len(list_intersect(words, {_SQL_MARKERS["en"]}))    AS score_en,
+        len(list_intersect(words, {_SQL_MARKERS["es"]}))     AS score_es,
+        len(list_intersect(words, {_SQL_MARKERS["de"]})) AS score_de,
+        len(list_intersect(words, {_SQL_MARKERS["fr"]}))  AS score_fr
       FROM t
     )
     SELECT doc_id,
@@ -500,10 +519,10 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_token_stats",
     category="llm",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+             len({_WORDS})
                AS n_words,
              len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
                AS n_bpe_ish_tokens
@@ -577,22 +596,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="llm",
     bench=True,
     oracle=f"""
-    WITH RECURSIVE docs AS (
-      SELECT doc_id, {_SHINGLES3} AS sh FROM documents
-    ),
-    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-             count(*) AS common
-      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-      HAVING (floor(common / (na + nb - common) * 1000000.0 + 0.5)
-            / 1000000.0) >= 0.8
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs
-    ),
+    WITH RECURSIVE {_jaccard_edges_ctes()},
     {DUCK_EXACT_CC},
     q AS (
       SELECT doc_id,
@@ -655,22 +659,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
       WHERE length(text) = octet_length(CAST(text AS BLOB))
     ),
-    docs AS (
-      SELECT doc_id, {_SHINGLES3} AS sh FROM base
-    ),
-    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-             count(*) AS common
-      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-      HAVING (floor(common / (na + nb - common) * 1000000.0 + 0.5)
-            / 1000000.0) >= 0.8
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs
-    ),
+    {_jaccard_edges_ctes('base')},
     {DUCK_EXACT_CC},
     c AS (
       SELECT doc_id, length(s) AS n,
@@ -745,7 +734,10 @@ def pipeline_clean_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("member").alias("doc_id")
     )
     cand = substring_overlap_candidates(
-        docs, "text", "doc_id", window=12, keep=8, min_shared=2
+        docs, "text", "doc_id", window=12, keep=8, min_shared=2,
+        # cap stated explicitly (registry doctrine: never a silent
+        # library default — the oracle hardcodes the same 1000)
+        max_fp_freq=1000,
     )
     drop_sub = cand.select(F.col("doc_b").alias("doc_id")).distinct()
     from mare_spark.operators.dedup import attach_caches

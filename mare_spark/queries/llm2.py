@@ -367,7 +367,10 @@ def dedup_substring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") == F.octet_length("text")
     )
     return substring_overlap_candidates(
-        docs, "text", "doc_id", window=8, keep=8, min_shared=2
+        docs, "text", "doc_id", window=8, keep=8, min_shared=2,
+        # cap stated explicitly (registry doctrine: never a silent
+        # library default — the oracle hardcodes the same 1000)
+        max_fp_freq=1000,
     )
 
 

@@ -198,6 +198,22 @@ def register(
 #      registration order — streaming_heavy_hitters_replay's operator
 #      path also changed this round (sorted tie-break, persisted
 #      micro-batch), so its refresh is load-bearing twice over;
+#   NOTE on value-identical r8 refactors NOT rotated (window full):
+#      the three hash-checked cosine rows (dedup_embedding_cosine,
+#      sim_topk_cosine, sim_filtered_topk) now score with the SEQUENTIAL
+#      expression fold their oracles replay bit-for-bit (hard_negatives'
+#      convention — numpy's pairwise sums could snap differently at a
+#      6dp grid boundary), with a zero-vector guard mirrored in a shared
+#      _sql_cosine fragment; the jaccard CTE chain, the stoplist /
+#      language-marker literals and the word-split fragment collapsed to
+#      single definitions generated from the operator constants; the
+#      substring call sites state max_fp_freq=1000 explicitly. All
+#      eleven touched rows re-verified green at all 3 SFs in-session
+#      (values identical — the swap is parity hardening, not a change);
+#      they head the r9 rotation together with the one deferred finding
+#      (sample_temperature_rates' pow(x, 0.7) has no pinned cross-engine
+#      parity convention — rewrite as the snapped exp/ln chain in r9,
+#      oracle in lockstep).
 #   5. no fill rows — the twelve touched rows + two registrations +
 #      three anchors + thirty-three r4-stale rows fill the window
 #      exactly (the pipe/epoch touches displaced the last four r5-stale

@@ -1606,3 +1606,71 @@ def test_decode_media_review_guards_r8(spark):
     row = decode_media_stats(df).collect()[0]
     assert row.mime == "audio/wav"
     assert (row.n_units, row.val_sum) == (6, int(s.sum()))
+
+
+def test_cosine_fold_contracts_and_grid_canary(spark, tmp_path):
+    """r8 review: (1) the hash-checked cosine rows score with the
+    sequential fold, and their contracts hold on a fixture the current
+    corpus never exercises — a zero vector scores 0.0 (not NaN/NULL) and
+    a NULL embedding degrades to NULL, with the ORACLE agreeing on both;
+    (2) grid-boundary canary — every fixture cosine sits further from a
+    0.5e-6 snap boundary than the numpy-vs-sequential summation error
+    bound, so the rows-only numpy paths cannot silently disagree with
+    the fold on this corpus."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from mare_spark.operators.dedup import cosine_similarity
+    from mare_spark.registry import all_queries
+    from mare_spark.tables import TABLE_NAMES, table_path
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    # (1) adversarial fixture: zero vector + NULL embedding
+    sf = str(tmp_path / "sfdegen")
+    (tmp_path / "sfdegen").mkdir()
+    for t in TABLE_NAMES:
+        shutil.copy(table_path(SF_SMOKE, t), table_path(sf, t))
+    rng = [float(i % 7 - 3) for i in range(64)]
+    emb = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [
+                rng, [0.0] * 64, None, [float(i % 5) for i in range(64)]
+            ],
+        }
+    )
+    emb.to_parquet(table_path(sf, "embeddings"))
+    q = all_queries()["sim_topk_cosine"]
+    rows = {r.vec_id: r.cosine for r in q.fn(spark, sf).collect()}
+    assert rows[1] == 0.0          # zero vector: clamped, never NaN
+    assert rows.get(2, None) is None or 2 not in rows  # NULL sorts out
+    compare(q.fn(spark, sf), q.oracle, sf)  # oracle agrees bit-for-bit
+
+    df = spark.createDataFrame(
+        [([0.0] * 4, [0.0] * 4), ([1.0, 0.0, 0.0, 0.0], [0.0] * 4)],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(cosine_similarity("a", "b").alias("c")).collect()
+    assert [r.c for r in got] == [0.0, 0.0]
+
+    # (2) grid canary on the real fixture: min distance of any pair/probe
+    # cosine to a snap boundary must exceed the pairwise-sum error bound
+    from mare_spark.tables import read_table
+
+    raw = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in read_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    qv = raw[0]
+    qn = np.linalg.norm(qv)
+    dists = []
+    for vid, v in raw.items():
+        c = float(v @ qv) / max(float(np.linalg.norm(v) * qn), 1e-300)
+        frac = abs(c * 1e6 + 0.5)
+        dists.append(abs(frac - round(frac)))
+    # error bound ~ dim * eps * |cosine| * 1e6 ≈ 1e-8 grid units; demand
+    # two orders of slack
+    assert min(dists) > 1e-6, min(dists)
