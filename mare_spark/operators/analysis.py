@@ -296,11 +296,13 @@ def dedup_cluster_stats(
     size) rows.
     """
     w = tokens(F.col(text_col))
-    # NULL text must stay NULL at BOTH granularities: concat_ws maps a
-    # NULL token array to '' (merging NULL docs with genuinely-empty
-    # ones), while the exact digest and the DuckDB oracle's
-    # array_to_string(NULL, ...) both propagate NULL.
-    keyed = df.select(
+    # NULL-text docs are EXCLUDED, in lockstep with exact_dedup (the
+    # pass this audit sizes): md5(NULL) is NULL on both engines, and
+    # both group NULLs, so unfiltered they'd form one phantom
+    # "duplicate cluster" of every extraction failure, inflating the
+    # reported yield over what the cleaning pass would remove
+    # (r8 review; oracle in lockstep).
+    keyed = df.filter(F.col(text_col).isNotNull()).select(
         F.md5(normalize_text(F.col(text_col))).alias("exact_digest"),
         F.when(
             F.col(text_col).isNotNull(),
@@ -481,6 +483,11 @@ def embedding_norm_stats(
         F.lit(0.0),
         lambda acc, x: acc + x * x,
     )
+    # EMPTY arrays score NULL, not 0.0: DuckDB's list_sum([]) is NULL, so
+    # a Spark 0.0-norm row would be counted/averaged on one engine only
+    # (r8 review); a zero-LENGTH vector is a broken row either way and
+    # belongs outside the stats, like NULL vectors
+    sq = F.when(F.size(F.col(vec_col)) > 0, sq)
     norm = fround(F.sqrt(sq), 6)
     return (
         df.select(F.col(label_col).alias("label"), norm.alias("norm"))

@@ -111,6 +111,7 @@ def quality_gates(
     max_punct_ratio: float = 0.10,
     min_stopword_hits: int = 2,
     max_top_word_frac: float = 0.25,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Rule-based quality filter (C4/Gopher-style): one boolean gate per
     rule plus the conjunction, emitted as 0/1 ints so downstream reporting
@@ -122,6 +123,7 @@ def quality_gates(
 
     d = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.col(text_col),
         doc_token_stats_udf()(F.col(text_col)).alias("_s"),
     )
@@ -148,8 +150,13 @@ def quality_gates(
     kept = None
     for g in gates.values():
         kept = g if kept is None else (kept & g)
+    # keep_cols ride the single scan (r8 review: the quality funnel paid
+    # a second corpus scan + a corpus-wide doc_id shuffle join just to
+    # reattach source/digest — the convention every sibling operator
+    # already follows)
     return d.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         *[v.cast("int").alias(k) for k, v in gates.items()],
         kept.cast("int").alias("kept"),
     )
@@ -976,6 +983,25 @@ def repeated_chunk_scrub_cms(
     )
 
 
+# Knuth multiplicative constant for the hashed classifier's synthetic
+# weights — ONE definition shared by the expression tier, the UDF tier
+# and the SQL fragment generator below (r8 review: llm4's oracle carried
+# a hand-copied twin of the formula).
+_KNUTH = 2654435761
+
+
+def sql_classifier_weight(token_expr: str, *, buckets: int,
+                          weight_scale: int) -> str:
+    """DuckDB fragment replaying hashed_quality_classifier's per-token
+    weight — generated from the same constants the operator computes
+    with, so the derivations cannot fork silently."""
+    return (
+        f"((CAST(('0x' || substring(md5({token_expr}), 1, 8)) AS BIGINT)"
+        f" % {buckets}) * {_KNUTH})"
+        f" % {2 * weight_scale + 1} - {weight_scale}"
+    )
+
+
 def hashed_quality_classifier(
     df: DataFrame,
     text_col: str,
@@ -1014,7 +1040,7 @@ def hashed_quality_classifier(
 
     def weight(tok: Column) -> Column:
         b = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % buckets
-        return (b * F.lit(2654435761)) % modulus - weight_scale
+        return (b * F.lit(_KNUTH)) % modulus - weight_scale
 
     score_int = F.aggregate(
         w, F.lit(0).cast("long"), lambda acc, t: acc + weight(t)
@@ -1219,7 +1245,7 @@ def hashed_quality_classifier_udf(
             w = wcache.get(t)
             if w is None:
                 b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % buckets
-                w = (b * 2654435761) % modulus - weight_scale
+                w = (b * _KNUTH) % modulus - weight_scale
                 wcache[t] = w
             return w
 

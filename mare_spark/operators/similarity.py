@@ -719,14 +719,22 @@ def assign_to_centroids(
     if centroids is None:
         # bounded k-row driver fetch for the deterministic seed tier;
         # pass `centroids` explicitly to assign against trained ones
-        # (kmeans_refine / train_ivf_centroids output)
+        # (kmeans_refine / train_ivf_centroids output). NULL vectors are
+        # skipped — list(None) would TypeError the whole query build on
+        # a fixture the oracles tolerate (r8 review)
         centroids = [
-            list(r[0]) for r in df.orderBy(id_col).select(vec_col).head(k)
+            list(r[0])
+            for r in df.filter(F.col(vec_col).isNotNull())
+            .orderBy(id_col).select(vec_col).head(k)
         ]
     cents = [list(c) for c in centroids]
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     best = _nearest_centroid(dv, cents)
-    return df.select(
+    # rows with no vector have no nearest centroid: unfiltered, the
+    # NULL-poisoned fold would hand them cluster 0 with NULL dist2 via
+    # the nulls-first struct array_min — while a SQL replay's list_sum
+    # skips NULL terms entirely (r8 review; oracle in lockstep)
+    return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         best["i"].alias("cluster_id"),
         fround(best["d"], 6).alias("dist2"),

@@ -124,7 +124,9 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT md5({_NORM}) AS exact_digest,
              md5(array_to_string(({_WORDS})[1:8], ' ')) AS prefix_digest
-      FROM documents
+      -- NULL text excluded in lockstep with the operator/exact_dedup:
+      -- md5(NULL) groups into one phantom cluster on both engines
+      FROM documents WHERE text IS NOT NULL
     ),
     ec AS (SELECT exact_digest, count(*) AS cluster_size FROM w
            GROUP BY exact_digest),

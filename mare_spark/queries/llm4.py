@@ -43,13 +43,15 @@ from mare_spark.tables import read_table
 _CHUNK_WORDS = 8
 _MAX_FREQ = 2
 
-# weight(bucket) for the hashed classifier, as SQL (see
-# operators.corpus.hashed_quality_classifier for the derivation)
+# weight(bucket) for the hashed classifier, as SQL — GENERATED from the
+# operator's own constants/formula (r8 review: a hand-copied twin here
+# could silently fork from the derivation in operators.corpus)
+from mare_spark.operators.corpus import sql_classifier_weight
+
 _BUCKETS = 4096
 _WSCALE = 1000
-_SQL_WEIGHT = (
-    f"((CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % {_BUCKETS})"
-    f" * 2654435761) % {2 * _WSCALE + 1} - {_WSCALE}"
+_SQL_WEIGHT = sql_classifier_weight(
+    "t", buckets=_BUCKETS, weight_scale=_WSCALE
 )
 
 
@@ -250,9 +252,12 @@ _KMEANS_K = 8
     category="llm",
     oracle=f"""
     WITH c AS (
+      -- NULL seed vectors skipped in lockstep with assign_to_centroids'
+      -- bounded seed fetch (r8 review)
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
              embedding AS cvec
       FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
             ORDER BY vec_id LIMIT {_KMEANS_K})
     ),
     d AS (
@@ -262,7 +267,11 @@ _KMEANS_K = 8
                      - CAST(c.cvec[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE)
                      - CAST(c.cvec[i] AS DOUBLE)))) AS d2
+      -- NULL data vectors excluded: the engine's zip_with fold yields
+      -- NULL d2 for them while list_sum SKIPS NULL terms — disjoint
+      -- semantics; a row with no vector has no nearest centroid
       FROM embeddings e CROSS JOIN c
+      WHERE e.embedding IS NOT NULL
     ),
     r AS (
       SELECT vec_id, c_idx, d2,
@@ -300,8 +309,14 @@ def embedding_kmeans_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # NULL embeddings skipped: list(None) would TypeError the query
+    # build on a fixture the assignment itself tolerates (r8 review)
     seed = np.array(
-        [list(r.embedding) for r in emb.orderBy("vec_id").head(_KMEANS_K)],
+        [
+            list(r.embedding)
+            for r in emb.filter(F.col("embedding").isNotNull())
+            .orderBy("vec_id").head(_KMEANS_K)
+        ],
         dtype=np.float64,
     )
     refined = kmeans_refine(emb, "embedding", seed, iters=2)
@@ -312,21 +327,29 @@ def embedding_kmeans_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# edit-distance contract constants — interpolated into BOTH the oracle
+# text and the builder call so retuning one side cannot silently drift
+# the other (r8 review; the module's other queries already follow this)
+_ED_PREFIX_WORDS, _ED_MAX_DIST, _ED_BUCKET_CAP = 8, 50, 1000
+
+
 @register(
     "dedup_edit_distance",
     category="llm",
     oracle=f"""
     WITH t AS (
       SELECT doc_id AS id, {_NORM} AS s,
-             md5(array_to_string(({_WORDS})[1:8], ' ')) AS pk
+             md5(array_to_string(({_WORDS})[1:{_ED_PREFIX_WORDS}], ' '))
+               AS pk
       FROM documents
     ),
-    cap AS (SELECT pk FROM t GROUP BY pk HAVING count(*) <= 1000),
+    cap AS (SELECT pk FROM t GROUP BY pk
+            HAVING count(*) <= {_ED_BUCKET_CAP}),
     c AS (SELECT t.* FROM t JOIN cap USING (pk))
     SELECT a.id AS doc_a, b.id AS doc_b,
            levenshtein(a.s, b.s) AS edit_dist
     FROM c a JOIN c b ON a.pk = b.pk AND a.id < b.id
-    WHERE levenshtein(a.s, b.s) <= 50
+    WHERE levenshtein(a.s, b.s) <= {_ED_MAX_DIST}
     """,
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,10 +362,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return edit_distance_pairs(
-        docs, "text", "doc_id", prefix_words=8, max_dist=50,
-        # cap stated explicitly: the oracle's HAVING count(*) <= 1000
-        # bakes in this constant — a silent library default could drift
-        bucket_cap=1000,
+        docs, "text", "doc_id",
+        prefix_words=_ED_PREFIX_WORDS, max_dist=_ED_MAX_DIST,
+        bucket_cap=_ED_BUCKET_CAP,  # shared constants bind both sides
     )
 
 
@@ -470,13 +492,18 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mare_spark.operators.corpus import quality_gates
     from mare_spark.operators.dedup import normalize_text
 
-    docs = read_table(spark, sf_dir, "documents")
-    gated = quality_gates(docs, "text", "doc_id").select("doc_id", "kept")
-    base = docs.select(
-        "doc_id", "source", F.md5(normalize_text(F.col("text"))).alias("d")
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "d", F.md5(normalize_text(F.col("text")))
+    )
+    # keep_cols ride the gate scan: ONE corpus scan + one per-source
+    # aggregate — the previous shape re-scanned documents and exchanged
+    # the whole corpus on doc_id just to reattach (source, digest)
+    # (r8 review)
+    gated = quality_gates(
+        docs, "text", "doc_id", keep_cols=("source", "d")
     )
     return (
-        base.join(gated, "doc_id")
+        gated
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -210,10 +210,17 @@ def register(
 #      substring call sites state max_fp_freq=1000 explicitly. All
 #      eleven touched rows re-verified green at all 3 SFs in-session
 #      (values identical — the swap is parity hardening, not a change);
-#      they head the r9 rotation together with the one deferred finding
-#      (sample_temperature_rates' pow(x, 0.7) has no pinned cross-engine
-#      parity convention — rewrite as the snapped exp/ln chain in r9,
-#      oracle in lockstep).
+#      they head the r9 rotation together with the llm3/llm4 sweep's
+#      value-identical guards (NULL-vector seed/assignment exclusion in
+#      embedding_cluster_assign + kmeans — oracle in lockstep; NULL-text
+#      exclusion in dedup_cluster_stats matching exact_dedup; empty-
+#      vector NULL norms in embedding_norm_stats; corpus_quality_funnel
+#      collapsed to ONE scan via quality_gates keep_cols; classifier-
+#      weight SQL + edit-distance constants single-definition) — all
+#      re-verified green at 3 SFs — and the one deferred finding
+#      (sample_temperature_rates / sample_apply_mixture use pow(x, 0.7)
+#      with no pinned cross-engine parity convention — rewrite as the
+#      snapped exp/ln chain in r9, oracles in lockstep).
 #   5. no fill rows — the twelve touched rows + two registrations +
 #      three anchors + thirty-three r4-stale rows fill the window
 #      exactly (the pipe/epoch touches displaced the last four r5-stale

@@ -157,23 +157,26 @@ def test_lang_confusion_single_scan_no_join(spark):
     assert "Join" not in plan, plan  # prediction computed in the label scan
 
 
-def test_cluster_stats_null_text_stays_null_at_both_granularities(spark):
-    """NULL text must produce NULL digests at BOTH granularities (the
-    DuckDB oracle propagates NULL through array_to_string; concat_ws
-    would have silently merged NULL docs with empty docs)."""
+def test_cluster_stats_null_text_excluded_and_never_merged(spark):
+    """NULL-text docs are EXCLUDED from the audit (r8: in lockstep with
+    exact_dedup, which filters them — two NULL docs would otherwise form
+    one phantom 'duplicate cluster' on both engines and inflate the
+    reported yield), and an empty doc still never merges with anything
+    else (the r6 concat_ws hazard)."""
     from mare_spark.operators.analysis import dedup_cluster_stats
 
     df = spark.createDataFrame(
-        [(0, None, "s"), (1, "", "s"), (2, "real text here", "s")],
+        [(0, None, "s"), (1, "", "s"), (2, "real text here", "s"),
+         (3, None, "s")],
         "doc_id long, text string, src string",
     )
-    # with a NULL doc and an empty doc, merging them would make one
-    # prefix cluster of size 2
     out = dedup_cluster_stats(df, "text").collect()
     prefix = [r for r in out if r.key_kind == "prefix8"]
-    # NULL digest groups alone; '' and 'real text' each group alone:
-    # 3 singleton clusters, never a size-2 cluster
-    assert {(r.cluster_size, r.n_clusters) for r in prefix} == {(1, 3)}
+    # the two NULL docs are absent (no phantom size-2 cluster); '' and
+    # 'real text' each group alone: exactly 2 singleton clusters
+    assert {(r.cluster_size, r.n_clusters) for r in prefix} == {(1, 2)}
+    exact = [r for r in out if r.key_kind == "exact"]
+    assert {(r.cluster_size, r.n_clusters) for r in exact} == {(1, 2)}
 
 
 def test_ngram_novelty_planted_overlap(spark):

@@ -1674,3 +1674,71 @@ def test_cosine_fold_contracts_and_grid_canary(spark, tmp_path):
     # error bound ~ dim * eps * |cosine| * 1e6 ≈ 1e-8 grid units; demand
     # two orders of slack
     assert min(dists) > 1e-6, min(dists)
+
+
+def test_embedding_null_vector_guards_r8(spark, tmp_path):
+    """r8 review (llm3/llm4): NULL embeddings no longer TypeError the
+    seed fetch or get phantom cluster-0 assignments; empty vectors score
+    NULL norms (DuckDB's list_sum([]) semantics); NULL-text docs no
+    longer form a phantom duplicate cluster in the dedup audit — each
+    pinned against the oracle on an adversarial fixture."""
+    import shutil
+
+    import pandas as pd
+
+    from mare_spark.operators.analysis import embedding_norm_stats
+    from mare_spark.operators.similarity import assign_to_centroids
+    from mare_spark.registry import all_queries
+    from mare_spark.tables import TABLE_NAMES, table_path
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    sf = str(tmp_path / "sfnullvec")
+    (tmp_path / "sfnullvec").mkdir()
+    for t in TABLE_NAMES:
+        shutil.copy(table_path(SF_SMOKE, t), table_path(sf, t))
+    vecs = [
+        None if i == 0 else [float((i * 7 + j) % 5) for j in range(64)]
+        for i in range(12)
+    ]
+    pd.DataFrame({"vec_id": list(range(12)), "embedding": vecs}).to_parquet(
+        table_path(sf, "embeddings")
+    )
+    qs = all_queries()
+    # NULL vector among the first k seeds: no TypeError, oracle agrees
+    out = qs["embedding_cluster_assign"].fn(spark, sf)
+    rows = out.collect()
+    assert 0 not in {r.vec_id for r in rows}  # no phantom assignment
+    compare(qs["embedding_cluster_assign"].fn(spark, sf),
+            qs["embedding_cluster_assign"].oracle, sf)
+    qs["embedding_kmeans_refined"].fn(spark, sf).collect()  # no crash
+
+    # empty array -> NULL norm, excluded from count/avg like DuckDB
+    df = spark.createDataFrame(
+        [(1, "g", [3.0, 4.0]), (2, "g", []), (3, "g", None)],
+        "vec_id long, g string, embedding array<double>",
+    )
+    st = embedding_norm_stats(df, "embedding", "g").head()
+    assert st.n_vecs == 1 and st.avg_norm == 5.0
+
+    # direct operator: NULL vectors produce no assignment rows
+    got = assign_to_centroids(df, "embedding", "vec_id", k=1)
+    assert {r.vec_id for r in got.collect()} == {1, 2}
+
+    # NULL-text docs excluded from the dedup audit on both engines
+    docs = ["same text here"] * 3 + [None, None]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": docs,
+            "lang": ["en"] * 5,
+            "source": ["src0"] * 5,
+            "n_chars": [len(d) if d else 0 for d in docs],
+        }
+    ).to_parquet(table_path(sf, "documents"))
+    stats = qs["dedup_cluster_stats"].fn(spark, sf)
+    sizes = {(r.key_kind, r.cluster_size): r.n_clusters
+             for r in stats.collect()}
+    assert sizes[("exact", 3)] == 1 and ("exact", 2) not in sizes
+    compare(qs["dedup_cluster_stats"].fn(spark, sf),
+            qs["dedup_cluster_stats"].oracle, sf)
