@@ -12,7 +12,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mare_spark.queries.llm import DUCK_EXACT_CC, _SHINGLES3
+from mare_spark.queries.llm import (
+    DUCK_EXACT_CC,
+    _jaccard_edges_ctes,
+    _sql_cosine,
+)
 from mare_spark.queries.llm2 import _duck_ngrams, _WORDS
 from mare_spark.queries.llm5 import sql_split_case
 from mare_spark.registry import register
@@ -85,7 +89,11 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {_DSIR_WEIGHT_CTES}
     SELECT doc_id, n_feats, log_weight
-    FROM sc ORDER BY log_weight DESC, doc_id LIMIT 100
+    FROM sc WHERE doc_id IS NOT NULL
+    -- NULL ids excluded (engine in lockstep): the registry's limit
+    -- tie-break contract needs a unique NON-NULL key — Spark ASC sorts
+    -- NULLs first, DuckDB last, so a rank-100 tie would diverge
+    ORDER BY log_weight DESC, doc_id LIMIT 100
     """,
 )
 def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,7 +110,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smoothed ratio is one division of two exact int64 products, so
     both engines ln() the identical double).
     """
-    w = _dsir_weights(spark, sf_dir)
+    w = _dsir_weights(spark, sf_dir).filter(F.col("doc_id").isNotNull())
     return w.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(100)
 
 
@@ -323,7 +331,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_hard_negatives",
     category="llm",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -331,11 +339,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     p AS (
       SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
-             (floor(
-               list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-               / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x*x))))
-               * 1000000.0 + 0.5) / 1000000.0) AS cosine
+             {_sql_cosine("a.v", "b.v")} AS cosine
       FROM e a JOIN e b ON a.label <> b.label
     ),
     r AS (
@@ -371,21 +375,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_split_leakage",
     category="llm",
     oracle=f"""
-    WITH RECURSIVE docs AS (
-      SELECT doc_id, {_SHINGLES3} AS sh FROM documents
-    ),
-    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM docs),
-    prs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-             count(*) AS common
-      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-      HAVING common / (na + nb - common) >= 0.8
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM prs
-      UNION ALL SELECT doc_b, doc_a FROM prs
-    ),
+    WITH RECURSIVE {_jaccard_edges_ctes()},
     {DUCK_EXACT_CC},
     sp AS (
       SELECT l.node AS member, l.label AS cluster,

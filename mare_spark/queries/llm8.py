@@ -110,9 +110,12 @@ _PER_CLUSTER = 25
     category="llm",
     oracle=f"""
     WITH c AS (
+      -- NULL seed/data vectors excluded in lockstep with
+      -- assign_to_centroids (r8 review — the llm4 lockstep applied here)
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
              embedding AS cvec
       FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
             ORDER BY vec_id LIMIT {_DIVERSITY_K})
     ),
     d AS (
@@ -123,6 +126,7 @@ _PER_CLUSTER = 25
                   * (CAST(e.embedding[i] AS DOUBLE)
                      - CAST(c.cvec[i] AS DOUBLE)))) AS d2
       FROM embeddings e CROSS JOIN c
+      WHERE e.embedding IS NOT NULL
     ),
     a AS (
       SELECT vec_id, c_idx, d2,

@@ -25,6 +25,10 @@ from mare_spark.tables import read_table
            count(*) AS n,
            CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM events
+    -- Spark's F.window injects isnotnull(ts) — a NULL-ts event would
+    -- otherwise form a NULL window on this side only (r8 review; the
+    -- session-window oracle already guards this)
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -46,7 +50,8 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH shifted AS (
       SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS b0,
              event_type, value
-      FROM events
+      -- Spark's F.window drops NULL-ts rows implicitly (r8 review)
+      FROM events WHERE ts IS NOT NULL
     ),
     assigned AS (
       SELECT b0 AS window_start, event_type, value FROM shifted

@@ -216,7 +216,14 @@ def register(
 #      exclusion in dedup_cluster_stats matching exact_dedup; empty-
 #      vector NULL norms in embedding_norm_stats; corpus_quality_funnel
 #      collapsed to ONE scan via quality_gates keep_cols; classifier-
-#      weight SQL + edit-distance constants single-definition) — all
+#      weight SQL + edit-distance constants single-definition), the
+#      llm7/llm8/streaming lockstep closures (sim_hard_negatives +
+#      dedup_split_leakage oracles now compose the shared guarded
+#      _sql_cosine / snapped _jaccard_edges_ctes instead of forked
+#      copies; sample_cluster_balanced's oracle gained the NULL-vector
+#      exclusions its engine applies; tumbling/sliding window oracles
+#      mirror F.window's implicit isnotnull(ts); corpus_dsir_weights
+#      excludes NULL ids from its limit tie-break on both sides) — all
 #      re-verified green at 3 SFs — and the one deferred finding
 #      (sample_temperature_rates / sample_apply_mixture use pow(x, 0.7)
 #      with no pinned cross-engine parity convention — rewrite as the
