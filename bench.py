@@ -81,7 +81,9 @@ def _calibrate(spark) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # no trailing-dot capture: "sf0.1.bak" must parse 0.1, not crash on
+    # float("0.1.") (r8 review)
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     from mare_spark.registry import all_queries
@@ -96,19 +98,34 @@ def main() -> None:
     from mare_spark.operators.dedup import release_caches
 
     timings: dict[str, float] = {}
+    timings_full: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         samples: list[float] = []
+        full_samples: list[float] = []
         dfs = []
         n = 0
         for i in range(1 + WARM_RUNS):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
-            n = df.count()  # force full execution
+            n = df.count()
             dt = time.perf_counter() - t0
             dfs.append(df)
             if i > 0:  # drop the cold run
                 samples.append(dt)
+        # FULL-execution timing via the noop sink (r8 review): count()
+        # lets Catalyst prune unreferenced final projections and
+        # aggregate expressions, so expression-heavy tails were
+        # under-measured. The count() series stays the headline "value"
+        # for round-over-round comparability (every prior BENCH_r{N}
+        # used it); "value_full_exec" is the honest companion series.
+        for _ in range(WARM_RUNS):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            full_samples.append(time.perf_counter() - t0)
+            dfs.append(df)
         med = statistics.median(samples)
+        med_full = statistics.median(full_samples)
         # release operator-attached persists from EVERY run's plan (pandas-UDF
         # plans are not plan-equal across invocations, so each run may pin its
         # own signature/candidate caches) — warm reuse within a query is kept,
@@ -116,9 +133,10 @@ def main() -> None:
         for df in dfs:
             release_caches(df)
         timings[name] = round(med, 4)
+        timings_full[name] = round(med_full, 4)
         print(
             f"# {name}: median {med:.3f}s of {[round(s, 3) for s in samples]}"
-            f" ({n} rows)",
+            f" ({n} rows; full-exec {med_full:.3f}s)",
             file=sys.stderr,
         )
 
@@ -126,6 +144,7 @@ def main() -> None:
     print(f"# calibration (after): {calib_after}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    total_full = round(sum(timings_full.values()), 4)
     # load-normalized total: scale by the python-probe floor over the
     # run's LEAST-loaded sample (min of before/after — the sweep sits
     # between them; python_fixed is the probe that tracks totals
@@ -141,8 +160,10 @@ def main() -> None:
                 "metric": "headline_query_total",
                 "value": total,
                 "value_normalized": round(total * norm, 4),
+                "value_full_exec": total_full,
                 "unit": "sec",
                 "queries": timings,
+                "queries_full_exec": timings_full,
                 "sf": sf,
                 "calibration": {
                     "before": calib_before,

@@ -7,9 +7,8 @@ CORRECTNESS gate does.
 
 from __future__ import annotations
 
-import math
-
 import duckdb
+import numpy as np
 import pandas as pd
 
 from mare_spark.tables import TABLE_NAMES, table_path
@@ -45,26 +44,52 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def _canon_cell(v):
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon_cell(x) for x in v)
-    if isinstance(v, float):
-        return round(v, 9)
+    # np.floating too (r8 review): Spark's array<float> elements arrive
+    # as np.float32, which is NOT a python-float subclass — skipping the
+    # round made array-cell canonicalization asymmetric with the DuckDB
+    # side's np.float64 elements
+    if isinstance(v, (float, np.floating)):
+        return round(float(v), 9)
     if isinstance(v, bytes):
         return v
     return v
 
 
-def compare(
-    spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 0.0
-) -> None:
+def _cell_eq(a, b) -> bool:
+    """Canonicalized-cell equality with NaN == NaN, recursively into
+    array cells (r8 review: plain tuple == compared NaN elements as
+    unequal — the scalar branch's isna-both-sides rule applies
+    elementwise too). pd.isna of a tuple returns an elementwise ndarray
+    whose bool() raises, so tuples branch first."""
+    if isinstance(a, tuple) or isinstance(b, tuple):
+        if not (isinstance(a, tuple) and isinstance(b, tuple)):
+            return False
+        return len(a) == len(b) and all(
+            _cell_eq(x, y) for x, y in zip(a, b)
+        )
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return bool(a == b)
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     """Assert the Spark result matches the DuckDB oracle result.
 
-    Default is STRICT — the driver's hash gate compares canonicalized
+    STRICT by design — the driver's hash gate compares canonicalized
     values exactly, so any value difference surviving the 9dp canon round
-    is a red CORRECTNESS row (r2's q10 cent flip passed the old 1e-6
+    is a red CORRECTNESS row (r2's q10 cent flip passed an old 1e-6
     tolerance locally, then hash-failed at the driver). Strict mode also
     asserts per-column dtype KIND parity (int vs float vs object...):
     r2's q_math_conditional was value-identical but hashed `6` (Spark
-    bigint) against `6.0` (DuckDB double). Pass ``float_tol`` > 0 only for
-    queries whose contract is genuinely approximate."""
+    bigint) against `6.0` (DuckDB double). The former ``float_tol``
+    escape hatch was removed in r8: it was unused, and its pairing (each
+    side independently sorted by its own jittered values, then zipped)
+    could both falsely fail and falsely pass genuinely-agreeing results —
+    approximate queries belong in rows-only checks with their own
+    tolerance tests, not here."""
     got = _canon(spark_df.toPandas())
     con = duckdb_con(sf_dir)
     try:
@@ -83,32 +108,9 @@ def compare(
             "driver hash stringifies values, so int-vs-float is a red row; "
             "align the oracle's type (CAST) with Spark's return type"
         )
-        if (
-            float_tol > 0.0
-            and pd.api.types.is_float_dtype(g)
-            and pd.api.types.is_float_dtype(w)
-        ):
-            for i, (a, b) in enumerate(zip(g, w)):
-                na, nb = pd.isna(a), pd.isna(b)
-                assert na == nb, f"{c}[{i}]: spark={a} duckdb={b}"
-                if not na:
-                    assert math.isclose(a, b, rel_tol=float_tol, abs_tol=float_tol), (
-                        f"{c}[{i}]: spark={a} duckdb={b}"
-                    )
-        else:
-            ga, wa = g.tolist(), w.tolist()
-
-            def _cell_eq(a, b):
-                # pd.isna of a tuple returns an elementwise ndarray whose
-                # bool() raises — canonicalized array cells must compare
-                # by equality only, scalars also by NaN-vs-NaN
-                if isinstance(a, tuple) or isinstance(b, tuple):
-                    return a == b
-                return bool(a == b) or (pd.isna(a) and pd.isna(b))
-
-            mism = [
-                (i, a, b)
-                for i, (a, b) in enumerate(zip(ga, wa))
-                if not _cell_eq(a, b)
-            ]
-            assert not mism, f"{c}: first mismatches {mism[:5]}"
+        mism = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(g.tolist(), w.tolist()))
+            if not _cell_eq(a, b)
+        ]
+        assert not mism, f"{c}: first mismatches {mism[:5]}"

@@ -32,8 +32,8 @@ def test_bench_emits_single_json_line_with_contract_keys(
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert set(payload) == {
-        "metric", "value", "value_normalized", "unit", "queries", "sf",
-        "calibration",
+        "metric", "value", "value_normalized", "value_full_exec", "unit",
+        "queries", "queries_full_exec", "sf", "calibration",
     }
     for probe in (payload["calibration"]["before"],
                   payload["calibration"]["after"]):
@@ -47,3 +47,13 @@ def test_bench_emits_single_json_line_with_contract_keys(
         "q6_revenue_change": payload["queries"]["q6_revenue_change"]
     }
     assert payload["value"] >= 0
+    # the full-exec companion series (r8: count() lets Catalyst prune
+    # final projections/aggregate expressions, under-measuring
+    # expression-heavy tails) covers the same query set
+    assert set(payload["queries_full_exec"]) == set(payload["queries"])
+    assert payload["value_full_exec"] > 0
+    # sf-dir parsing tolerates variant suffixes (r8: float("0.1.") crash)
+    import re as _re
+
+    m = _re.search(r"sf([0-9]+(?:\.[0-9]+)?)", "/x/sf0.1.bak")
+    assert m and float(m.group(1)) == 0.1
