@@ -364,18 +364,33 @@ def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_stats",
     oracle="""
-    WITH s AS (
+    WITH c AS (
+      -- exact integer cents: the decimal cast fixes the 2dp value, the
+      -- *100 is exact in decimal (a double *100 would NOT be)
+      SELECT l_returnflag, l_extendedprice,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(18,0)) AS pc,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(18,0)) AS qc
+      FROM lineitem
+    ),
+    s AS (
       SELECT l_returnflag,
              round(min(l_extendedprice), 2) AS min_price,
              round(max(l_extendedprice), 2) AS max_price,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS pv,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS pq,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qv,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qq,
+             -- HUGEINT -> DOUBLE is ONE correctly-rounded conversion of
+             -- an exact integer, then /100.0 or /10000.0 is the same
+             -- IEEE op Spark applies — identical doubles by
+             -- construction. The old CAST(DECIMAL(38,4) AS DOUBLE) was
+             -- a double-rounding (int128->double, then /10^4) that
+             -- bit-diverged from Spark's BigDecimal conversion past
+             -- 2^53 scaled units (r8 review, verified live at sf0.001)
+             CAST(CAST(sum(pc) AS HUGEINT) AS DOUBLE) / 100.0 AS pv,
+             CAST(CAST(sum(pc * pc) AS HUGEINT) AS DOUBLE) / 10000.0 AS pq,
+             CAST(CAST(sum(qc) AS HUGEINT) AS DOUBLE) / 100.0 AS qv,
+             CAST(CAST(sum(qc * qc) AS HUGEINT) AS DOUBLE) / 10000.0 AS qq,
              count(*) AS n
-      FROM lineitem GROUP BY l_returnflag
+      FROM c GROUP BY l_returnflag
     )
     SELECT l_returnflag, min_price, max_price,
            (CASE WHEN n > 1 THEN
@@ -398,15 +413,26 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 4dp), derive variance from identical doubles, and grid-snap with
     fround — the same convention as events_user_anomalies."""
     li = _t(spark, sf_dir, "lineitem")
-    p2 = F.col("l_extendedprice").cast("decimal(18,2)")
-    q2 = F.col("l_quantity").cast("decimal(18,2)")
+    # exact integer cents (decimal *100 is exact; a double *100 is not),
+    # summed exactly, converted to double ONCE, then divided by the same
+    # IEEE constants the oracle divides by — identical doubles by
+    # construction (r8 review: the old decimal(38,4)->double cast
+    # bit-diverged from DuckDB's int128 double-rounding past 2^53)
+    pc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    qc = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    )
     g = li.groupBy("l_returnflag").agg(
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.sum(p2).cast("double").alias("pv"),
-        F.sum(p2 * p2).cast("double").alias("pq"),
-        F.sum(q2).cast("double").alias("qv"),
-        F.sum(q2 * q2).cast("double").alias("qq"),
+        (F.sum(pc).cast("decimal(38,0)").cast("double") / 100.0).alias("pv"),
+        (F.sum(pc * pc).cast("decimal(38,0)").cast("double") / 10000.0)
+        .alias("pq"),
+        (F.sum(qc).cast("decimal(38,0)").cast("double") / 100.0).alias("qv"),
+        (F.sum(qc * qc).cast("decimal(38,0)").cast("double") / 10000.0)
+        .alias("qq"),
         F.count("*").alias("n"),
     )
     nn = F.col("n")

@@ -183,7 +183,15 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # As-of join
 # ---------------------------------------------------------------------------
 
-_ASOF_ORACLE = """
+def _asof_oracle(cmp: str, tie_agg: str) -> str:
+    """ONE ASOF oracle template (r8 review: backward/forward were 29-line
+    hand-synced twins differing only in the comparator). ``tie_agg``
+    pins the equal-timestamp winner: DuckDB's pick among duplicate
+    (user_id, ts) view rows is scan-order dependent, while the engine
+    deterministically carries the lexicographically largest (backward) /
+    smallest (forward) tied right struct — so the views are deduped per
+    (user_id, ts) with max/min(value) to mirror that tiebreak."""
+    return f"""
 WITH purchases AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
   FROM events WHERE event_type = 'purchase'
@@ -193,8 +201,9 @@ views AS (
   -- KEYED ASOF sort-matcher would match NULL left times (NULL sorts
   -- high), so the never-match rule is modeled explicitly — ASOF over
   -- the NOT-NULL rows, NULL-ts purchases appended unmatched
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, {tie_agg}(value) AS value
   FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
 )
 SELECT p.event_id,
        p.user_id,
@@ -205,13 +214,33 @@ SELECT p.event_id,
        CAST(round(CAST(v.value AS DECIMAL(18,4)), 2) AS DOUBLE)
          AS view_value
 FROM (SELECT * FROM purchases WHERE ts IS NOT NULL) p
-ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts {cmp} v.ts
 UNION ALL
 SELECT event_id, user_id, ts,
        CAST(round(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE),
        CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
 FROM purchases WHERE ts IS NULL
 """
+
+
+def _asof_projection(joined):
+    """Shared output projection of both as-of rows (r8 review: exact
+    12-line duplicate)."""
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        # decimal-round the exact-4dp money column (round(double, 2) is
+        # engine-divergent near half boundaries — the fround/decimal class)
+        F.round(F.col("value").cast("decimal(18,4)"), 2)
+        .cast("double").alias("purchase_value"),
+        F.col("ts_asof").alias("view_ts"),
+        F.round(F.col("value_asof").cast("decimal(18,4)"), 2)
+        .cast("double").alias("view_value"),
+    )
+
+
+_ASOF_ORACLE = _asof_oracle(">=", "max")
 
 
 @register("q_asof_join", oracle=_ASOF_ORACLE)
@@ -226,18 +255,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
     joined = asof_join(purchases, views, on="ts", by="user_id", right_cols=["ts", "value"])
-    return joined.select(
-        "event_id",
-        "user_id",
-        "ts",
-        # decimal-round the exact-4dp money column (round(double, 2) is
-        # engine-divergent near half boundaries — the fround/decimal class)
-        F.round(F.col("value").cast("decimal(18,4)"), 2)
-        .cast("double").alias("purchase_value"),
-        F.col("ts_asof").alias("view_ts"),
-        F.round(F.col("value_asof").cast("decimal(18,4)"), 2)
-        .cast("double").alias("view_value"),
-    )
+    return _asof_projection(joined)
 
 
 # ---------------------------------------------------------------------------
@@ -495,8 +513,15 @@ def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the correlated form as the independent cross-check."""
     p = _t(spark, sf_dir, "part")
     w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    # NULL-price contract (r8 review): `p2.p_retailprice > NULL` is never
+    # true, so the correlated count for a NULL-price part is 0 — but
+    # rank() under DESC (nulls LAST) would report the count of ALL
+    # priced same-brand rows for it. Pin the subquery's semantics.
     ranked = p.withColumn(
-        "n_pricier_in_brand", (F.rank().over(w) - F.lit(1)).cast("bigint")
+        "n_pricier_in_brand",
+        F.when(
+            F.col("p_retailprice").isNull(), F.lit(0)
+        ).otherwise(F.rank().over(w) - F.lit(1)).cast("bigint"),
     )
     return ranked.filter(F.col("p_size") <= 5).select(
         "p_partkey",
@@ -539,35 +564,7 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ASOF_FWD_ORACLE = """
-WITH purchases AS (
-  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
-  FROM events WHERE event_type = 'purchase'
-),
-views AS (
-  -- NULL event times never match (the engine's contract): DuckDB's
-  -- KEYED ASOF sort-matcher would match NULL left times (NULL sorts
-  -- high), so the never-match rule is modeled explicitly — ASOF over
-  -- the NOT-NULL rows, NULL-ts purchases appended unmatched
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
-  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
-)
-SELECT p.event_id,
-       p.user_id,
-       p.ts,
-       CAST(round(CAST(p.value AS DECIMAL(18,4)), 2) AS DOUBLE)
-         AS purchase_value,
-       v.ts AS view_ts,
-       CAST(round(CAST(v.value AS DECIMAL(18,4)), 2) AS DOUBLE)
-         AS view_value
-FROM (SELECT * FROM purchases WHERE ts IS NOT NULL) p
-ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts <= v.ts
-UNION ALL
-SELECT event_id, user_id, ts,
-       CAST(round(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE),
-       CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
-FROM purchases WHERE ts IS NULL
-"""
+_ASOF_FWD_ORACLE = _asof_oracle("<=", "min")
 
 
 @register("q_asof_join_forward", oracle=_ASOF_FWD_ORACLE)
@@ -585,15 +582,4 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, views, on="ts", by="user_id",
         right_cols=["ts", "value"], direction="forward",
     )
-    return joined.select(
-        "event_id",
-        "user_id",
-        "ts",
-        # decimal-round the exact-4dp money column (round(double, 2) is
-        # engine-divergent near half boundaries — the fround/decimal class)
-        F.round(F.col("value").cast("decimal(18,4)"), 2)
-        .cast("double").alias("purchase_value"),
-        F.col("ts_asof").alias("view_ts"),
-        F.round(F.col("value_asof").cast("decimal(18,4)"), 2)
-        .cast("double").alias("view_value"),
-    )
+    return _asof_projection(joined)

@@ -224,10 +224,23 @@ def register(
 #      exclusions its engine applies; tumbling/sliding window oracles
 #      mirror F.window's implicit isnotnull(ts); corpus_dsir_weights
 #      excludes NULL ids from its limit tie-break on both sides) — all
-#      re-verified green at 3 SFs — and the one deferred finding
-#      (sample_temperature_rates / sample_apply_mixture use pow(x, 0.7)
-#      with no pinned cross-engine parity convention — rewrite as the
-#      snapped exp/ln chain in r9, oracles in lockstep).
+#      re-verified green at 3 SFs — plus the relational-body closures
+#      (q_agg_stats moments now BIT-identical: exact integer cents →
+#      one correctly-rounded double conversion on both engines — the
+#      old DECIMAL(38,4)→DOUBLE cast double-rounded past 2^53 on DuckDB
+#      only, verified live; as-of oracles share ONE template and pin
+#      the equal-timestamp tie winner; q_correlated_scalar's NULL-price
+#      count is 0 on both sides) — and TWO deferred findings for r9:
+#      (a) sample_temperature_rates / sample_apply_mixture use
+#      pow(x, 0.7) with no pinned cross-engine parity convention —
+#      rewrite as the snapped exp/ln chain, oracles in lockstep;
+#      (b) the libm-ln parity assumption is weaker than documented
+#      (Java Math.log vs DuckDB ln bit-differ on ~0.8% of doubles,
+#      measured r8) — every hash-green ln row (q_math_conditional,
+#      DSIR, unigram/bigram logprob) rides the 6dp snap margin, which
+#      absorbs 1-ulp diffs except within ~1 ulp of a boundary; audit
+#      whether any fixture value sits near a boundary, or snap the ln
+#      INPUT first.
 #   5. no fill rows — the twelve touched rows + two registrations +
 #      three anchors + thirty-three r4-stale rows fill the window
 #      exactly (the pipe/epoch touches displaced the last four r5-stale

@@ -365,3 +365,62 @@ def test_udf_surface_null_contracts(spark):
     ).collect()[0]
     # num over BOTH-non-null rows (10*2), den over non-null qty (2+3)
     assert abs(out.w - (10.0 * 2.0) / 5.0) < 1e-9
+
+
+def test_relational_review_guards_r8(spark, tmp_path):
+    """r8 review over the relational bodies: (1) the as-of oracles pin
+    the equal-timestamp tie winner (DuckDB's pick among duplicate
+    (user, ts) view rows is scan-order dependent; the engine carries
+    max-value backward / min-value forward) — pinned on a tie-heavy
+    fixture through BOTH engines; (2) a NULL-price part's correlated
+    count is 0 on both sides, not the count of all priced same-brand
+    parts; (3) the q_agg_stats moments are BIT-identical doubles (the
+    old decimal->double cast double-rounded past 2^53 on DuckDB only)."""
+    import shutil
+
+    import pandas as pd
+
+    from mare_spark.registry import all_queries
+    from mare_spark.tables import TABLE_NAMES, table_path
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    qs = all_queries()
+    sf = str(tmp_path / "sfrel")
+    (tmp_path / "sfrel").mkdir()
+    for t in TABLE_NAMES:
+        shutil.copy(table_path(SF_SMOKE, t), table_path(sf, t))
+
+    # (1) duplicate-ts views with conflicting values around one purchase
+    base = pd.Timestamp("2025-01-01 12:00:00")
+    rows = [
+        (1, base - pd.Timedelta(minutes=5), 100, "view", 1.0, "{}"),
+        (2, base - pd.Timedelta(minutes=5), 100, "view", 9.0, "{}"),
+        (3, base, 100, "purchase", 50.0, "{}"),
+        (4, base + pd.Timedelta(minutes=5), 100, "view", 2.0, "{}"),
+        (5, base + pd.Timedelta(minutes=5), 100, "view", 8.0, "{}"),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"]
+    ).to_parquet(table_path(sf, "events"))
+    bwd = qs["q_asof_join"].fn(spark, sf).collect()[0]
+    assert bwd.view_value == 9.0  # max-value tie winner (backward)
+    fwd = qs["q_asof_join_forward"].fn(spark, sf).collect()[0]
+    assert fwd.view_value == 2.0  # min-value tie winner (forward)
+    compare(qs["q_asof_join"].fn(spark, sf), qs["q_asof_join"].oracle, sf)
+    compare(qs["q_asof_join_forward"].fn(spark, sf),
+            qs["q_asof_join_forward"].oracle, sf)
+
+    # (2) NULL-price part: correlated count 0 on both engines
+    part = pd.read_parquet(table_path(SF_SMOKE, "part")).head(10).copy()
+    part.loc[part.index[0], "p_retailprice"] = None
+    part.loc[part.index[0], "p_size"] = 1
+    part["p_brand"] = "B#1"  # one brand -> the NULL row competes
+    part.to_parquet(table_path(sf, "part"))
+    q = qs["q_correlated_scalar"]
+    got = {r.p_partkey: r.n_pricier_in_brand
+           for r in q.fn(spark, sf).collect()}
+    null_key = int(part.iloc[0]["p_partkey"])
+    assert got[null_key] == 0
+    compare(q.fn(spark, sf), q.oracle, sf)
