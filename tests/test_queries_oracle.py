@@ -297,3 +297,88 @@ def test_udtf_oracle_null_text_parity(spark, tmp_path):
         (0, 3, "delta"), (0, 4, "epsilon"), (2, 0, "solo"),
     ]
     compare(q.fn(spark, sf), q.oracle, sf)
+
+
+def test_ln_snap_boundary_canary(spark):
+    """r8 measurement: Java Math.log and DuckDB ln bit-differ on ~0.8%
+    of doubles (1-ulp). Every hash-checked ln row rides the 6dp snap
+    margin — a 1-ulp diff only flips the snapped value within ~1 ulp of
+    a 0.5e-6 grid boundary. This canary VERIFIES the margin on the
+    driver-gate fixture: every ln value feeding a snapped output sits
+    orders of magnitude further from a boundary than the libm error
+    bound, so the rows cannot silently diverge on this corpus. Fails
+    loudly on a regenerated fixture that lands near a boundary (fix:
+    snap the ln INPUT first, or adjust the flagged row)."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from mare_spark.tables import read_table
+
+    def boundary_dist(vals):
+        # distance (in 1e-6 grid units) from floor(v*1e6 + 0.5)'s cut
+        g = np.asarray(vals, dtype=np.float64) * 1e6 + 0.5
+        return np.min(np.abs(g - np.round(g)))
+
+    # ~1 ulp of ln outputs (|ln| < 20) scaled to grid units, with slack
+    ULP_GRID = 20 * 2.3e-16 * 1e6  # ≈ 4.6e-9 grid units
+    # floor: ~200x the ulp bound. (The expected MIN over n uniform
+    # values is ~0.5/n grid units — at n≈1200 that's ~4e-4, measured
+    # 9.4e-5 — so a tighter floor would false-alarm on healthy
+    # fixtures; 1e-6 still catches anything genuinely at libm risk.)
+    FLOOR = 1e-6
+
+    # q_math_conditional: ln(l_extendedprice) on its filtered rows
+    li = read_table(spark, SF_ORACLE, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    prices = [r[0] for r in li.select("l_extendedprice").collect()]
+    d = boundary_dist([math.log(p) for p in prices if p and p > 0])
+    assert d > max(ULP_GRID, FLOOR), f"q_math_conditional margin {d}"
+
+    # DSIR logratios: the ln inputs are exact-int-product ratios
+    from mare_spark.operators.dsir import dsir_logratios
+    from mare_spark.queries.llm7 import _B, _TARGET
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    lr = dsir_logratios(
+        docs.filter(F.col("source") != _TARGET),
+        docs.filter(F.col("source") == _TARGET),
+        "text", num_buckets=_B,
+    )
+    vals = [r.logratio for r in lr.collect() if r.logratio is not None]
+    # logratio is ALREADY snapped; recompute the pre-snap margin from
+    # the snapped grid? No — assert the snapped values are far from
+    # HALF-boundaries is meaningless post-snap. Instead check the raw
+    # ratios' ln margin via the operator's own algebra at this SF.
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_ORACLE}/documents.parquet'"
+    )
+    raw = con.execute(f"""
+        WITH w AS (SELECT doc_id, source,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+                   'g'))), ' ') AS ws FROM documents),
+        g AS (SELECT source, unnest(ws) AS gram FROM w),
+        f AS (SELECT source,
+              CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % {_B} AS b
+              FROM g),
+        tc AS (SELECT b, count(*) c FROM f WHERE source = '{_TARGET}'
+               GROUP BY b),
+        rc AS (SELECT b, count(*) c FROM f WHERE source <> '{_TARGET}'
+               GROUP BY b),
+        tt AS (SELECT count(*) t FROM f WHERE source = '{_TARGET}'),
+        rt AS (SELECT count(*) r FROM f WHERE source <> '{_TARGET}')
+        SELECT CAST((COALESCE(tc.c,0)+1) * (rt.r+{_B}) AS DOUBLE)
+               / CAST((COALESCE(rc.c,0)+1) * (tt.t+{_B}) AS DOUBLE)
+        FROM range({_B}) b(bucket)
+        LEFT JOIN tc ON tc.b = b.bucket LEFT JOIN rc ON rc.b = b.bucket
+        CROSS JOIN tt CROSS JOIN rt
+    """).fetchall()
+    d2 = boundary_dist([math.log(r[0]) for r in raw])
+    assert d2 > max(ULP_GRID, FLOOR), f"dsir logratio margin {d2}"
