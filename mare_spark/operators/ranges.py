@@ -56,6 +56,13 @@ def binned_interval_join(
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    if max_bins_per_interval < 1:
+        # fail fast at call time: a non-positive cap would instead fire
+        # the per-row raise_error on the FIRST interval mid-job with a
+        # misleading "spans more than 0 bins" message (r8 review)
+        raise ValueError(
+            f"max_bins_per_interval must be >= 1, got {max_bins_per_interval}"
+        )
     overlap = set(points.columns) & set(intervals.columns) - {by}
     if overlap:
         raise ValueError(

@@ -45,6 +45,7 @@ def gapfill_locf(
     bucket_seconds: int,
     tiebreak_cols: tuple[str, ...] = (),
     mode: str = "locf",
+    max_fill_buckets: int = 4096,
 ) -> DataFrame:
     """Regularize ``df`` onto a ``bucket_seconds`` grid per ``key_col``,
     forward-filling ``value_col`` across empty buckets.
@@ -80,6 +81,10 @@ def gapfill_locf(
         raise ValueError("bucket_seconds must be >= 1")
     if mode not in ("locf", "interpolate"):
         raise ValueError(f"mode must be 'locf' or 'interpolate', got {mode!r}")
+    if max_fill_buckets < 1:
+        raise ValueError(
+            f"max_fill_buckets must be >= 1, got {max_fill_buckets}"
+        )
     if mode == "interpolate":
         vt = dict(df.dtypes).get(value_col)
         if vt not in ("double", "float", "int", "bigint",
@@ -105,6 +110,15 @@ def gapfill_locf(
     # buckets floor like everything else — the oracle replays the same
     # floor with DuckDB's pmod form, pinned by a pre-epoch differential).
     # NTZ columns cast through the session TZ — pinned UTC engine-wide.
+    # plain top-level column names only: the rest of the function goes
+    # through F.col()/select(), where a dotted name parses as struct
+    # access — a backtick-quoted SQL fragment here would advertise
+    # support the window/select paths don't deliver (r8 review)
+    if "." in ts_col:
+        raise ValueError(
+            f"ts_col {ts_col!r} contains '.' — rename the column first "
+            "(dotted names parse as struct access in column references)"
+        )
     ts_q = ts_col.replace("`", "``")  # backquote: names like `a-b` must
     # reference the COLUMN, not parse as an expression
     us = f"unix_micros(cast(`{ts_q}` as timestamp))"
@@ -141,9 +155,25 @@ def gapfill_locf(
             + (F.col("_next_val") - F.col(value_col)) * frac
         )
 
+    # gap-width guard (ranges.py's max-bins doctrine: at 100 TB an
+    # unnoticed multi-million-bucket gap — one corrupt far-future
+    # timestamp — is a single-row array explosion and a job-killer, so
+    # it is an ERROR, not a silent straggler; raise bucket_seconds or
+    # repair the sentinel upstream, r8 review)
+    span_ok = F.coalesce(F.col("_next"), F.col("_bucket")) - F.col(
+        "_bucket"
+    ) <= F.lit(max_fill_buckets)
+    guard = F.when(span_ok, F.col("_bucket")).otherwise(
+        F.raise_error(F.lit(
+            f"gapfill_locf: a gap spans more than {max_fill_buckets} "
+            "buckets — raise bucket_seconds/max_fill_buckets or repair "
+            "the outlier timestamp"
+        ))
+    )
     filled = (
         observed.withColumn("_next", F.lead("_bucket").over(w_key))
         .withColumn("_next_val", F.lead(value_col).over(w_key))
+        .withColumn("_bucket", guard)
         .select(
             key_col,
             value_col,

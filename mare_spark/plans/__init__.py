@@ -101,3 +101,19 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n) ' prefixes mark WholeStageCodegen stages in the simple plan string
     return "WholeStageCodegen" in plan or "*(" in plan
+
+
+def codegen_covers(df: DataFrame, node: str) -> bool:
+    """True when a node whose name contains ``node`` sits INSIDE a
+    WholeStageCodegen stage — the ``'*(n) NodeName'`` prefix in the
+    executed simple plan. Stronger than :func:`has_whole_stage_codegen`
+    (r8 review: ANY codegen stage anywhere made that check pass, so the
+    hot aggregate dropping to CodegenFallback went undetected as long
+    as the scan still codegens). Test-sized inputs only (collects)."""
+    import re
+
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return re.search(
+        r"\*\(\d+\)\s+\w*" + re.escape(node), plan
+    ) is not None

@@ -51,7 +51,9 @@ def test_orderby_limit_is_take_ordered_not_global_sort(spark):
 def test_scan_side_filter_keeps_codegen(spark):
     li = read_table(spark, SF_ORACLE, "lineitem").filter(F.col("l_quantity") > 30)
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
-    assert P.has_whole_stage_codegen(agg)
+    # node-scoped (r8 review): the old any-stage check passed as long as
+    # the SCAN codegens, even with the hot aggregate on CodegenFallback
+    assert P.codegen_covers(agg, "HashAggregate")
 
 
 def test_projection_prunes_scan(spark):
@@ -307,7 +309,9 @@ def test_quality_classifier_is_scan_side_codegen(spark):
     docs = read_table(spark, SF_ORACLE, "documents")
     df = hashed_quality_classifier(docs, "text", "doc_id")
     assert P.count_shuffle_exchanges(df) == 0, P.formatted_plan(df)
-    assert P.has_whole_stage_codegen(df)
+    # the classifier's Project node itself must codegen (r8 review:
+    # any-stage would pass on the scan alone)
+    assert P.codegen_covers(df, "Project")
 
 
 def test_repeated_chunk_scrub_shuffle_budget(spark):
