@@ -1030,8 +1030,13 @@ def hashed_quality_classifier(
     order-independent and hash-stable. ``keep_flag`` = score >= threshold
     (0/1 int).
 
-    Scale: pure scan-side expression code — zero shuffle, zero Python;
-    at 100 TB this is a single pass fused into whatever scan precedes it.
+    Scale: zero shuffle, zero shuffle-side Python — a single pass over
+    whatever scan precedes it. The scoring Project itself runs
+    INTERPRETED (``F.aggregate`` and every higher-order function is
+    CodegenFallback in Spark, so it cannot join a WholeStageCodegen
+    stage — plan-pinned in tests/test_plans.py); this tier is the
+    oracle-exact reference, and the Arrow tier
+    (:func:`hashed_quality_classifier_udf`) is the hot path at 100 TB.
     The weight sum is a left fold (F.aggregate) in exact int64: |sum| <=
     scale · n_tokens, overflow needs a 9-petatoken document.
     """

@@ -71,6 +71,14 @@ def gapfill_locf(
     Rows with a NULL ``ts_col`` are dropped (their bucket is NULL, so
     they can't land on the grid) — gate or repair timestamps upstream
     if they must count.
+
+    ``max_fill_buckets`` (default 4096, NEW in the guard's first
+    release — earlier versions filled arbitrarily wide gaps silently)
+    fail-louds any single gap wider than that many buckets: at scale
+    one corrupt far-future timestamp is otherwise a single-row array
+    explosion. The error message carries the offending gap's width so
+    callers with legitimately sparse series can immediately pick a
+    correct override.
     """
     if bucket_seconds != int(bucket_seconds):
         raise ValueError(
@@ -134,6 +142,11 @@ def gapfill_locf(
     observed = (
         df.select(key_col, ts_col, value_col, *tiebreak_cols)
         .withColumn("_bucket", bucket)
+        # NULL ts_col → NULL _bucket: drop HERE, before the gap-width
+        # guard — a NULL bucket makes span_ok NULL and the guard's
+        # otherwise() branch would raise with a misleading "gap too
+        # wide" error instead of honoring the documented drop contract
+        .filter(F.col("_bucket").isNotNull())
         .withColumn("_rn", F.row_number().over(w_last))
         .filter(F.col("_rn") == 1)
         .select(key_col, "_bucket", value_col)
@@ -160,14 +173,16 @@ def gapfill_locf(
     # timestamp — is a single-row array explosion and a job-killer, so
     # it is an ERROR, not a silent straggler; raise bucket_seconds or
     # repair the sentinel upstream, r8 review)
-    span_ok = F.coalesce(F.col("_next"), F.col("_bucket")) - F.col(
-        "_bucket"
-    ) <= F.lit(max_fill_buckets)
-    guard = F.when(span_ok, F.col("_bucket")).otherwise(
-        F.raise_error(F.lit(
-            f"gapfill_locf: a gap spans more than {max_fill_buckets} "
-            "buckets — raise bucket_seconds/max_fill_buckets or repair "
-            "the outlier timestamp"
+    span = F.coalesce(F.col("_next"), F.col("_bucket")) - F.col("_bucket")
+    guard = F.when(span <= F.lit(max_fill_buckets), F.col("_bucket")).otherwise(
+        F.raise_error(F.concat(
+            F.lit("gapfill_locf: a gap spans "),
+            span.cast("string"),
+            F.lit(
+                f" buckets (max_fill_buckets={max_fill_buckets}) — raise "
+                "bucket_seconds/max_fill_buckets or repair the outlier "
+                "timestamp"
+            ),
         ))
     )
     filled = (

@@ -300,18 +300,35 @@ def test_user_anomalies_single_shuffle(spark):
     assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
 
 
-def test_quality_classifier_is_scan_side_codegen(spark):
-    """The hashed linear classifier is a pure scan-side expression pass:
-    zero exchanges, whole-stage codegen — at 100 TB it fuses into
-    whatever scan precedes it."""
+def test_quality_classifier_zero_shuffle_interpreted_hof(spark):
+    """The hashed linear classifier is a zero-exchange single pass, but
+    its Project CANNOT whole-stage-codegen: ``F.aggregate`` (all
+    higher-order functions) is CodegenFallback in Spark, so the scoring
+    Project runs interpreted — the Arrow tier
+    (``hashed_quality_classifier_udf``) is the hot path at scale, and
+    this expression tier is the oracle-exact reference. Pin BOTH facts:
+    if Spark ever codegens HOFs, the second assert flips and the claim
+    can be upgraded (r9: the r8 ``codegen_covers(df, "Project")`` assert
+    was structurally unsatisfiable — an overclaim, not a plan bug)."""
     from mare_spark.operators.corpus import hashed_quality_classifier
 
     docs = read_table(spark, SF_ORACLE, "documents")
     df = hashed_quality_classifier(docs, "text", "doc_id")
     assert P.count_shuffle_exchanges(df) == 0, P.formatted_plan(df)
-    # the classifier's Project node itself must codegen (r8 review:
-    # any-stage would pass on the scan alone)
-    assert P.codegen_covers(df, "Project")
+    # the scan side still codegens; the HOF Project deliberately doesn't
+    assert P.has_whole_stage_codegen(df)
+    assert not P.codegen_covers(df, "Project")
+
+
+def test_zorder_value_project_codegens(spark):
+    """COVERAGE's 'pure bitwise codegen' claim for the Morton interleave,
+    node-scoped: the z-value Project (shiftleft/or/least — all built-in
+    expressions, no HOFs) must sit INSIDE a WholeStageCodegen stage."""
+    from mare_spark.operators.scale import zorder_value
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    df, zcol = zorder_value(docs, ["doc_id", "n_chars"], bits_per_col=8)
+    assert P.codegen_covers(df.select(zcol), "Project"), P.formatted_plan(df)
 
 
 def test_repeated_chunk_scrub_shuffle_budget(spark):
