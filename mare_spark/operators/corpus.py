@@ -45,6 +45,7 @@ __all__ = [
     "write_packed_corpus",
     "unigram_logprob",
     "temperature_rates",
+    "sql_temperature_pow",
     "apply_mixture_sampling",
     "repeated_chunk_scrub",
     "repeated_chunk_scrub_cms",
@@ -569,8 +570,10 @@ def bigram_logprob(
 
     Hash-stable: every count is an exact integer, the interpolation is
     evaluated with identical association on both engines, ln of the
-    identical double agrees, each term snaps to the 6dp grid, and the
-    per-document mean sums the grid points as DECIMAL.
+    identical double is within 1 ulp cross-engine (absorbed by the 6dp
+    snap away from grid boundaries — margin canary-checked in
+    tests/test_queries_oracle.py), each term snaps to the 6dp grid, and
+    the per-document mean sums the grid points as DECIMAL.
 
     ``lam_unigram`` is the unigram interpolation weight as an EXPLICIT
     double (default ``1.0 - lam`` computed in Python). An oracle that
@@ -653,8 +656,10 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "_w",
     )
     # avg of raw doubles is partition-order-dependent; snap each token's
-    # logp onto the 6dp grid (fround — engine-identical since ln of the
-    # same double agrees), sum exactly as DECIMAL, divide once, snap again.
+    # logp onto the 6dp grid (fround — ln of the same double is within
+    # 1 ulp cross-engine, which the snap absorbs away from grid
+    # boundaries; margin canary-checked in tests/test_queries_oracle.py),
+    # sum exactly as DECIMAL, divide once, snap again.
     lp6 = fround("_logp", 6).cast("decimal(28,6)")
     return (
         scored.groupBy(id_col)
@@ -667,6 +672,19 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "n_tokens",
             fround(F.col("_lpsum") / F.col("n_tokens"), 6).alias("avg_logprob"),
         )
+    )
+
+
+def sql_temperature_pow(nat_expr: str, alpha: float) -> str:
+    """DuckDB fragment replaying :func:`temperature_rates`'s grid-snapped
+    ``nat^alpha`` chain in INTEGER MICROS — generated from the same alpha
+    the operator computes with, so the two derivations cannot fork
+    silently (single-definition rule; see the pow-parity comment in
+    temperature_rates for why pow() itself is never called)."""
+    a = repr(float(alpha))
+    return (
+        f"CAST(floor(exp({a} * (floor(ln({nat_expr}) * 1000000.0 + 0.5)"
+        f" / 1000000.0)) * 1000000.0 + 0.5) AS BIGINT)"
     )
 
 
@@ -688,8 +706,21 @@ def temperature_rates(
     w = Window.partitionBy()
     g = df.groupBy(strata_col).agg(F.count("*").alias("n"))
     nat = F.col("n") / F.sum("n").over(w)
-    powed = F.pow(nat, alpha)
-    temp = powed / F.sum(powed).over(w)
+    # pow-parity convention (r9): Java Math.pow is 1-ulp, not correctly
+    # rounded, and DuckDB's pow has no pinned relationship to it — so
+    # nat^alpha is computed as the grid-snapped exp(alpha·ln(nat)) chain
+    # instead. Each libm call (ln, exp) is followed by a 6dp snap that
+    # absorbs 1-ulp cross-engine drift (margin canary-checked in
+    # tests/test_queries_oracle.py); every other step is single IEEE ops
+    # on bit-identical inputs. The snapped exp lands in INTEGER MICROS
+    # (floor → long) so the share denominator is an exact integer sum —
+    # order-independent with no decimal→double double-rounding hazard.
+    # The oracle replays the identical chain via sql_temperature_pow().
+    ln_nat = fround(F.ln(nat), 6)
+    p_micro = F.floor(
+        F.exp(F.lit(float(alpha)) * ln_nat) * F.lit(1e6) + F.lit(0.5)
+    )
+    temp = p_micro.cast("double") / F.sum(p_micro).over(w).cast("double")
     return g.select(
         F.col(strata_col),
         F.col("n"),

@@ -21,6 +21,7 @@ from mare_spark.operators.corpus import (
     pii_scrub,
     quality_gates,
     repetition_stats,
+    sql_temperature_pow,
 )
 from mare_spark.operators.text import STOPWORDS, tokens
 from mare_spark.queries._decimal import fround
@@ -393,11 +394,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_temperature_rates",
     category="llm",
-    oracle="""
+    # nat^0.7 is the grid-snapped exp(0.7·ln) chain in integer micros,
+    # generated from the operator's own fragment helper — never pow(),
+    # whose Java/DuckDB implementations have no pinned ulp relationship
+    oracle=f"""
     WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
     n1 AS (SELECT lang, n, n / sum(n) OVER () AS nat FROM g),
-    n2 AS (SELECT lang, n, nat, pow(nat, 0.7) AS p FROM n1),
-    n3 AS (SELECT lang, n, nat, p / sum(p) OVER () AS temp FROM n2)
+    n2 AS (SELECT lang, n, nat,
+           {sql_temperature_pow('nat', 0.7)} AS pm FROM n1),
+    n3 AS (SELECT lang, n, nat,
+           CAST(pm AS DOUBLE) / CAST(sum(pm) OVER () AS DOUBLE) AS temp
+           FROM n2)
     SELECT lang, n,
            (floor(nat * 1000000.0 + 0.5) / 1000000.0) AS natural_share,
            (floor(temp * 1000000.0 + 0.5) / 1000000.0) AS temperature_share,

@@ -23,6 +23,7 @@ from mare_spark.operators.analysis import (
     ngram_heavy_hitters,
     tfidf_keywords,
 )
+from mare_spark.operators.corpus import sql_temperature_pow
 from mare_spark.queries.llm2 import _duck_ngrams, _NORM, _STOPLIST, _WORDS
 from mare_spark.registry import register
 from mare_spark.tables import read_table
@@ -209,16 +210,21 @@ def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_apply_mixture",
     category="llm",
-    oracle="""
+    # nat^0.7 via the operator's own grid-snapped exp(0.7·ln) fragment
+    # (integer micros) — pow() has no pinned cross-engine convention
+    oracle=f"""
     WITH g AS (SELECT lang, count(*) AS n FROM documents
            -- NULL strata are dropped BEFORE the rate table, like
            -- the operator: a NULL-lang count in the denominator
            -- would shift every real language's rate
            WHERE lang IS NOT NULL GROUP BY lang),
     n1 AS (SELECT lang, n, n / sum(n) OVER () AS nat FROM g),
-    n2 AS (SELECT lang, n, nat, pow(nat, 0.7) AS p FROM n1),
+    n2 AS (SELECT lang, n, nat,
+           {sql_temperature_pow('nat', 0.7)} AS pm FROM n1),
     n3 AS (
-      SELECT lang, (floor((p / sum(p) OVER ()) / nat * 1000000.0 + 0.5)
+      SELECT lang, (floor((CAST(pm AS DOUBLE)
+                           / CAST(sum(pm) OVER () AS DOUBLE))
+                   / nat * 1000000.0 + 0.5)
                    / 1000000.0) AS boost FROM n2
     ),
     r AS (SELECT lang, least(boost * 0.5, 1.0) AS rate FROM n3),

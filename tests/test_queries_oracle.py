@@ -382,3 +382,87 @@ def test_ln_snap_boundary_canary(spark):
     """).fetchall()
     d2 = boundary_dist([math.log(r[0]) for r in raw])
     assert d2 > max(ULP_GRID, FLOOR), f"dsir logratio margin {d2}"
+
+
+def test_ln_exp_snap_boundary_canary_logprob_and_temperature(spark):
+    """r9 extension of the ln snap-boundary canary (same methodology) to
+    the remaining libm consumers on the hash-checked path:
+
+    - text_unigram_logprob: ln(cnt/total) per vocabulary word;
+    - text_bigram_logprob: ln(0.9·cab/ca + 0.1·cb/T) per corpus bigram;
+    - sample_temperature_rates / sample_apply_mixture: ln(nat) per
+      stratum AND the chain's second libm call exp(0.7·snap(ln(nat))).
+
+    Each value feeds a 6dp grid snap whose margin must dominate the
+    1-ulp cross-engine libm drift. Large sets (bigrams ~1e5) use a 50×
+    safety floor instead of the gate tests' ~200× — the expected MIN
+    over n uniform grid offsets shrinks as 0.5/n, and a fixture value
+    genuinely within 50 ulps of a boundary deserves the alarm."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.text import tokens
+    from mare_spark.tables import read_table
+
+    def boundary_dist(vals):
+        g = np.asarray(vals, dtype=np.float64) * 1e6 + 0.5
+        return np.min(np.abs(g - np.round(g)))
+
+    ULP_GRID = 20 * 2.3e-16 * 1e6  # ≈ 4.6e-9 grid units (|ln| < 20)
+    FLOOR_SMALL = 1e-6      # small sets (strata, vocab)
+    FLOOR_LARGE = 50 * ULP_GRID  # large sets (bigram table)
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+
+    # unigram: ln(cnt/total) over the vocabulary
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("_w"))
+        .groupBy("_w").agg(F.count("*").alias("c"))
+    )
+    counts = [r.c for r in freq.collect()]
+    total = sum(counts)
+    d_uni = boundary_dist([math.log(c / total) for c in counts])
+    assert d_uni > max(ULP_GRID, FLOOR_SMALL), f"unigram margin {d_uni}"
+
+    # bigram: ln(0.9·cab/ca + 0.1·cb/T) over the bigram table
+    pairs = F.expr(
+        "CASE WHEN size(_w) > 1 THEN transform(sequence(1, size(_w) - 1),"
+        " i -> struct(_w[i - 1] AS a, _w[i] AS b)) ELSE array() END"
+    )
+    tp = (
+        docs.select(tokens(F.col("text")).alias("_w"))
+        .select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    )
+    big = tp.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ctx = big.groupBy("a").agg(F.sum("cab").alias("ca"))
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("b"))
+        .groupBy("b").agg(F.count("*").alias("cb"))
+    )
+    rows = (
+        big.join(ctx, "a").join(uni, "b")
+        .select("cab", "ca", "cb").collect()
+    )
+    t_tokens = total  # same tokenizer, same corpus
+    ps = [0.9 * (r.cab / r.ca) + 0.1 * (r.cb / t_tokens) for r in rows]
+    d_big = boundary_dist([math.log(p) for p in ps])
+    assert d_big > max(ULP_GRID, FLOOR_LARGE), f"bigram margin {d_big}"
+
+    # temperature chain: ln(nat) then exp(0.7 · snapped-ln), per stratum
+    lang_counts = [
+        r.c for r in docs.groupBy("lang").agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    lt = sum(lang_counts)
+    nats = [c / lt for c in lang_counts]
+    lns = [math.log(x) for x in nats]
+    d_ln = boundary_dist(lns)
+    assert d_ln > max(ULP_GRID, FLOOR_SMALL), f"temperature ln margin {d_ln}"
+    snapped = [math.floor(v * 1e6 + 0.5) / 1e6 for v in lns]
+    exps = [math.exp(0.7 * s) for s in snapped]
+    d_exp = boundary_dist(exps)
+    assert d_exp > max(ULP_GRID, FLOOR_SMALL), f"temperature exp margin {d_exp}"
