@@ -95,7 +95,12 @@ def ngram_partial_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
 
     import pandas as pd
 
-    from mare_spark.operators.dedup import py_tokens
+    from mare_spark.operators.dedup import _fan_out, py_tokens
+
+    # fan out a narrow scan (r9 measure-first pass: the fixture corpus is
+    # one 128 MB-split partition, so the Counter pass ran single-threaded
+    # — 2.4 s vs 1.5 s fanned at sf0.1); no-op on an at-scale wide scan
+    df = _fan_out(df)
 
     def gen(batches):
         for pdf in batches:
@@ -546,16 +551,25 @@ def ngram_novelty(
     """
     from pyspark import StorageLevel
 
-    from mare_spark.operators.dedup import attach_caches, hashed_word_shingles
+    from mare_spark.operators.dedup import (
+        _materialize,
+        attach_caches,
+        hashed_word_shingles,
+    )
 
     # the Arrow shingle hasher is the dominant cost and feeds BOTH the
     # doc-frequency aggregate and the join-back — persist it once
     # (spillable) instead of hashing the corpus twice; release via the
-    # attach_caches contract like the dedup pipelines
-    ex = df.select(
-        F.col(id_col), *[F.col(c) for c in keep_cols],
-        F.explode(hashed_word_shingles(F.col(text_col), n)).alias("gh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # attach_caches contract like the dedup pipelines. Eager build
+    # (_materialize): the aggregate branch and the join probe launch
+    # concurrently under AQE and would race the shingle UDF through
+    # twice on a cold cache.
+    ex = _materialize(
+        df.select(
+            F.col(id_col), *[F.col(c) for c in keep_cols],
+            F.explode(hashed_word_shingles(F.col(text_col), n)).alias("gh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     shared = (
         ex.select("gh").groupBy("gh").agg(F.count("*").alias("gram_df"))
         .filter(F.col("gram_df") >= 2)

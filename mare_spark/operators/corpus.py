@@ -215,14 +215,17 @@ def decontaminate_ngrams(
     comparison anywhere. Hashing the grams (xxhash64) keeps the broadcast
     table fixed-width regardless of gram length.
     """
-    from mare_spark.operators.dedup import hashed_word_shingles
+    from mare_spark.operators.dedup import _fan_out, hashed_word_shingles
 
     eval_text_col = eval_text_col or text_col
     # n-grams via the shared Arrow-batched shingle hasher (sorted distinct
     # 64-bit hashes): overlap semantics are set-level, so the dedupe is
     # free, and the interpreted-eval higher-order transform/slice pipeline
-    # (_word_ngrams) stays off this hot path
-    train_grams = df.select(
+    # (_word_ngrams) stays off this hot path. The gram side fans out a
+    # narrow scan first (r9: the fixture corpus is one scan partition, so
+    # the 8-gram UDF ran single-threaded); no-op on an at-scale wide scan,
+    # and the returned anti-join still keys on the ORIGINAL df.
+    train_grams = _fan_out(df).select(
         F.col(id_col),
         F.explode(hashed_word_shingles(F.col(text_col), n)).alias("_g"),
     )
@@ -270,10 +273,11 @@ def ngram_overlap_report(
     hasher), so ``count(*)`` after the match IS the distinct matched
     count; the corpus is never shuffled except by its own id.
     """
-    from mare_spark.operators.dedup import hashed_word_shingles
+    from mare_spark.operators.dedup import _fan_out, hashed_word_shingles
 
     eval_text_col = eval_text_col or text_col
-    train_grams = df.select(
+    # same narrow-scan fan-out rationale as decontaminate_ngrams
+    train_grams = _fan_out(df).select(
         F.col(id_col),
         F.explode(hashed_word_shingles(F.col(text_col), n)).alias("_g"),
     )
@@ -878,8 +882,14 @@ def repeated_chunk_scrub(
     Documents with NULL text tokenize to NULL and drop on both engines
     (same contract as the digest/fingerprint ops).
     """
+    from mare_spark.operators.dedup import _fan_out
+
     _check_scrub_columns("repeated_chunk_scrub", id_col, text_col, keep_cols)
-    ex = _chunk_explode(df, text_col, id_col, chunk_words, keep_cols)
+    # fan out a narrow scan before the (CodegenFallback, interpreted)
+    # chunk transform — it feeds BOTH the frequency branch and the join
+    # probe (r9 measured: 1.24 s single-partition vs 0.57 s fanned at
+    # sf0.1); no-op on an at-scale wide scan
+    ex = _chunk_explode(_fan_out(df), text_col, id_col, chunk_words, keep_cols)
     ex = ex.withColumn("chunk_h", F.md5("chunk"))
     # Boilerplate flagging via the hot-digest HEAD set: repeated chunks
     # are BY DEFINITION the Zipf head (a newsletter footer repeated 10M
@@ -992,7 +1002,10 @@ def repeated_chunk_scrub_cms(
     _check_scrub_columns(
         "repeated_chunk_scrub_cms", id_col, text_col, keep_cols
     )
-    ex = _chunk_explode(df, text_col, id_col, chunk_words, keep_cols)
+    from mare_spark.operators.dedup import _fan_out
+
+    # same narrow-scan fan-out rationale as repeated_chunk_scrub
+    ex = _chunk_explode(_fan_out(df), text_col, id_col, chunk_words, keep_cols)
     ex = ex.withColumn("chunk_h", F.xxhash64("chunk")).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -68,8 +68,31 @@ def _fan_out(df: DataFrame) -> DataFrame:
     """Spread expression-heavy per-row work across all cores when the scan
     produced fewer partitions than the cluster has slots (small files →
     1 task → single-threaded shingling). No-op when the input is already
-    wide — never adds a shuffle to an at-scale corpus scan."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    wide — never adds a shuffle to an at-scale corpus scan.
+
+    The width question is answered from the scan-size hint read_table
+    attaches (one os.stat) when present: ``df.rdd.getNumPartitions()``
+    costs a throwaway physical-planning pass (~130 ms per fresh DataFrame,
+    measured) that the bench paid once per operator invocation. The
+    byte-threshold decision (scan bytes < slots x maxPartitionBytes ⇒
+    fewer than `slots` max-size scan splits ⇒ fan out) reproduces the
+    partition-count rule; DataFrames without the hint (filtered/derived)
+    keep the exact probe."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    scan_bytes = getattr(df, "_mare_scan_bytes", None)
+    if scan_bytes is not None:
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+        )
+        try:
+            max_pb = int(raw)
+        except ValueError:
+            max_pb = None  # "128m"-style value: fall through to the probe
+        if max_pb is not None:
+            if scan_bytes < target * max_pb:
+                return df.repartition(target)
+            return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -116,8 +139,29 @@ def release_caches(df: DataFrame) -> None:
 def _persisted_candidates(cand: DataFrame) -> DataFrame:
     """Persist the candidate-pair set: it feeds both the verify joins and the
     :func:`_candidate_shingles` semi-join, and without a persist the expensive
-    candidate-generation self-join would run once per consumer."""
-    return cand.persist(StorageLevel.MEMORY_AND_DISK)
+    candidate-generation self-join would run once per consumer. Materialized
+    eagerly (see :func:`_materialize`): the verify action launches its join
+    exchanges concurrently and a cold cache would be raced through once per
+    exchange."""
+    return _materialize(cand.persist(StorageLevel.MEMORY_AND_DISK))
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Build a persisted DataFrame's cache NOW (one job) and return it.
+
+    A lazy persist is built by whichever consumer iterates it first — but
+    AQE submits the shuffle-stage jobs of a downstream join's two sides
+    CONCURRENTLY, and when both sides read the same cold cache each stage
+    races through the full upstream compute before any cache block exists
+    (measured on the jaccard path: the shingle pandas-UDF subtree executed
+    2-3x per invocation, visible as stage pairs with identical shuffle
+    write sizes). One cheap count() per persist serializes the cache build,
+    so every consumer — concurrent or not — reads warm blocks. The same
+    stampede happens on a cluster; this is a compute-once guarantee, not a
+    local-mode tweak (measured interleaved: the barrier costs ≤0.2 s on the
+    local bench while removing 2-3x duplicate executor work)."""
+    df.count()
+    return df
 
 
 def normalize_text(col: Column) -> Column:
@@ -250,10 +294,12 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window as W
 
-    base = _fan_out(df).select(
-        F.col(id_col).alias("doc"),
-        hashed_word_shingles(F.col(text_col), n).alias("shingles"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base = _materialize(
+        _fan_out(df).select(
+            F.col(id_col).alias("doc"),
+            hashed_word_shingles(F.col(text_col), n).alias("shingles"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     inv = base.select("doc", F.size("shingles").alias("n_sh"),
                       F.explode("shingles").alias("shingle"))
@@ -273,14 +319,21 @@ def ngram_jaccard_pairs(
     # re-reads `base`, which is persisted above.
     freq = inv.groupBy("shingle").agg(F.count("*").alias("df_freq"))
     if max_shingle_freq is not None:
-        hot = freq.filter(F.col("df_freq") > max_shingle_freq).select("shingle")
-        inv = inv.join(hot, "shingle", "left_anti")
-        inv = inv.withColumn(
-            "df_freq", F.count("*").over(W.partitionBy("shingle"))
-        )
+        # One inner join against the ≤cap-frequency survivors both DROPS
+        # the hot head and DELIVERS the df annotation (r9 optimization
+        # pass — the previous shape anti-joined the >cap head and then
+        # re-counted survivors with a count window over the shingle,
+        # paying a second shingle exchange plus a window sort for a
+        # number the aggregate already knew). Join groups are ≤ cap by
+        # construction, so no skew is possible; AQE broadcasts the kept
+        # set when it fits and skew-splits the probe otherwise — the
+        # exact safety argument of the anti-join it replaces.
+        inv = inv.join(freq.filter(F.col("df_freq") <= max_shingle_freq),
+                       "shingle")
     else:
-        # uncapped: window groups would be unbounded, so annotate via the
-        # partial-combined aggregate + AQE-skew-splittable join instead
+        # uncapped: annotate via the partial-combined aggregate +
+        # AQE-skew-splittable join (a count window over an unbounded
+        # shingle group would funnel a Zipf-hot key into one task)
         inv = inv.join(freq, "shingle")
 
     # PPJoin-style prefix filter (exact): under a global shingle order
@@ -296,7 +349,7 @@ def ngram_jaccard_pairs(
     # The prefix is the SMALL end of the index — ~(1-t) of the exploded
     # shingles — and disk-backed, so this is the standard "index once,
     # probe twice" materialization, not a corpus-sized cache.
-    prefix = (
+    prefix = _materialize(
         inv.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
         .select("shingle", "doc", "n_sh", "rn")
@@ -453,8 +506,10 @@ def _mh_base(
 ) -> DataFrame:
     """Persisted (doc, shingles, sig) signature table — the shared
     materialization point of the LSH tiers (see the plan discussion in
-    :func:`minhash_lsh_pairs`)."""
-    return (
+    :func:`minhash_lsh_pairs`). Built eagerly (:func:`_materialize`): the
+    band-bucket self-join's two exchange sides launch concurrently and
+    would otherwise race the signature UDF through twice."""
+    return _materialize(
         _fan_out(df)
         .select(
             F.col(id_col).alias("doc"),
@@ -814,7 +869,7 @@ def simhash_pairs(
     # 64 KB codegen limit, falls back to interpreted eval and runs ~10×
     # slower; the 64×n bit-vote matrix is exactly the shape numpy is good
     # at. This is the sanctioned UDF case: built-ins can't express it fast.
-    base = (
+    base = _materialize(
         _fan_out(df)
         .select(
             F.col(id_col).alias("doc"),
@@ -823,6 +878,8 @@ def simhash_pairs(
         # gram-less docs (NULL signature) never enter bucketing — the
         # same contract as the MinHash tier's size(shingles) > 0 filter
         .filter(F.col("sh").isNotNull())
+        # eager (see _materialize): the chunk self-join's two exchange
+        # sides launch concurrently and would race the simhash UDF twice
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     chunk_cols = [
@@ -978,11 +1035,23 @@ def dedup_clusters(
     # BEFORE materializing would run the upstream pair-generation plan twice
     # inside one job (exchange reuse across differently-projected branches
     # is not guaranteed under AQE).
-    directed = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    # The routing probe rides INSIDE the checkpoint job as an Observation
+    # (the r9 optimization pass): the old shape paid three extra scheduler
+    # round-trips per invocation — a limit(N+1).count() job, a head(256)
+    # sample job, and the union-find tier's own collect() job. The edge
+    # count is now observed during the one materializing job; the byte
+    # gate prices a 256-row local fetch (as before — the gate must run
+    # BEFORE any full collect, that is its purpose), and the union-find
+    # tier's collect doubles as the final pull. Identical routing
+    # semantics: the exact count replaces the min(count, N+1) probe.
+    obs = Observation()
+    directed = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .observe(obs, F.count(F.lit(1)).alias("n_edges"))
+        .localCheckpoint(eager=True)
+    )
     if driver_edges_limit is not None:
-        probe = directed.limit(driver_edges_limit + 1).count()
+        probe = obs.get["n_edges"] or 0
         if probe <= driver_edges_limit:
             row_bytes = _edge_sample_row_bytes(directed.head(256))
             est = probe * row_bytes
@@ -1188,8 +1257,10 @@ def substring_overlap_candidates(
     # its UDF is the expensive part; it feeds the frequency aggregate and
     # both sides of the self-join, so persist it rather than recompute —
     # cheap at any scale precisely because it is k hashes per document,
-    # not the exploded index.
-    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    # not the exploded index. Eager (see _materialize): the self-join's
+    # exchange sides launch concurrently and would race the UDF through
+    # once per side on a cold cache.
+    fp = _materialize(fp.persist(StorageLevel.MEMORY_AND_DISK))
     inv = fp.select(F.col(id_col).alias("doc"), F.explode("fingerprint").alias("fp"))
     if max_fp_freq is not None:
         # Frequency cap via the hot-key HEAD set, not a count window:

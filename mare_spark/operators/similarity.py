@@ -266,7 +266,13 @@ def embedding_lsh_pairs(
     planes_per_band = [
         rng.standard_normal((bits_per_band, dim)) for _ in range(bands)
     ]
-    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).persist()
+    from mare_spark.operators.dedup import _materialize
+
+    # eager build (dedup._materialize): the bucket self-join's exchange
+    # sides launch concurrently and would race a cold cache twice
+    base = _materialize(
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).persist()
+    )
     buckets = base.select(
         "vid",
         F.posexplode(
@@ -638,10 +644,16 @@ def semantic_dedup_pairs(
     cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     cells_udf = F.pandas_udf(cells, "array<int>")
 
-    base = df.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
-        cells_udf(F.col(vec_col)).alias("cells"),
-    ).persist()
+    from mare_spark.operators.dedup import _materialize
+
+    # eager build (dedup._materialize): the cell self-join's exchange
+    # sides launch concurrently and would race the cell UDF twice
+    base = _materialize(
+        df.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+            cells_udf(F.col(vec_col)).alias("cells"),
+        ).persist()
+    )
     blocked = base.select("vid", F.explode("cells").alias("cell"))
     cand = (
         blocked.alias("a")

@@ -52,6 +52,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan (coalesce/skew-split) the stage that MATERIALIZES
+        # a persisted plan. Default false pins cached-plan output
+        # partitioning, so every persist in the dedup/similarity operators
+        # materialized at the full initial shuffle-partition count — tiny
+        # post-shuffle partitions at any scale (measured locally: the
+        # ngram-jaccard invocation ran 83 stages x 32 tasks; coalescing cuts
+        # the task census ~10x). The cost (a consumer can no longer reuse
+        # the cached partitioning for a later co-partitioned join) does not
+        # apply here: no operator joins two persisted sets on their cache
+        # partitioning.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # -- scan sizing ------------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -8,6 +8,8 @@ with full Catalyst pushdown) and registers a temp view so the SQL entry point
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -33,6 +35,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# Schema memo: (path, mtime_ns, size) -> StructType. Parquet schema
+# inference is a per-call driver job (footer read) — one Spark job per
+# `spark.read.parquet` — so a query touching 10 tables paid 10 scheduler
+# round-trips per invocation before a single row moved (measured: the
+# q_sql_returned_items build phase alone was 10 one-task jobs). The memo
+# holds table METADATA only — never rows, never results; every query
+# still computes from the parquet bytes — exactly what a real catalog
+# (Hive metastore, Iceberg manifest) provides at scale. The stat-based
+# key invalidates on any rewrite of the file; non-local paths (OSError on
+# stat) skip the memo and infer as before.
+_SCHEMA_MEMO: dict = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    return schema
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with schema normalization.
 
@@ -54,10 +82,45 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #   scan throws PARQUET_TYPE_ILLEGAL.
     # * UTC session TZ — non-UTC sessions shift every timestamp column
     #   relative to the (naive-UTC) DuckDB oracle.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Pinned once per session object: each conf.set is a py4j round-trip
+    # and read_table runs per-table per-invocation on the bench path.
+    if not getattr(spark, "_mare_conf_pinned", False):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark._mare_conf_pinned = True
 
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    # Session-scoped scan-plan memo (catalog semantics): constructing the
+    # same parquet-scan DataFrame costs ~30-160 ms of driver work per call
+    # (reader + relation + file-index creation), and `load_tables` paid it
+    # 10x per invocation (measured 1.19 s warm). A DataFrame is an
+    # immutable lazy plan — returning the same object is exactly what a
+    # metastore-backed `spark.table(name)` gives a real deployment; every
+    # action still reads the parquet bytes. Keyed on (path, mtime, size)
+    # so a rewritten fixture invalidates; memo lives on the session object
+    # and dies with it.
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        memo = getattr(spark, "_mare_df_memo", None)
+        if memo is None:
+            memo = spark._mare_df_memo = {}
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
+    schema = _parquet_schema(spark, path)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(path)
+    # Scan-size hint for operators.dedup._fan_out: answering "is this scan
+    # narrower than the cluster?" through df.rdd costs a full physical
+    # planning pass (~130 ms per fresh DataFrame, measured) — a local
+    # os.stat answers it for free. Metadata only; derived DataFrames
+    # (filter/select) drop the attribute and fall back to the exact probe.
+    if key is not None:
+        df._mare_scan_bytes = key[2]
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # FLOOR division, not bare `div`: div truncates toward zero, so a
         # pre-epoch nano value like -1500 ns would land at -1 µs while the
@@ -68,15 +131,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)"
         )
         df = df.withColumn("ts", F.timestamp_micros(micros))
+        if key is not None:
+            df._mare_scan_bytes = key[2]
+    if key is not None:
+        spark._mare_df_memo[key] = df
     return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:
-    """Load every fixture table from ``sf_dir``; optionally register temp views."""
+    """Load every fixture table from ``sf_dir``; optionally register temp views.
+
+    View registration is skipped when the catalog already points the name
+    at the identical (memoized) scan plan — each `createOrReplaceTempView`
+    is an ~18 ms driver round-trip, and the SQL-entry queries re-register
+    all ten per invocation. A changed fixture file yields a new plan object
+    (mtime-keyed memo in read_table), which re-registers."""
     tables: dict[str, DataFrame] = {}
+    views = getattr(spark, "_mare_view_memo", None)
+    if views is None:
+        views = spark._mare_view_memo = {}
     for name in TABLE_NAMES:
         df = read_table(spark, sf_dir, name)
         tables[name] = df
-        if register_views:
+        if register_views and views.get(name) is not df:
             df.createOrReplaceTempView(name)
+            views[name] = df
     return tables

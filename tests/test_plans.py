@@ -262,9 +262,15 @@ def test_heavy_hitters_topk_is_take_ordered(spark):
     from mare_spark.queries.llm3 import corpus_ngram_heavy_hitters
 
     df = corpus_ngram_heavy_hitters(spark, SF_ORACLE)
-    assert P.uses_take_ordered(df), P.formatted_plan(df)
-    # one shuffle: the gram aggregate (TakeOrdered is not an exchange)
-    assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
+    plan = P.formatted_plan(df)
+    assert P.uses_take_ordered(df), plan
+    # one KEYED shuffle: the gram aggregate (TakeOrdered is not an
+    # exchange); a narrow fixture scan additionally fans out round-robin
+    # before the Counter UDF (r9 — no-op on an at-scale wide scan)
+    import re
+
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"RoundRobinPartitioning", plan)) <= 1, plan
 
 
 def test_length_histogram_window_after_aggregate(spark):
@@ -332,15 +338,25 @@ def test_zorder_value_project_codegens(spark):
 
 
 def test_repeated_chunk_scrub_shuffle_budget(spark):
-    """Chunk scrub is exactly 2 keyed exchanges — the narrow digest
+    """Chunk scrub is exactly 2 KEYED exchanges — the narrow digest
     partials into the frequency aggregate and the doc-id reassembly; the
     hot-head flag joins back as a broadcast, so the exploded chunks are
-    never exchanged on the digest."""
+    never exchanged on the digest. A narrow fixture scan additionally
+    fans out round-robin before the interpreted chunk transform (r9 —
+    no-op on an at-scale wide scan), so the budget is 2 hash exchanges
+    plus at most one RoundRobin."""
+    import re
+
     from mare_spark.operators.corpus import repeated_chunk_scrub
 
     docs = read_table(spark, SF_ORACLE, "documents")
     df = repeated_chunk_scrub(docs, "text", "doc_id")
-    assert P.count_shuffle_exchanges(df) == 2, P.formatted_plan(df)
+    plan = P.formatted_plan(df)
+    assert len(re.findall(r"hashpartitioning", plan)) == 2, plan
+    # the static plan prints the fan-out once per consuming branch (the
+    # subtrees are canonically identical, so the runtime plan reuses ONE
+    # exchange); only its keyed exchanges may not grow
+    assert len(re.findall(r"RoundRobinPartitioning", plan)) <= 2, plan
 
 
 def test_samplers_single_shuffle(spark):
@@ -383,11 +399,15 @@ def test_frequency_caps_never_window_a_content_digest(spark):
 
 
 def test_jaccard_windows_are_cap_bounded_only(spark):
-    """ngram_jaccard_pairs keeps exactly two windows, both with bounded
-    partitions: df_freq over cap-capped survivor shingles (groups <= cap
-    by construction — the hot head was anti-joined away first) and the
-    PPJoin prefix row_number per doc (groups = shingles per doc). The hot
-    head drop itself must be a LeftAnti join, never a window."""
+    """ngram_jaccard_pairs keeps exactly ONE window, with bounded
+    partitions: the PPJoin prefix row_number per doc (groups = shingles
+    per doc). The hot-head drop + df_freq annotation is a single inner
+    join against the ≤cap frequency aggregate (r9: replaced the
+    LeftAnti-then-recount-window shape — groups are ≤ cap by
+    construction, so the join is skew-safe and the shingle window's
+    second exchange + sort are gone). A count window over the raw
+    shingle would funnel a Zipf-hot digest into one task; none may
+    appear."""
     import re
 
     from mare_spark.operators.dedup import ngram_jaccard_pairs, release_caches
@@ -401,11 +421,12 @@ def test_jaccard_windows_are_cap_bounded_only(spark):
     # Node counts vary with cache substitution (persisted subtrees render
     # as InMemoryRelation or inline depending on suite order), so assert
     # the order-independent invariants only: every window partitions by
-    # the survivor shingle or the doc id — never an uncapped digest — and
-    # the hot-head drop is present as a LeftAnti join.
+    # the doc id — never a shingle/digest — and the cap is applied as a
+    # df_freq filter on the aggregate (join-back), not as a window.
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
-    assert specs and set(specs) <= {"shingle", "doc"}, specs
-    assert "LeftAnti" in plan, plan
+    assert specs and set(specs) <= {"doc"}, specs
+    assert "df_freq" in plan, plan
+    assert "LeftAnti" not in plan, plan
 
 
 def test_fixed_k_sampler_plans_two_phase_group_limit(spark):

@@ -131,20 +131,29 @@ def test_hyperplane_signature_realistic_dim(spark):
 
 
 def test_embedding_lsh_pairs_no_job_before_signature_stage(spark):
-    """With an explicit dim, building the LSH-pairs plan must trigger ZERO
-    Spark jobs (the r2 head() probe was a needless driver action); without
-    dim and without schema metadata it must raise instead of probing."""
+    """With an explicit dim, building the LSH-pairs plan runs ONLY the
+    deliberate cache-materialization barrier (dedup._materialize — one
+    count() job serializing the base persist so the bucket self-join's
+    concurrently-launched exchange sides never race a cold cache; r9
+    optimization pass), never a dim probe; without dim and without schema
+    metadata it must raise BEFORE any job instead of probing (r2 #5)."""
     from mare_spark.operators.similarity import embedding_lsh_pairs
 
     emb = read_table(spark, SF_ORACLE, "embeddings")
     sc = spark.sparkContext
-    sc.setJobGroup("lsh-plan-build", "plan construction must not run jobs")
+    sc.setJobGroup("lsh-plan-build", "plan construction: barrier job only")
     try:
         embedding_lsh_pairs(emb, "embedding", "vec_id", 0.4, dim=64)
-        assert not sc.statusTracker().getJobIdsForGroup("lsh-plan-build")
+        built = len(sc.statusTracker().getJobIdsForGroup("lsh-plan-build"))
+        # the materialize barrier: one count() action (plus up to a
+        # schema-inference job on a cold session and an AQE final-stage
+        # job) — double digits would mean per-row/per-band probe jobs
+        assert 1 <= built <= 4, built
         with pytest.raises(ValueError, match="pass dim"):
             embedding_lsh_pairs(emb, "embedding", "vec_id", 0.4)
-        assert not sc.statusTracker().getJobIdsForGroup("lsh-plan-build")
+        # the dim-less path raised before ANY job — still no probe
+        after = len(sc.statusTracker().getJobIdsForGroup("lsh-plan-build"))
+        assert after == built, (built, after)
     finally:
         sc.setJobGroup("", "")
 

@@ -78,12 +78,20 @@ def test_cms_scrub_is_conservative_under_collisions(spark):
 
 
 def test_cms_scrub_single_shuffle(spark):
-    """The sketch tier's only exchange is the per-document reassembly —
-    the frequency question costs zero shuffles (partition partials merged
-    on the driver, broadcast probe)."""
+    """The sketch tier's only KEYED exchange is the per-document
+    reassembly — the frequency question costs zero shuffles (partition
+    partials merged on the driver, broadcast probe). A narrow fixture
+    scan additionally fans out round-robin before the interpreted chunk
+    transform (r9 — no-op on an at-scale wide scan)."""
+    import re
+
     docs = read_table(spark, SF_ORACLE, "documents")
     df = repeated_chunk_scrub_cms(docs, "text", "doc_id", width_bits=14)
-    assert P.count_shuffle_exchanges(df) == 1, P.formatted_plan(df)
+    plan = P.formatted_plan(df)
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan
+    # a materialized cached subtree renders its AQE Final AND Initial
+    # plans, so the single fan-out exchange can print twice
+    assert len(re.findall(r"RoundRobinPartitioning", plan)) <= 2, plan
 
 
 def test_hll_sketch_rollup_is_merge_exact(spark):
