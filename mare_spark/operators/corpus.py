@@ -921,20 +921,42 @@ def _chunk_explode(
     keep_cols: tuple[str, ...],
 ) -> DataFrame:
     """(id, *keep_cols, chunk_idx, chunk) — non-overlapping aligned
-    ``chunk_words``-word chunks, shared by both scrub tiers."""
-    w = tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(w, i * chunk_words + 1, chunk_words)
-        ),
-    )
-    # size(w) >= 1 always for non-NULL text (split('') = ['']), so the
-    # sequence never runs start > stop (which would count DOWN and
-    # fabricate phantom chunks — same guard rationale as word_ngrams).
+    ``chunk_words``-word chunks, shared by both scrub tiers.
+
+    Chunking is an Arrow-batched pandas UDF (r9 optimization pass, guide
+    §4.2): the previous ``transform(sequence, concat_ws(slice))`` chain is
+    a higher-order function — CodegenFallback, interpreted row-at-a-time —
+    measured at ~8 ms/doc (39.5 s summed executor time for one sf0.1 scrub
+    invocation); the Python loop over ``py_tokens`` (the pinned mirror of
+    :func:`~mare_spark.operators.text.tokens`) is ~100× cheaper per doc.
+    Chunk strings are byte-identical by construction: same normalize/split,
+    same aligned slices, same single-space join. NULL text yields a NULL
+    chunk array (posexplode drops the row — unchanged); empty text yields
+    [''] → one empty chunk, matching split('') = [''] upstream.
+    """
+    import pandas as pd
+
+    from mare_spark.operators.dedup import py_tokens
+
+    c = chunk_words
+
+    def chunk_batch(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ws = py_tokens(t)
+            m = (len(ws) + c - 1) // c  # len >= 1 always: split('')=['']
+            out.append(
+                [" ".join(ws[i * c : (i + 1) * c]) for i in range(m)]
+            )
+        return pd.Series(out)
+
+    chunk_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    chunks = F.pandas_udf(chunk_batch, "array<string>")(F.col(text_col))
     return df.select(
-        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.col(id_col), *[F.col(k) for k in keep_cols],
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
     )
 

@@ -494,6 +494,71 @@ def test_quality_gates_kill_reasons(spark):
     assert out[3].kept == 0
 
 
+def test_hashed_word_shingles_matches_string_gram_reference(spark):
+    """Differential for the r9 token-combine gram hash: against a pure
+    string-gram reference, the hashed sets must have identical sizes,
+    identical pairwise intersection/union cardinalities (⇒ identical
+    Jaccard), and identical cross-document equality structure — i.e. the
+    hash behaves as an injective relabeling of the gram strings on this
+    input. Seed-pinned adversarial rows: repeated tokens, shared prefixes/
+    suffixes, permuted grams (order sensitivity), whitespace runs."""
+    import random
+
+    from mare_spark.operators.dedup import hashed_word_shingles, py_tokens
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (1, "a a a a a a"),                      # single repeated token
+        (2, "a b a b a b a b"),                  # period-2 repetition
+        (3, "x y z x y z"),                      # wraparound duplicates
+        (4, "z y x z y x"),                      # reversed order of 3
+        (5, "  a   b  c   "),                    # whitespace runs
+        (6, "a b c d e"),
+        (7, "e d c b a"),                        # permutation of 6
+    ] + [
+        (10 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3, 8):
+        got = {
+            r.doc_id: r.s
+            for r in df.select(
+                "doc_id", hashed_word_shingles(F.col("text"), n).alias("s")
+            ).collect()
+        }
+        ref = {}
+        for doc_id, t in rows:
+            ws = py_tokens(t)
+            ref[doc_id] = (
+                set()
+                if ws == [""]
+                else {
+                    " ".join(ws[i : i + n])
+                    for i in range(len(ws) - n + 1)
+                }
+            )
+        # build the gram-string -> hash correspondence and demand it is a
+        # bijection over the whole input (any collision OR any split of
+        # one gram into two hashes fails)
+        all_grams = set().union(*ref.values()) if ref else set()
+        all_hashes = set().union(*(set(v) for v in got.values()))
+        assert len(all_hashes) == len(all_grams), (n, len(all_hashes), len(all_grams))
+        for doc_id, grams in ref.items():
+            hs = got[doc_id]
+            assert len(hs) == len(set(hs)) == len(grams), (n, doc_id)
+            assert hs == sorted(hs), (n, doc_id)  # signed-sorted contract
+        ids = [doc_id for doc_id, _ in rows]
+        for a in ids[:10]:
+            for b in ids[:10]:
+                if a >= b:
+                    continue
+                inter_ref = len(ref[a] & ref[b])
+                inter_got = len(set(got[a]) & set(got[b]))
+                assert inter_ref == inter_got, (n, a, b)
+
+
 def test_dedup_tiers_null_and_empty_text(spark):
     """Null / empty / shorter-than-n documents produce no shingles and must
     pass through every dedup tier silently (no ANSI 0/0, no phantom pairs
