@@ -91,20 +91,41 @@ def ngram_partial_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
     ``_WS_RE``/``_ASCII_WS`` contract from operators.dedup), so counts
     hash-match the ``string_split`` SQL oracles.
     """
-    from collections import Counter
+    import hashlib
+    from itertools import chain
 
+    import numpy as np
     import pandas as pd
 
-    from mare_spark.operators.dedup import _fan_out, py_tokens
+    from mare_spark.operators.dedup import (
+        _fan_out,
+        _gram_coeffs,
+        _mix64,
+        py_tokens,
+    )
 
     # fan out a narrow scan (r9 measure-first pass: the fixture corpus is
     # one 128 MB-split partition, so the Counter pass ran single-threaded
     # — 2.4 s vs 1.5 s fanned at sf0.1); no-op on an at-scale wide scan
     df = _fan_out(df)
 
+    # r9 optimization pass (guide §4.2): counting now runs on the shared
+    # token-combine gram hashes (see hashed_word_shingles — per-distinct-
+    # token blake2b + numpy window combine over ONE flat per-batch array),
+    # with np.unique(return_counts) as the per-batch combine; the gram
+    # STRING is materialized only once per DISTINCT gram per batch, at its
+    # first-occurrence window (Zipf: distinct ≈ 10% of total at n=3).
+    # Identical partials to the Counter tier modulo 64-bit in-batch hash
+    # collisions (~|batch grams|²/2⁶⁵ — the repo-standard negligible-
+    # collision argument; the hash never leaves the batch, strings do).
+    # Measured 1.5× on the pass single-threaded, differential-identical
+    # on the full fixture corpus.
+    C = _gram_coeffs(n)
+    token_cache: dict = {}
+
     def gen(batches):
         for pdf in batches:
-            c: Counter = Counter()
+            tok = []
             for t in pdf[text_col]:
                 ws = py_tokens(t)
                 if ws == [""]:
@@ -112,10 +133,58 @@ def ngram_partial_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
                     # (py_tokens(None) normalizes to [''] — without the
                     # guard n=1 counts a phantom '' gram, diverging from
                     # the expression tier and the string_split oracle)
-                for i in range(len(ws) - n + 1):
-                    c[" ".join(ws[i : i + n])] += 1
+                tok.append(ws)
+            nwin = sum(len(ws) for ws in tok) - n + 1
+            if not tok or nwin <= 0:
+                yield pd.DataFrame(
+                    {"ngram": pd.Series([], dtype="str"),
+                     "cnt": pd.Series([], dtype="int64")}
+                )
+                continue
+            lens = np.fromiter(
+                (len(ws) for ws in tok), dtype=np.int64, count=len(tok)
+            )
+            flat = list(chain.from_iterable(tok))
+            gi = token_cache.__getitem__
+            try:
+                TH = np.fromiter(
+                    map(gi, flat), dtype=np.uint64, count=len(flat)
+                )
+            except KeyError:
+                if len(token_cache) > 4_000_000:  # bound task memory
+                    token_cache.clear()
+                for w in flat:
+                    if w not in token_cache:
+                        token_cache[w] = int.from_bytes(
+                            hashlib.blake2b(
+                                w.encode("utf-8"), digest_size=8
+                            ).digest(),
+                            "big",
+                        )
+                TH = np.fromiter(
+                    map(gi, flat), dtype=np.uint64, count=len(flat)
+                )
+            ACC = C[0] * TH[:nwin]
+            for i in range(1, n):
+                ACC = ACC + C[i] * TH[i : i + nwin]
+            G = _mix64(ACC)
+            did = np.repeat(np.arange(len(tok)), lens)
+            valid = did[:nwin] == did[n - 1 : n - 1 + nwin]
+            pos = np.nonzero(valid)[0]
+            uniq, first, counts = np.unique(
+                G[valid], return_index=True, return_counts=True
+            )
+            starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            docs_idx = did[pos[first]]
+            locs = pos[first] - starts[docs_idx]
             yield pd.DataFrame(
-                {"ngram": list(c.keys()), "cnt": list(c.values())}
+                {
+                    "ngram": [
+                        " ".join(tok[d][loc : loc + n])
+                        for d, loc in zip(docs_idx.tolist(), locs.tolist())
+                    ],
+                    "cnt": counts,
+                }
             )
 
     return df.select(text_col).mapInPandas(gen, "ngram string, cnt long")

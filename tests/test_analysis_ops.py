@@ -42,6 +42,41 @@ def test_heavy_hitters_finds_planted_boilerplate(spark):
     assert top[0].n_occurrences == 20
 
 
+def test_partial_counts_vectorized_edges_match_counter_reference(spark):
+    """Edge pins for the r9 vectorized partial-count pass (flat batch
+    array + doc-boundary window mask): docs with exactly n tokens, docs
+    shorter than n, NULL/contentless docs interleaved between counted
+    docs, and adjacent docs whose boundary windows must NOT fabricate
+    cross-document grams. Reference: a pure-Python Counter over string
+    grams."""
+    from collections import Counter
+
+    from mare_spark.operators.analysis import ngram_partial_counts
+    from mare_spark.operators.dedup import py_tokens
+
+    rows = [
+        (0, "a b c"),          # exactly n tokens at n=3 → one gram
+        (1, None),             # NULL between counted docs
+        (2, "x y"),            # shorter than n → none
+        (3, "c a b c"),        # shares boundary tokens with doc 0
+        (4, ""),               # contentless
+        (5, "b c a"),          # would chain with doc 3's tail if windows leaked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 3
+    got = Counter()
+    for r in ngram_partial_counts(df, "text", n).collect():
+        got[r.ngram] += r.cnt
+    want: Counter = Counter()
+    for _, t in rows:
+        ws = py_tokens(t)
+        if ws == [""]:
+            continue
+        for i in range(len(ws) - n + 1):
+            want[" ".join(ws[i : i + n])] += 1
+    assert got == want, (got, want)
+
+
 def test_tfidf_rare_term_outranks_common(spark):
     # "shared" appears in every doc (df=3) — "zebra" only in doc 0 (df=1).
     rows = [
