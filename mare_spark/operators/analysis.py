@@ -416,30 +416,86 @@ def cross_source_overlap(
     shingle join in operators.dedup runs under).
     """
     import hashlib
+    from itertools import chain
 
+    import numpy as np
     import pandas as pd
 
-    from mare_spark.operators.dedup import py_tokens
+    from mare_spark.operators.dedup import _gram_coeffs, _mix64, py_tokens
+
+    # r9 optimization pass (guide §4.2): gram hashing moved off the
+    # per-gram blake2b+string-join loop onto the shared token-combine
+    # scheme (see hashed_word_shingles) — one flat per-batch token-hash
+    # array, per-doc windows sliced out (cross-doc windows never emitted),
+    # per-source distinct via np.unique. Values change from blake2b-8 to
+    # token-combine ids, which nothing observes: the hashes only feed the
+    # internal distinct/self-join, and the oracle counts gram STRINGS —
+    # the same injective-modulo-collisions contract as before.
+    C = _gram_coeffs(n)
+    token_cache: dict = {}
 
     def gen(batches):
         for pdf in batches:
-            seen: set = set()
+            tok, srcs = [], []
             for src, t in zip(pdf[source_col], pdf[text_col]):
                 ws = py_tokens(t)
                 if ws == [""]:
                     continue  # same contentless-doc guard as above: two
                     # sources of NULL docs must not "share" a '' gram
-                for i in range(len(ws) - n + 1):
-                    g = " ".join(ws[i : i + n])
-                    h = int.from_bytes(
-                        hashlib.blake2b(
-                            g.encode("utf-8"), digest_size=8
-                        ).digest(),
-                        "big",
-                        signed=True,
-                    )
-                    seen.add((src, h))
-            yield pd.DataFrame(list(seen), columns=["src", "gram"])
+                tok.append(ws)
+                srcs.append(src)
+            nwin = sum(len(ws) for ws in tok) - n + 1
+            if not tok or nwin <= 0:
+                yield pd.DataFrame(
+                    {"src": pd.Series([], dtype="str"),
+                     "gram": pd.Series([], dtype="int64")}
+                )
+                continue
+            flat = list(chain.from_iterable(tok))
+            gi = token_cache.__getitem__
+            try:
+                TH = np.fromiter(
+                    map(gi, flat), dtype=np.uint64, count=len(flat)
+                )
+            except KeyError:
+                if len(token_cache) > 4_000_000:  # bound task memory
+                    token_cache.clear()
+                for w in flat:
+                    if w not in token_cache:
+                        token_cache[w] = int.from_bytes(
+                            hashlib.blake2b(
+                                w.encode("utf-8"), digest_size=8
+                            ).digest(),
+                            "big",
+                        )
+                TH = np.fromiter(
+                    map(gi, flat), dtype=np.uint64, count=len(flat)
+                )
+            ACC = C[0] * TH[:nwin]
+            for i in range(1, n):
+                ACC = ACC + C[i] * TH[i : i + nwin]
+            G = _mix64(ACC).view(np.int64)
+            by_src: dict = {}
+            pos = 0
+            for ws, src in zip(tok, srcs):
+                m = len(ws) - n + 1
+                if m > 0:
+                    by_src.setdefault(src, []).append(G[pos : pos + m])
+                pos += len(ws)
+            out_src: list = []
+            out_gram: list = []
+            for src, chunks in by_src.items():
+                u = np.unique(np.concatenate(chunks))
+                out_src.extend([src] * len(u))
+                out_gram.append(u)
+            yield pd.DataFrame(
+                {
+                    "src": out_src,
+                    "gram": np.concatenate(out_gram)
+                    if out_gram
+                    else np.array([], dtype=np.int64),
+                }
+            )
 
     d = (
         df.select(F.col(source_col), F.col(text_col))

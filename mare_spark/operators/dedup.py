@@ -902,7 +902,14 @@ def _simhash_pudf(shingle_n: int):
     import numpy as np
     import pandas as pd
 
+    # gram → blake2b hash memoized per task (r9, value-preserving — the
+    # signature values drive bucket candidates, so the hash convention is
+    # pinned exactly like the MinHash tier's; the memo only skips repeat
+    # hashlib calls on Zipf-repeated grams)
+    gram_cache: dict = {}
+
     def simhash_batch(texts):
+        get = gram_cache.get
         out = np.full(len(texts), None, dtype=object)
         shifts = np.arange(64, dtype=np.uint64)
         for row, t in enumerate(texts):
@@ -918,13 +925,21 @@ def _simhash_pudf(shingle_n: int):
             if not grams:
                 out[row] = None
                 continue
-            hs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
+
+            def _h(g):
+                h = get(g)
+                if h is None:
+                    if len(gram_cache) > 4_000_000:  # bound task memory
+                        gram_cache.clear()
+                    h = int.from_bytes(
+                        hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                        "little",
                     )
-                    for g in grams
-                ),
+                    gram_cache[g] = h
+                return h
+
+            hs = np.fromiter(
+                (_h(g) for g in grams),
                 dtype=np.uint64,
                 count=len(grams),
             )
