@@ -923,40 +923,32 @@ def _chunk_explode(
     """(id, *keep_cols, chunk_idx, chunk) — non-overlapping aligned
     ``chunk_words``-word chunks, shared by both scrub tiers.
 
-    Chunking is an Arrow-batched pandas UDF (r9 optimization pass, guide
-    §4.2): the previous ``transform(sequence, concat_ws(slice))`` chain is
-    a higher-order function — CodegenFallback, interpreted row-at-a-time —
-    measured at ~8 ms/doc (39.5 s summed executor time for one sf0.1 scrub
-    invocation); the Python loop over ``py_tokens`` (the pinned mirror of
-    :func:`~mare_spark.operators.text.tokens`) is ~100× cheaper per doc.
-    Chunk strings are byte-identical by construction: same normalize/split,
-    same aligned slices, same single-space join. NULL text yields a NULL
-    chunk array (posexplode drops the row — unchanged); empty text yields
-    [''] → one empty chunk, matching split('') = [''] upstream.
+    Expression tier KEPT deliberately (r9 optimization pass): an
+    Arrow-batched pandas-UDF chunker was built and interleave-benched
+    against this shape — the UDF variant was ~0.4 s/invocation SLOWER on
+    the noop-sink bench (old 1.28 s vs new 1.79 s min-of-6, persist
+    variants worse still): the chunk strings are corpus-sized, so the
+    JVM→Python→JVM Arrow round-trip of text-out/chunks-back (twice — the
+    explode feeds both the frequency branch and the reassembly join)
+    costs more than the interpreted higher-order eval it replaced. The
+    earlier "39.5 s summed executor time" reading that motivated the UDF
+    was executorRunTime under host contention (wait, not CPU) — the
+    §1.4/§1.1 lesson: trust the interleaved A/B, not a loaded-host
+    stage profile.
     """
-    import pandas as pd
-
-    from mare_spark.operators.dedup import py_tokens
-
-    c = chunk_words
-
-    def chunk_batch(texts):
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            ws = py_tokens(t)
-            m = (len(ws) + c - 1) // c  # len >= 1 always: split('')=['']
-            out.append(
-                [" ".join(ws[i * c : (i + 1) * c]) for i in range(m)]
-            )
-        return pd.Series(out)
-
-    chunk_batch.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    chunks = F.pandas_udf(chunk_batch, "array<string>")(F.col(text_col))
+    w = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, i * chunk_words + 1, chunk_words)
+        ),
+    )
+    # size(w) >= 1 always for non-NULL text (split('') = ['']), so the
+    # sequence never runs start > stop (which would count DOWN and
+    # fabricate phantom chunks — same guard rationale as word_ngrams).
     return df.select(
-        F.col(id_col), *[F.col(k) for k in keep_cols],
+        F.col(id_col), *[F.col(c) for c in keep_cols],
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
     )
 
