@@ -733,6 +733,18 @@ def minhash_lsh_pairs(
     buckets = _mh_buckets(base, bands, r)
     if bucket_cap is not None:
         buckets = _drop_over_full_buckets(buckets, bucket_cap)
+    # Materialize the (post-cap) bucket table once (r10 — guide §2.4,
+    # compute-once): the candidate self-join's two exchange sides each
+    # recompute this whole subtree otherwise — band projection PLUS the
+    # cap aggregate and its anti-join — because exchange reuse does not
+    # fire across the deduplicated self-join sides (verified empirically:
+    # forced-SMJ plans show 4 hashpartitioning(band_idx, band_hash)
+    # exchanges and 0 ReusedExchange). The table is three fixed-width
+    # columns (no arrays — cheap columnar encode, unlike `base`); census
+    # at sf0.1: invocation CPU 9.7-10.0 s → 7.1-7.8 s, executorRunTime
+    # 25-26 s → 20-22 s, at +1 barrier job. At corpus scale the saved
+    # duplicate is a corpus-sized projection + aggregate per side.
+    buckets = _materialize(buckets.persist(StorageLevel.MEMORY_AND_DISK))
 
     cand = (
         buckets.alias("x")
@@ -762,7 +774,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return attach_caches(verified, base, cand)
+    return attach_caches(verified, base, buckets, cand)
 
 
 def minhash_lsh_join(
@@ -1028,6 +1040,13 @@ def simhash_pairs(
         chunks = _drop_over_full_buckets(
             chunks, bucket_cap, keys=("chunk_idx", "chunk")
         )
+    # Materialize the (post-cap) chunk table once (r10 — guide §2.4): the
+    # chunk self-join's two exchange sides otherwise each recompute the
+    # chunk projection plus, when capped, the bucket-cap aggregate and
+    # anti-join (exchange reuse does not fire across deduplicated
+    # self-join sides — see minhash_lsh_pairs). Four fixed-width columns,
+    # cheap encode; same census evidence as the minhash bucket persist.
+    chunks = _materialize(chunks.persist(StorageLevel.MEMORY_AND_DISK))
     cand = (
         chunks.alias("x")
         .join(
@@ -1051,7 +1070,7 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
-    return attach_caches(result, base)
+    return attach_caches(result, base, chunks)
 
 
 def _dedup_clusters_driver(directed: DataFrame) -> DataFrame:

@@ -20,6 +20,7 @@
 from __future__ import annotations
 
 import numpy as np
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -285,6 +286,15 @@ def embedding_lsh_pairs(
         buckets = _drop_over_full_buckets(
             buckets, bucket_cap, keys=("band", "bucket")
         )
+    # Materialize the (post-cap) bucket table once (r10 — guide §2.4,
+    # compute-once): exchange reuse does not fire across deduplicated
+    # self-join sides (verified on the minhash twin of this shape), so
+    # each candidate-join side otherwise re-runs the hyperplane-signature
+    # pandas UDF — the most expensive step of this operator — plus the
+    # cap aggregate/anti-join. Three fixed-width columns, cheap encode.
+    buckets = _materialize(
+        buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = (
         buckets.alias("x")
         .join(
@@ -306,7 +316,7 @@ def embedding_lsh_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
-    return attach_caches(result, base)
+    return attach_caches(result, base, buckets)
 
 
 def _kmeanspp_init(

@@ -132,10 +132,10 @@ def test_hyperplane_signature_realistic_dim(spark):
 
 def test_embedding_lsh_pairs_no_job_before_signature_stage(spark):
     """With an explicit dim, building the LSH-pairs plan runs ONLY the
-    deliberate cache-materialization barrier (dedup._materialize — one
-    count() job serializing the base persist so the bucket self-join's
-    concurrently-launched exchange sides never race a cold cache; r9
-    optimization pass), never a dim probe; without dim and without schema
+    deliberate cache-materialization barriers (dedup._materialize — one
+    count() each for the base persist and, since r10, the bucket-table
+    persist that stops the candidate self-join's sides re-running the
+    signature UDF), never a dim probe; without dim and without schema
     metadata it must raise BEFORE any job instead of probing (r2 #5)."""
     from mare_spark.operators.similarity import embedding_lsh_pairs
 
@@ -145,10 +145,11 @@ def test_embedding_lsh_pairs_no_job_before_signature_stage(spark):
     try:
         embedding_lsh_pairs(emb, "embedding", "vec_id", 0.4, dim=64)
         built = len(sc.statusTracker().getJobIdsForGroup("lsh-plan-build"))
-        # the materialize barrier: one count() action (plus up to a
-        # schema-inference job on a cold session and an AQE final-stage
-        # job) — double digits would mean per-row/per-band probe jobs
-        assert 1 <= built <= 4, built
+        # the two materialize barriers (base + bucket table): one count()
+        # action each, plus up to a schema-inference job on a cold session
+        # and AQE per-stage jobs — double digits would mean per-row/
+        # per-band probe jobs
+        assert 1 <= built <= 7, built
         with pytest.raises(ValueError, match="pass dim"):
             embedding_lsh_pairs(emb, "embedding", "vec_id", 0.4)
         # the dim-less path raised before ANY job — still no probe

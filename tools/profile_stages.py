@@ -75,6 +75,9 @@ def main() -> None:
                 "stage": sid,
                 "tasks": si["numCompleteTasks"],
                 "runtime_ms": dur,
+                # CPU (ns->ms): load-robust, unlike executorRunTime which
+                # counts wait/contention (the r9 #10 mis-read)
+                "cpu_ms": (si.get("executorCpuTime") or 0) // 1_000_000,
                 "sh_read": si.get("shuffleReadBytes", 0),
                 "sh_write": si.get("shuffleWriteBytes", 0),
                 "name": si["name"].split("\n")[0][:80],
@@ -85,7 +88,8 @@ def main() -> None:
           f"{len(rows)} executed stages ==")
     for r in rows:
         print(f"stage {r['stage']:>4} tasks={r['tasks']:>3} "
-              f"exec_ms={r['runtime_ms']:>7} shR={r['sh_read']:>9} "
+              f"exec_ms={r['runtime_ms']:>7} cpu_ms={r['cpu_ms']:>7} "
+              f"shR={r['sh_read']:>9} "
               f"shW={r['sh_write']:>9}  {r['name']}")
     spark.stop()
 
