@@ -71,26 +71,39 @@ def _fan_out(df: DataFrame) -> DataFrame:
     wide — never adds a shuffle to an at-scale corpus scan.
 
     The width question is answered from the scan-size hint read_table
-    attaches (one os.stat) when present: ``df.rdd.getNumPartitions()``
-    costs a throwaway physical-planning pass (~130 ms per fresh DataFrame,
+    attaches (one stat/scandir — bytes AND file count since r10, so
+    directory-shaped tables are sized by their part files, not the ~4 KB
+    directory inode) when present: ``df.rdd.getNumPartitions()`` costs a
+    throwaway physical-planning pass (~130 ms per fresh DataFrame,
     measured) that the bench paid once per operator invocation. The
-    byte-threshold decision (scan bytes < slots x maxPartitionBytes ⇒
-    fewer than `slots` max-size scan splits ⇒ fan out) reproduces the
-    partition-count rule; DataFrames without the hint (filtered/derived)
-    keep the exact probe."""
+    estimate reproduces Spark's own FilePartition packing (each file
+    additionally charged ``openCostInBytes``; split size capped at
+    ``maxPartitionBytes`` but floored at bytes-per-core), so a
+    many-small-files scan that is already wide is NOT re-shuffled
+    (VERDICT r9 #5 — the raw byte threshold used to add a RoundRobin
+    there). DataFrames without the hint (filtered/derived) keep the
+    exact probe."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     scan_bytes = getattr(df, "_mare_scan_bytes", None)
     if scan_bytes is not None:
-        raw = df.sparkSession.conf.get(
+        conf = df.sparkSession.conf
+        raw = conf.get(
             "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
         )
         try:
             max_pb = int(raw)
+            open_cost = int(
+                conf.get("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+            )
         except ValueError:
             max_pb = None  # "128m"-style value: fall through to the probe
         if max_pb is not None:
-            if scan_bytes < target * max_pb:
+            n_files = getattr(df, "_mare_scan_files", 1)
+            padded = scan_bytes + n_files * open_cost
+            split = min(max_pb, max(open_cost, padded // max(target, 1)))
+            est_splits = -(-padded // max(split, 1))  # ceil
+            if est_splits < target:
                 return df.repartition(target)
             return df
     if df.rdd.getNumPartitions() < target:

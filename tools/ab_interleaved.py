@@ -15,9 +15,6 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-ALL_VARS = ["MARE_NO_BARRIER", "MARE_NO_CAND_BARRIER"]
-
-
 def main() -> None:
     qname = sys.argv[1]
     reps = int(sys.argv[2])
@@ -25,6 +22,23 @@ def main() -> None:
     for spec in sys.argv[3:]:
         label, vars_ = spec.split("=", 1)
         variants.append((label, [v for v in vars_.split(",") if v]))
+    # The cleared set is the union of the vars the caller names (ADVICE
+    # r9: a hard-coded list of gates that no code consumes silently
+    # measures nothing). Fail fast when a named gate is not read anywhere
+    # in mare_spark — every variant would run identical code.
+    all_vars = sorted({v for _, vs in variants for v in vs})
+    import subprocess
+
+    lib = os.path.join(os.path.dirname(__file__), "..", "mare_spark")
+    for v in all_vars:
+        rc = subprocess.run(
+            ["grep", "-rq", v, lib], check=False
+        ).returncode
+        if rc != 0:
+            raise SystemExit(
+                f"env gate {v!r} is not consumed anywhere under mare_spark/ "
+                "— all variants would run identical code"
+            )
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from mare_spark.operators.dedup import release_caches
@@ -46,7 +60,7 @@ def main() -> None:
     samples: dict[str, list[float]] = {lab: [] for lab, _ in variants}
     for i in range(reps + 1):
         for label, vars_ in variants:
-            for v in ALL_VARS:
+            for v in all_vars:
                 os.environ.pop(v, None)
             for v in vars_:
                 os.environ[v] = "1"
