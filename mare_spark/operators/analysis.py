@@ -241,6 +241,17 @@ def tfidf_keywords(
     # plain length/IN predicates stay inside whole-stage codegen, where an
     # array-lambda filter (higher-order function) would be interpreted
     # per document.
+    # r10 measure-first pass (VERDICT r9 #6) — NEGATIVE result, recorded
+    # so the fan-out is not re-tried blind: the sf0.1 profile shows ~1.4 s
+    # CPU across single-task stages (narrow scan), but a 6-rep interleaved
+    # A/B of `_fan_out(df)` vs plain came out SLOWER fanned (min 1.90 s /
+    # med 2.30 vs min 1.16 / med 2.13): this pipeline is all codegen
+    # (split+explode+hash-agg) with map-side partial aggregation, so the
+    # added RoundRobin exchange of the full text column plus 32-task
+    # overhead exceeds the parallelism win — unlike the Python-UDF
+    # operators where _fan_out pays (r9 #7). The same A/B logic applies
+    # at scale only to the narrow-scan case, which a wide corpus scan
+    # never hits.
     terms = (
         df.select(
             F.col(id_col).alias("doc_id"),
