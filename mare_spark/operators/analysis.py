@@ -97,6 +97,7 @@ def ngram_partial_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from mare_spark.operators import dedup as _dedup
     from mare_spark.operators.dedup import (
         _fan_out,
         _gram_coeffs,
@@ -121,9 +122,14 @@ def ngram_partial_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
     # Measured 1.5× on the pass single-threaded, differential-identical
     # on the full fixture corpus.
     C = _gram_coeffs(n)
-    token_cache: dict = {}
 
     def gen(batches):
+        # shared per-worker token cache (same "big"-unsigned blake2b-8
+        # convention as hashed_word_shingles): referenced through the
+        # dedup MODULE so the pickled closure resolves the worker's one
+        # shared dict, not a per-task copy (ADVICE r9; dedup.py has the
+        # full rationale)
+        token_cache = _dedup._TOKEN_HASH_CACHE
         for pdf in batches:
             tok = []
             for t in pdf[text_col]:
@@ -151,8 +157,7 @@ def ngram_partial_counts(df: DataFrame, text_col: str, n: int) -> DataFrame:
                     map(gi, flat), dtype=np.uint64, count=len(flat)
                 )
             except KeyError:
-                if len(token_cache) > 4_000_000:  # bound task memory
-                    token_cache.clear()
+                _dedup._hash_cache_room(token_cache)
                 for w in flat:
                     if w not in token_cache:
                         token_cache[w] = int.from_bytes(
@@ -432,6 +437,7 @@ def cross_source_overlap(
     import numpy as np
     import pandas as pd
 
+    from mare_spark.operators import dedup as _dedup
     from mare_spark.operators.dedup import _gram_coeffs, _mix64, py_tokens
 
     # r9 optimization pass (guide §4.2): gram hashing moved off the
@@ -443,9 +449,10 @@ def cross_source_overlap(
     # internal distinct/self-join, and the oracle counts gram STRINGS —
     # the same injective-modulo-collisions contract as before.
     C = _gram_coeffs(n)
-    token_cache: dict = {}
 
     def gen(batches):
+        # shared per-worker token cache — see ngram_partial_counts
+        token_cache = _dedup._TOKEN_HASH_CACHE
         for pdf in batches:
             tok, srcs = [], []
             for src, t in zip(pdf[source_col], pdf[text_col]):
@@ -469,8 +476,7 @@ def cross_source_overlap(
                     map(gi, flat), dtype=np.uint64, count=len(flat)
                 )
             except KeyError:
-                if len(token_cache) > 4_000_000:  # bound task memory
-                    token_cache.clear()
+                _dedup._hash_cache_room(token_cache)
                 for w in flat:
                     if w not in token_cache:
                         token_cache[w] = int.from_bytes(

@@ -26,6 +26,7 @@ ANSI.
 from __future__ import annotations
 
 import logging
+import os
 import random
 import re
 
@@ -62,6 +63,46 @@ def py_tokens(t):
     ASCII-whitespace collapse + strip + lower + split on single spaces,
     so UDF-tier counts hash-match the ``string_split`` SQL oracles."""
     return _WS_RE.sub(" ", (t or "").strip(_ASCII_WS).lower()).split(" ")
+
+
+# Shared per-WORKER hash caches (r10, ADVICE r9). The vectorizing UDFs
+# used to carry one up-to-4M-entry dict per CLOSURE, and a pickled
+# closure cell is deserialized per task — several operators in one
+# pipeline could hold multiple hundreds-of-MB dicts per Python worker,
+# every task restarted its warm-up from zero, and overflow handling was a
+# full clear() that rehashed the entire working set. One module-level
+# dict per hash CONVENTION instead: the UDF bodies reference these module
+# globals by name, which cloudpickle serializes as a (module, name)
+# lookup — mare_spark is importable on the workers (the same mechanism
+# that resolves ``py_tokens`` there) — so a reused Python worker
+# (``spark.python.worker.reuse``, default true) keeps ONE warm cache per
+# convention across batches, tasks, operators and queries (guide §4.5).
+# Overflow evicts the oldest HALF (insertion order ≈ first-seen order;
+# the Zipf head re-enters on the next batch) instead of clear()ing.
+# Values are pure functions of the key, so staleness cannot exist; the
+# three conventions never share a dict (signed/endian differences).
+_TOKEN_HASH_CACHE: dict = {}  # token -> blake2b-8 ("big", unsigned)
+_MH_GRAM_CACHE: dict = {}     # gram  -> blake2b-8 ("big", SIGNED) — MinHash tier
+_SH_GRAM_CACHE: dict = {}     # gram  -> blake2b-8 ("little")      — SimHash tier
+
+# Per-cache entry cap. ~200 B/entry (short-token key + int + dict slot),
+# so the 1M default bounds each cache near ~200 MB per worker — sized for
+# the default spark.executor.pyspark/memoryOverhead headroom; raise via
+# MARE_HASH_CACHE_CAP on workers provisioned with more Python memory
+# (the r8/r9 closures used a 4M cap PER CLOSURE, which ADVICE r9 flagged
+# as unbounded in aggregate).
+_HASH_CACHE_CAP = int(os.environ.get("MARE_HASH_CACHE_CAP", "1000000"))
+
+
+def _hash_cache_room(cache: dict) -> None:
+    """Bound ``cache`` to ``_HASH_CACHE_CAP`` entries by evicting the
+    OLDEST half on overflow (dicts preserve insertion order) — the warm
+    Zipf head survives, unlike the old full ``clear()``."""
+    if len(cache) > _HASH_CACHE_CAP:
+        from itertools import islice
+
+        for k in list(islice(iter(cache), len(cache) // 2)):
+            del cache[k]
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -315,18 +356,20 @@ def hashed_word_shingles(text_col: Column, n: int = 3) -> Column:
     import pandas as pd
 
     C = _gram_coeffs(n)
-    cache: dict = {}
     blake2b = hashlib.blake2b
 
     def shingle_batch(texts):
+        # _TOKEN_HASH_CACHE is the module-level shared per-worker cache
+        # (see its definition): resolved by name in the worker's imported
+        # module, so it persists across tasks under worker reuse
+        cache = _TOKEN_HASH_CACHE
         tok = [py_tokens(t) for t in texts]
         flat = list(chain.from_iterable(tok))
         gi = cache.__getitem__
         try:
             TH = np.fromiter(map(gi, flat), dtype=np.uint64, count=len(flat))
         except KeyError:
-            if len(cache) > 4_000_000:  # bound task memory
-                cache.clear()
+            _hash_cache_room(cache)
             for w in flat:
                 if w not in cache:
                     cache[w] = int.from_bytes(
@@ -556,15 +599,17 @@ def _minhash_base_udf(num_perm: int, shingle_n: int, seed: int):
     M = np.uint64(_MERSENNE31)
     empty_sig = [int(b % M) for b in B[:, 0]]
     # r9 optimization pass (guide §4.2), BIT-IDENTICAL outputs:
-    # * gram → blake2b hash memoized per task (Zipf gram reuse across
-    #   near-dup docs makes hashlib calls rare after warm-up);
+    # * gram → blake2b hash memoized per WORKER since r10 (the shared
+    #   module-level _MH_GRAM_CACHE — Zipf gram reuse across near-dup
+    #   docs makes hashlib calls rare after warm-up, and worker reuse now
+    #   keeps the warm set across tasks);
     # * the (num_perm × total-grams) affine grid is ONE numpy broadcast
     #   per batch with per-document minima via minimum.reduceat at the
     #   doc offsets, replacing one grid launch per document (~30% off
     #   the pass; differential-verified identical on the full fixture).
-    gram_cache: dict = {}
 
     def mh_batch(texts):
+        gram_cache = _MH_GRAM_CACHE
         get = gram_cache.get
         shingles_out = []
         offs = [0]
@@ -583,8 +628,7 @@ def _minhash_base_udf(num_perm: int, shingle_n: int, seed: int):
             for g in grams:
                 h = get(g)
                 if h is None:
-                    if len(gram_cache) > 4_000_000:  # bound task memory
-                        gram_cache.clear()
+                    _hash_cache_room(gram_cache)
                     h = int.from_bytes(
                         hashlib.blake2b(
                             g.encode("utf-8"), digest_size=8
@@ -927,13 +971,14 @@ def _simhash_pudf(shingle_n: int):
     import numpy as np
     import pandas as pd
 
-    # gram → blake2b hash memoized per task (r9, value-preserving — the
-    # signature values drive bucket candidates, so the hash convention is
-    # pinned exactly like the MinHash tier's; the memo only skips repeat
-    # hashlib calls on Zipf-repeated grams)
-    gram_cache: dict = {}
+    # gram → blake2b hash memoized per WORKER (r9 memo, r10 shared
+    # module-level _SH_GRAM_CACHE; value-preserving — the signature values
+    # drive bucket candidates, so the hash convention is pinned exactly
+    # like the MinHash tier's; the memo only skips repeat hashlib calls
+    # on Zipf-repeated grams)
 
     def simhash_batch(texts):
+        gram_cache = _SH_GRAM_CACHE
         get = gram_cache.get
         out = np.full(len(texts), None, dtype=object)
         shifts = np.arange(64, dtype=np.uint64)
@@ -954,8 +999,7 @@ def _simhash_pudf(shingle_n: int):
             def _h(g):
                 h = get(g)
                 if h is None:
-                    if len(gram_cache) > 4_000_000:  # bound task memory
-                        gram_cache.clear()
+                    _hash_cache_room(gram_cache)
                     h = int.from_bytes(
                         hashlib.blake2b(g.encode(), digest_size=8).digest(),
                         "little",

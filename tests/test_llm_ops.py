@@ -1807,3 +1807,24 @@ def test_embedding_null_vector_guards_r8(spark, tmp_path):
     assert sizes[("exact", 3)] == 1 and ("exact", 2) not in sizes
     compare(qs["dedup_cluster_stats"].fn(spark, sf),
             qs["dedup_cluster_stats"].oracle, sf)
+
+
+def test_hash_cache_room_evicts_oldest_half():
+    """ADVICE r9: overflow handling must keep the warm (recent) half of
+    the shared per-worker hash caches rather than clear()ing the whole
+    working set."""
+    import mare_spark.operators.dedup as D
+
+    cache = {i: i for i in range(10)}
+    old_cap = D._HASH_CACHE_CAP
+    try:
+        D._HASH_CACHE_CAP = 9  # force overflow
+        D._hash_cache_room(cache)
+    finally:
+        D._HASH_CACHE_CAP = old_cap
+    assert len(cache) == 5
+    # insertion order: the OLDEST entries (0..4) were evicted
+    assert sorted(cache) == [5, 6, 7, 8, 9]
+    # under the cap: no-op
+    D._hash_cache_room(cache)
+    assert len(cache) == 5
