@@ -1828,3 +1828,31 @@ def test_hash_cache_room_evicts_oldest_half():
     # under the cap: no-op
     D._hash_cache_room(cache)
     assert len(cache) == 5
+
+
+def test_lsh_bucket_tables_are_materialized_once(docs):
+    """r10 §2.4 pin: the candidate self-joins must read a PERSISTED
+    bucket/chunk table (exchange reuse does not fire across deduplicated
+    self-join sides, so an unpersisted bucket subtree would be recomputed
+    — band projection plus cap anti-join — once per join side)."""
+    from mare_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_caches,
+        simhash_pairs,
+    )
+
+    mh = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.8,
+        bucket_cap=10_000,
+    )
+    # base + bucket table + candidates, all storage-backed at build time
+    assert len(mh._mare_caches) == 3, mh._mare_caches
+    assert all(
+        c.storageLevel.useMemory or c.storageLevel.useDisk
+        for c in mh._mare_caches
+    )
+    release_caches(mh)
+
+    sh = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    assert len(sh._mare_caches) == 2, sh._mare_caches  # base + chunk table
+    release_caches(sh)
