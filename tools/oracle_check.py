@@ -28,8 +28,13 @@ def canon(rows, cols):
                 # normalize datetime.datetime vs pandas.Timestamp: their
                 # reprs differ, which would scramble the sort order below
                 # (and pd.Timestamp is a datetime subclass, so isoformat
-                # covers both)
+                # covers both). pandas.NaT is ALSO a datetime subclass
+                # whose isoformat() is the string 'NaT' — it is DuckDB's
+                # NULL timestamp and must canonicalize to None like
+                # Spark's (r10 tool fix; the asof rows false-mismatched)
                 v = v.isoformat()
+                if v == "NaT":
+                    v = None
             vals.append((c, v))
         out.append(tuple(vals))
     return sorted(out, key=repr)
