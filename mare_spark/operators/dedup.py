@@ -71,12 +71,16 @@ def py_tokens(t):
 # pipeline could hold multiple hundreds-of-MB dicts per Python worker,
 # every task restarted its warm-up from zero, and overflow handling was a
 # full clear() that rehashed the entire working set. One module-level
-# dict per hash CONVENTION instead: the UDF bodies reference these module
-# globals by name, which cloudpickle serializes as a (module, name)
-# lookup — mare_spark is importable on the workers (the same mechanism
-# that resolves ``py_tokens`` there) — so a reused Python worker
-# (``spark.python.worker.reuse``, default true) keeps ONE warm cache per
-# convention across batches, tasks, operators and queries (guide §4.5).
+# dict per hash CONVENTION instead, reached inside the UDF bodies as an
+# ATTRIBUTE of the imported module (``import mare_spark.operators.dedup
+# as _D; _D._TOKEN_HASH_CACHE``) — NOT as a bare global: cloudpickle
+# pickles a nested function's bare-global references by VALUE, giving
+# every task its own snapshot copy (verified empirically; a bare-global
+# dict never carried state across tasks), while the module import
+# resolves to the worker process's ONE dict. A reused Python worker
+# (``spark.python.worker.reuse``, default true) thus keeps one warm
+# cache per convention across batches, tasks, operators and queries
+# (guide §4.5).
 # Overflow evicts the oldest HALF (insertion order ≈ first-seen order;
 # the Zipf head re-enters on the next batch) instead of clear()ing.
 # Values are pure functions of the key, so staleness cannot exist; the
@@ -92,6 +96,12 @@ _SH_GRAM_CACHE: dict = {}     # gram  -> blake2b-8 ("little")      — SimHash t
 # (the r8/r9 closures used a 4M cap PER CLOSURE, which ADVICE r9 flagged
 # as unbounded in aggregate).
 _HASH_CACHE_CAP = int(os.environ.get("MARE_HASH_CACHE_CAP", "1000000"))
+
+# Cell budget for the MinHash affine signature grid (num_perm × grams
+# uint64 — see _minhash_base_udf): 32M cells ≈ 256 MB per in-flight
+# grid per worker. Arrow's maxRecordsPerBatch caps rows, not grams/row,
+# so without this a batch of long documents can demand a multi-GB grid.
+_MH_GRID_ELEMS = int(os.environ.get("MARE_MH_GRID_ELEMS", str(32_000_000)))
 
 
 def _hash_cache_room(cache: dict) -> None:
@@ -359,10 +369,16 @@ def hashed_word_shingles(text_col: Column, n: int = 3) -> Column:
     blake2b = hashlib.blake2b
 
     def shingle_batch(texts):
-        # _TOKEN_HASH_CACHE is the module-level shared per-worker cache
-        # (see its definition): resolved by name in the worker's imported
-        # module, so it persists across tasks under worker reuse
-        cache = _TOKEN_HASH_CACHE
+        # The shared per-worker cache MUST be reached through the
+        # worker's imported module object: cloudpickle pickles a nested
+        # function's bare-global references BY VALUE (a per-task snapshot
+        # copy — verified empirically: a bare-global dict never advanced
+        # its state across tasks, while the module-attribute form is the
+        # worker module's one dict), so only the attribute access shares
+        # across tasks under worker reuse.
+        import mare_spark.operators.dedup as _D
+
+        cache = _D._TOKEN_HASH_CACHE
         tok = [py_tokens(t) for t in texts]
         flat = list(chain.from_iterable(tok))
         gi = cache.__getitem__
@@ -609,7 +625,11 @@ def _minhash_base_udf(num_perm: int, shingle_n: int, seed: int):
     #   the pass; differential-verified identical on the full fixture).
 
     def mh_batch(texts):
-        gram_cache = _MH_GRAM_CACHE
+        # worker-module attribute access — the bare global would be a
+        # per-task pickled COPY (see shingle_batch)
+        import mare_spark.operators.dedup as _D
+
+        gram_cache = _D._MH_GRAM_CACHE
         get = gram_cache.get
         shingles_out = []
         offs = [0]
@@ -643,17 +663,44 @@ def _minhash_base_udf(num_perm: int, shingle_n: int, seed: int):
             flat.extend(hs)
             offs.append(len(flat))
         h31 = np.array(flat, dtype=np.int64).astype(np.uint64) >> np.uint64(33)
-        SIG = (A * h31[None, :] + B) % M
         # empty docs contribute zero elements to `flat`, so consecutive
         # non-empty docs' segments abut — reduceat over non-empty starts
-        # reduces exactly one document per segment
+        # reduces exactly one document per segment.
+        #
+        # The affine grid is (num_perm × grams) uint64 — UNBOUNDED by
+        # maxRecordsPerBatch, which caps ROWS not grams/row: a 10k-row
+        # batch of long documents can demand a multi-GB grid (measured:
+        # a 50k-doc single-partition batch at 64 perms churned ~256 MB
+        # grids into 4-40× run-time variance from allocator/GC pressure).
+        # Process DOC-ALIGNED groups whose gram total keeps the grid
+        # ≤ _MH_GRID_ELEMS cells (~256 MB at 8 B/cell): per-doc minima
+        # never cross a group boundary, so outputs are bit-identical to
+        # the one-shot grid (pinned by
+        # test_minhash_grid_chunking_is_bit_identical).
         nonempty = [d for d in range(len(shingles_out)) if offs[d + 1] > offs[d]]
-        if nonempty:
-            starts = np.array([offs[d] for d in nonempty], dtype=np.int64)
-            MINS = np.minimum.reduceat(SIG, starts, axis=1)
         sig_out: list = [None] * len(shingles_out)
-        for j, d in enumerate(nonempty):
-            sig_out[d] = MINS[:, j].tolist()
+        max_grams = max(_MH_GRID_ELEMS // max(len(A), 1), 1)
+        lo = 0
+        while lo < len(nonempty):
+            hi = lo
+            g0 = offs[nonempty[lo]]
+            # extend the group while it stays under the gram budget;
+            # always take at least one doc (a single huge doc pays its
+            # own grid — unavoidable)
+            while (
+                hi + 1 < len(nonempty)
+                and offs[nonempty[hi + 1] + 1] - g0 <= max_grams
+            ):
+                hi += 1
+            g1 = offs[nonempty[hi] + 1]
+            SIG = (A * h31[None, g0:g1] + B) % M
+            starts = np.array(
+                [offs[d] - g0 for d in nonempty[lo : hi + 1]], dtype=np.int64
+            )
+            MINS = np.minimum.reduceat(SIG, starts, axis=1)
+            for j, d in enumerate(nonempty[lo : hi + 1]):
+                sig_out[d] = MINS[:, j].tolist()
+            lo = hi + 1
         for d in range(len(shingles_out)):
             if sig_out[d] is None:
                 sig_out[d] = list(empty_sig)
@@ -978,7 +1025,11 @@ def _simhash_pudf(shingle_n: int):
     # on Zipf-repeated grams)
 
     def simhash_batch(texts):
-        gram_cache = _SH_GRAM_CACHE
+        # worker-module attribute access — the bare global would be a
+        # per-task pickled COPY (see shingle_batch)
+        import mare_spark.operators.dedup as _D
+
+        gram_cache = _D._SH_GRAM_CACHE
         get = gram_cache.get
         out = np.full(len(texts), None, dtype=object)
         shifts = np.arange(64, dtype=np.uint64)

@@ -1856,3 +1856,34 @@ def test_lsh_bucket_tables_are_materialized_once(docs):
     sh = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
     assert len(sh._mare_caches) == 2, sh._mare_caches  # base + chunk table
     release_caches(sh)
+
+
+def test_minhash_grid_chunking_is_bit_identical(docs):
+    """r10: the signature grid is computed over doc-aligned gram groups
+    bounded by _MH_GRID_ELEMS (memory guard — Arrow caps batch ROWS, not
+    grams/row). Per-doc minima never cross a group boundary, so a tiny
+    forced budget (many groups, including single-doc ones) must produce
+    bit-identical signatures and shingles to the effectively-unchunked
+    default."""
+    import mare_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    sample = docs.limit(200)
+
+    def run():
+        return {
+            r["doc_id"]: (tuple(r["mh"]["shingles"]), tuple(r["mh"]["sig"]))
+            for r in sample.select(
+                "doc_id",
+                D._minhash_base_udf(16, 3, 42)(F.col("text")).alias("mh"),
+            ).collect()
+        }
+
+    old = D._MH_GRID_ELEMS
+    try:
+        big = run()
+        D._MH_GRID_ELEMS = 64  # 16 perms -> 4-gram groups: forces many
+        small = run()
+    finally:
+        D._MH_GRID_ELEMS = old
+    assert big == small
