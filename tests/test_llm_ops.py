@@ -1887,3 +1887,41 @@ def test_minhash_grid_chunking_is_bit_identical(docs):
     finally:
         D._MH_GRID_ELEMS = old
     assert big == small
+
+
+def test_verified_jaccard_matches_array_union_form(spark):
+    """r10: the verify stages compute |a∪b| as |a|+|b|−|a∩b| instead of
+    materializing array_union — exact for the DISTINCT-element shingle
+    arrays every verify input carries (np.unique output). Pin value
+    equality against the legacy array_union expression on adversarial
+    set shapes: disjoint, identical, subset, partial overlap, one-sided
+    empty. (Empty/empty — union 0 on both forms — raises the same ANSI
+    DIVIDE_BY_ZERO either way, so behavior equality holds there too; it
+    is excluded here because neither form can evaluate it, and no verify
+    stage can produce it: empty shingle sets never enter the jaccard
+    inverted index, and the pre-existing array_union form would have
+    thrown on any such pair in ten rounds of green oracles.)"""
+    from pyspark.sql import functions as F
+
+    from mare_spark.operators.dedup import _verified_jaccard
+    from mare_spark.numeric import fround
+
+    rows = [
+        ([1, 2, 3], [4, 5, 6]),          # disjoint
+        ([1, 2, 3], [1, 2, 3]),          # identical
+        ([1, 2], [1, 2, 3, 4]),          # subset
+        ([1, 2, 3, 9], [2, 3, 7]),       # partial overlap
+        ([], [1, 2]),                    # one-sided empty
+        ([-(2**62), 2**62], [2**62]),    # extreme hash values
+    ]
+    df = spark.createDataFrame(rows, "sh_a: array<long>, sh_b: array<long>")
+    legacy = fround(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    out = df.select(
+        _verified_jaccard("sh_a", "sh_b").alias("new"),
+        legacy.alias("old"),
+    ).collect()
+    assert [r["new"] for r in out] == [r["old"] for r in out]
